@@ -1,0 +1,64 @@
+"""Fixture-table catalog.
+
+The reference's "catalog" is a directory listing: one logical dataset per
+input directory (/root/reference/tools.py:132-163). Ours is a thin
+parquet→DataFrame loader over the driver fixtures (TESTDATA.md), with
+temp-view registration so every query is also runnable as plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Runtime session settings every query depends on, applied defensively
+    because the driver's harness may pass a session built elsewhere:
+    UTC so timestamp semantics match the (UTC-naive) DuckDB oracle, and
+    nanosAsLong so the ns-precision events table is readable at all."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Column pruning/predicate pushdown reach the
+    parquet scan because callers filter/select on the returned DataFrame
+    before any action (Catalyst handles the rest)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as raw nanoseconds (see tune()); truncate to µs exactly
+        # like DuckDB's TIMESTAMP_NS → TIMESTAMP cast. Integer division —
+        # double math would lose precision above 2^53 ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view named after the table."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,15 @@
+"""Declared query set (SURVEY.md §2.4) + extension operators.
+
+Importing this package registers every query into
+``myhadoop_spark.registry``. Each module pairs the Spark DataFrame plan
+with its DuckDB oracle SQL so the two stay in lock-step.
+"""
+
+from myhadoop_spark.queries import (  # noqa: F401
+    dedup,
+    relational,
+    simsearch,
+    streaming_batch,
+    text,
+    wordcount,
+)

@@ -1,0 +1,268 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.3 extension).
+
+Four tiers, each a `queries()` entry with a DuckDB oracle:
+  dedup_exact    exact row dedup (dropDuplicates)
+  dedup_content  content-hash keep-one (md5 groupBy)
+  dedup_minhash  MinHash-LSH near-dup candidate pairs + Jaccard verify
+  simhash        32-bit SimHash fingerprint per document
+
+Scale design (100 TB): every stage is shuffle-on-key —
+  * exact/content dedup shuffle once on the content hash;
+  * MinHash shuffles (doc, token) pairs, then (band, band_signature) —
+    candidate pairs are generated per LSH bucket, never via cross join;
+  * the Jaccard verify joins only candidate pairs against token sets.
+The hash family is deterministic (md5-derived token hashes + fixed affine
+functions) so results are engine- and partitioning-independent — that is
+what makes a SQL oracle possible at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.registry import register
+
+# fixed affine hash family h_i(x) = (a_i * x + b_i) mod P over md5-derived
+# 32-bit token hashes; 16 functions = 4 bands × 4 rows
+MINHASH_P = 2_147_483_647
+_A = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+_B = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+MINHASH_FAM = [(i, _A[i], _B[i]) for i in range(16)]
+MINHASH_BAND_ROWS = 4
+JACCARD_THRESHOLD = 0.5
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_DOUBLED = "(SELECT * FROM documents UNION ALL SELECT * FROM documents)"
+
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → distinct token array (sorted for determinism)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    return docs.select(
+        "doc_id", F.array_sort(F.array_distinct(toks)).alias("toks"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — SURVEY.md §2.4 #14
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT DISTINCT doc_id, text, lang, source, n_chars FROM {_DOUBLED}
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates over a deliberately doubled copy of documents —
+    must return exactly the original rows."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.unionAll(docs).dropDuplicates()
+
+
+@register(
+    "dedup_content",
+    oracle=f"""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM {_DOUBLED}
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: one shuffle on md5(text), keep the smallest
+    doc_id per content group. The pattern that scales to 100 TB — the
+    payload never moves, only (hash, id)."""
+    docs = load(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs)
+    return (
+        doubled.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, band, band_sig — LSH band signatures from 16 minhashes."""
+    sets = _token_sets(spark, sf_dir)
+    toks = sets.select("doc_id", F.explode("toks").alias("tok"))
+    # 32-bit deterministic token hash shared with the oracle: first 8 hex
+    # chars of md5 (engine-portable, unlike xxhash64/murmur)
+    toks = toks.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    fam = spark.createDataFrame(MINHASH_FAM, "i INT, a LONG, b LONG")
+    sig = (
+        toks.crossJoin(F.broadcast(fam))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("th") + F.col("b")) % MINHASH_P).alias("mh"))
+    )
+    return (
+        sig.withColumn("band", (F.col("i") / MINHASH_BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"].cast("string")),
+            ",").alias("band_sig"))
+    )
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH sets AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
+           FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM sets)),
+    fam AS (SELECT * FROM (VALUES {', '.join(f'({i}, {a}, {b})' for i, a, b in MINHASH_FAM)})
+            AS f(i, a, b)),
+    sig AS (SELECT doc_id, i, i // {MINHASH_BAND_ROWS} AS band,
+                   MIN((a * th + b) % {MINHASH_P}) AS mh
+            FROM th CROSS JOIN fam GROUP BY doc_id, i),
+    bsig AS (SELECT doc_id, band,
+                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+             FROM sig GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+             FROM bsig x JOIN bsig y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+              AND x.doc_id < y.doc_id),
+    ds AS (SELECT doc_id, list_sort(list_distinct(toks)) AS s FROM sets),
+    j AS (SELECT doc1, doc2,
+                 CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE)
+                   AS jaccard
+          FROM cand JOIN ds s1 ON doc1 = s1.doc_id JOIN ds s2 ON doc2 = s2.doc_id)
+    SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "extension", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: 16 minhashes → 4 bands × 4 rows →
+    candidate pairs per identical band signature → exact Jaccard ≥ 0.5
+    verify. No cross join anywhere: candidates come from the band-bucket
+    self-join, verification touches candidates only."""
+    bands = minhash_signatures(spark, sf_dir)
+    left = bands.select(F.col("doc_id").alias("doc1"), "band", "band_sig")
+    right = bands.select(F.col("doc_id").alias("doc2"), "band", "band_sig")
+    cand = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    sets = _token_sets(spark, sf_dir)
+    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("s1"))
+    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("s2"))
+    jac = (
+        cand.join(s1, "doc1").join(s2, "doc2")
+        .select(
+            "doc1", "doc2",
+            (F.size(F.array_intersect("s1", "s2")).cast("double")
+             / F.size(F.array_union("s1", "s2")).cast("double")).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash",
+    oracle=f"""
+    WITH th AS (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
+                FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+                      FROM documents)),
+    bits AS (SELECT doc_id, j,
+                    SUM(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+             GROUP BY doc_id, j)
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "extension"),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: each distinct token votes ±1 on every
+    bit of its md5-derived hash; bit j of the fingerprint is 1 iff the
+    vote is positive. Narrow + two keyed aggregations — scales linearly."""
+    sets = _token_sets(spark, sf_dir)
+    toks = sets.select("doc_id", F.explode("toks").alias("tok"))
+    toks = toks.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    bits = spark.range(32).select(F.col("id").cast("int").alias("j"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(
+            F.when(F.expr("(th >> j) & 1") == 1, 1).otherwise(-1)).alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# character n-gram Jaccard (blocked pairwise)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard",
+    oracle="""
+    WITH g AS (SELECT doc_id, source,
+                      list_sort(list_distinct(list_transform(
+                          generate_series(1, length(text) - 2),
+                          i -> substr(text, i, 3)))) AS grams
+               FROM documents WHERE length(text) >= 3),
+    p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                          AS DOUBLE) AS jaccard
+          FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT doc1, doc2, jaccard FROM p WHERE jaccard >= 0.75
+    """,
+    tags=("dedup", "extension"),
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs, blocked by `source` so the
+    pairwise comparison is per-block (the blocking key stands in for an
+    LSH prefilter at real scale — never an unblocked O(n²))."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id", "source",
+        F.array_sort(F.array_distinct(F.expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+        ))).alias("grams"),
+    )
+    a = grams.select(F.col("doc_id").alias("doc1"), "source",
+                     F.col("grams").alias("g1"))
+    b = grams.select(F.col("doc_id").alias("doc2"),
+                     F.col("source").alias("source2"), F.col("grams").alias("g2"))
+    pairs = (
+        a.join(b, (F.col("source") == F.col("source2"))
+               & (F.col("doc1") < F.col("doc2")))
+        .select(
+            "doc1", "doc2",
+            (F.size(F.array_intersect("g1", "g2")).cast("double")
+             / F.size(F.array_union("g1", "g2")).cast("double")).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= 0.75)

@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.4 #16).
+
+Two paths:
+  simsearch_exact  brute-force cosine top-k for a small query set —
+                   correct baseline, broadcast the queries, never the corpus
+  simsearch_lsh    sign-random-projection LSH bucketing → per-bucket top-k —
+                   the 100 TB path (candidate set ∝ bucket size, not corpus)
+  embed_neardup    cosine > τ near-duplicate pairs, blocked by label
+
+Float determinism: all dot products are left-fold double accumulations
+over double-cast elements, matching DuckDB's list_dot_product on
+double lists — results are bitwise identical across engines, so even
+top-k membership agrees. Output cosines are floor-truncated to 6 decimals
+(floor(x*1e6)/1e6) — truncation of identical doubles is identical,
+unlike round-half rules which differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.registry import register
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _trunc6(c: Column) -> Column:
+    return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+
+_SQL_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "simsearch_exact",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_V} AS v,
+                      sqrt(list_dot_product({_SQL_V}, {_SQL_V})) AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
+          WHERE vec_id < {N_QUERIES}),
+    p AS (SELECT q_id, vec_id,
+                 list_dot_product(v, qv) / (nrm * qnrm) AS cos
+          FROM e CROSS JOIN q WHERE vec_id <> q_id),
+    r AS (SELECT q_id, vec_id AS neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM p)
+    SELECT q_id, neighbor_id, CAST(rn AS INT) AS rn,
+           floor(cos * 1e6) / 1e6 AS cosine
+    FROM r WHERE rn <= {TOP_K}
+    """,
+    tags=("simsearch", "extension"),
+)
+def simsearch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 5).
+
+    The query side is tiny and broadcast; the corpus streams through one
+    narrow stage. Per-query top-k via window row_number — at scale this is
+    a partial top-k per partition then a k·|Q|-row final (TakeOrdered
+    semantics through AQE), never a global sort of all scores."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id",
+                (_dot("v", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rn",
+                _trunc6(F.col("cos")).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+# deterministic pseudo-random hyperplanes: plane p, dim d weight =
+# sin(1 + p * 64 + d) — fixed closed form both engines evaluate identically
+N_PLANES = 8
+
+
+def _lsh_bucket_expr(vcol: str) -> Column:
+    """bucket id = sum over planes of sign-bit << plane (closed-form
+    hyperplanes, no stored model)."""
+    expr = f"""
+    aggregate(
+      sequence(0, {N_PLANES - 1}),
+      CAST(0 AS BIGINT),
+      (acc, p) -> acc + CASE WHEN
+        aggregate(
+          zip_with({vcol}, sequence(0, size({vcol}) - 1),
+                   (x, d) -> x * sin(CAST(1 + p * 64 + d AS DOUBLE))),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0
+        THEN shiftleft(CAST(1 AS BIGINT), p) ELSE 0 END)
+    """
+    return F.expr(expr)
+
+
+@register("simsearch_lsh", oracle=None, tags=("simsearch", "extension", "lsh"))
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-random-projection buckets: queries join only
+    their own bucket (candidate set ∝ corpus/2^planes). Approximate —
+    recall vs simsearch_exact is bound-checked in tests/test_simsearch.py,
+    not oracle-hashed."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    emb = emb.withColumn("bucket", _lsh_bucket_expr("v"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket"))
+    cand = (
+        emb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id",
+                (_dot("v", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rn",
+                _trunc6(F.col("cos")).alias("cosine"))
+    )
+
+
+@register(
+    "embed_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_SQL_V} AS v,
+                      sqrt(list_dot_product({_SQL_V}, {_SQL_V})) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6
+             AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    """,
+    tags=("simsearch", "dedup", "extension"),
+)
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3 — calibrated to the
+    synthetic fixture's cosine distribution), blocked by `label` — the
+    blocking key stands in for an LSH bucket at scale."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("label").alias("lab"),
+                   F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("label").alias("lab2"),
+                   F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    pairs = (
+        a.join(b, (F.col("lab") == F.col("lab2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2",
+                (_dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cos"))
+    )
+    return (
+        pairs.filter(F.col("cos") >= 0.3)
+        .select("id1", "id2", _trunc6(F.col("cos")).alias("cosine"))
+    )

@@ -1,0 +1,100 @@
+"""Windowed event aggregation — batch-checkable twins of the streaming
+operators (SURVEY.md §2.4 #15).
+
+The Structured Streaming implementations live in
+``myhadoop_spark/streaming/windows.py``; these batch queries compute the
+identical result on the same table (Spark's ``window()``/``session_window``
+semantics are shared between batch and streaming), which is what the
+DuckDB oracle can check. tests/test_streaming.py additionally proves the
+streaming run (watermark, late data) converges to the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.functions.money import dsum, sql_dsum
+from myhadoop_spark.registry import register
+
+
+@register(
+    "stream_window",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: counts, distinct users,
+    exact value sum. Epoch-aligned bucketing matches DuckDB time_bucket."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "n_users", "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH offs AS (SELECT unnest([0, 15, 30, 45]) AS off_min),
+    w AS (SELECT time_bucket(INTERVAL '1 hour',
+                             CAST(ts AS TIMESTAMP) - to_minutes(off_min))
+                   + to_minutes(off_min) AS window_start,
+                 value
+          FROM events CROSS JOIN offs)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM w GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 15-minute slide): every event lands in
+    4 overlapping windows. The oracle reproduces Spark's window(ts, len,
+    slide) semantics via explicit offset replication."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "event_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("streaming", "json"),
+)
+def event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props blob (semi-structured path)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )

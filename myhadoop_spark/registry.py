@@ -1,0 +1,71 @@
+"""Named-query registry.
+
+This is the engine's analog of the reference's job router
+(/root/reference/app_route.py:4-6): a name → callable map, except the
+callables build Catalyst logical plans instead of shipping Python
+map/reduce closures to workers. Each entry optionally carries an ANSI-SQL
+oracle string (DuckDB-runnable) used by the driver's differential
+correctness gate (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB-runnable ANSI SQL; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def doc(self) -> str:
+        return (self.fn.__doc__ or "").strip()
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None,
+             tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    # importing the package registers every declared query
+    import myhadoop_spark.queries  # noqa: F401
+
+
+def get(name: str) -> Query:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {n: q.fn for n, q in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: q.oracle for n, q in sorted(_REGISTRY.items()) if q.oracle is not None}
+
+
+def names() -> list[str]:
+    _ensure_loaded()
+    return sorted(_REGISTRY)
