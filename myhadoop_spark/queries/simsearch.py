@@ -101,50 +101,75 @@ def simsearch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign-random-projection LSH (the scale path)
 # ---------------------------------------------------------------------------
 
-# deterministic pseudo-random hyperplanes: plane p, dim d weight =
-# sin(1 + p * 64 + d) — fixed closed form both engines evaluate identically
-N_PLANES = 8
+# multi-table sign-random-projection LSH: T tables × P planes. Single-table
+# sign-LSH has poor recall on high-dim random vectors (bucket match prob
+# (1-θ/π)^planes); the union over T independent tables restores it while
+# keeping per-table candidate sets small. Hyperplane weight for
+# (table t, plane p, dim d) = sin(1 + (t*P + p)*997 + d) — a fixed closed
+# form, no stored model, identical on every executor.
+N_TABLES = 8
+N_PLANES = 4
 
 
-def _lsh_bucket_expr(vcol: str) -> Column:
-    """bucket id = sum over planes of sign-bit << plane (closed-form
-    hyperplanes, no stored model)."""
+def _lsh_buckets_expr(vcol: str) -> Column:
+    """array of N_TABLES bucket ids for a vector column."""
     expr = f"""
-    aggregate(
-      sequence(0, {N_PLANES - 1}),
-      CAST(0 AS BIGINT),
-      (acc, p) -> acc + CASE WHEN
-        aggregate(
-          zip_with({vcol}, sequence(0, size({vcol}) - 1),
-                   (x, d) -> x * sin(CAST(1 + p * 64 + d AS DOUBLE))),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), p) ELSE 0 END)
+    transform(sequence(0, {N_TABLES - 1}), t ->
+      aggregate(
+        sequence(0, {N_PLANES - 1}),
+        CAST(0 AS BIGINT),
+        (acc, p) -> acc + CASE WHEN
+          aggregate(
+            zip_with({vcol}, sequence(0, size({vcol}) - 1),
+                     (x, d) -> x * sin(CAST(1 + (t * {N_PLANES} + p) * 997 + d
+                                            AS DOUBLE))),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0
+          THEN shiftleft(CAST(1 AS BIGINT), p) ELSE 0 END))
     """
     return F.expr(expr)
 
 
 @register("simsearch_lsh", oracle=None, tags=("simsearch", "extension", "lsh"))
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via sign-random-projection buckets: queries join only
-    their own bucket (candidate set ∝ corpus/2^planes). Approximate —
-    recall vs simsearch_exact is bound-checked in tests/test_simsearch.py,
-    not oracle-hashed."""
+    """ANN top-k via multi-table sign-random-projection LSH: a corpus
+    vector is a candidate for a query iff they share a bucket in ANY of
+    the 8 tables (4 planes each). Candidates are deduped before scoring,
+    so each pair's cosine is computed once. Approximate — recall vs
+    simsearch_exact is bound-checked in tests/test_approx.py.
+
+    Scale: the corpus is exploded to 8 (table, bucket) rows per vector —
+    a constant blow-up shuffled on (table, bucket); per-bucket candidate
+    lists stay ∝ corpus/2^planes per table. No cross join at any size."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v"))
     emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
-    emb = emb.withColumn("bucket", _lsh_bucket_expr("v"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket"))
-    cand = (
-        emb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    emb = emb.withColumn("buckets", _lsh_buckets_expr("v"))
+    tagged = emb.select(
+        "vec_id", "v", "nrm",
+        F.posexplode("buckets").alias("t", "bucket"))
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("t").alias("qt"),
+        F.col("bucket").alias("qbucket"))
+    cand_ids = (
+        tagged.select("vec_id", "t", "bucket")
+        .join(F.broadcast(q),
+              (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")))
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qvec = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    scored = (
+        cand_ids.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+        .join(F.broadcast(qvec), "q_id")
         .select("q_id", "vec_id",
                 (_dot("v", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rn",
                 _trunc6(F.col("cos")).alias("cosine"))

@@ -51,4 +51,9 @@ def get_spark(app_name: str = "myhadoop-spark", cpus: int | None = None,
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Python-path operators (RDD map/reduce API, pandas decode) need the
+    # package importable on executor workers regardless of driver cwd
+    from myhadoop_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     return spark

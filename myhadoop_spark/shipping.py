@@ -1,0 +1,40 @@
+"""Ship the myhadoop_spark package to Spark Python workers.
+
+The DataFrame-path queries are pure JVM and need nothing. But the
+Python-path operators (the MapReduce-compat RDD API, mapInPandas media
+decode) pickle module-level functions/classes by reference, so executor
+Python workers must be able to ``import myhadoop_spark``. Locally that
+works only when the driver's cwd happens to be the repo root; on a real
+cluster it never works by accident. ``ensure_shipped`` zips the package
+once per session and registers it via ``sparkContext.addPyFile`` — the
+standard mechanism for distributing Python deps to executors.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+from tempfile import gettempdir
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = Path(__file__).resolve().parent
+_SENTINEL = "_myhadoop_spark_shipped"
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, _SENTINEL, False):
+        return
+    zip_path = Path(gettempdir()) / "myhadoop_spark_pkg.zip"
+    # rebuild if missing or stale vs any source file
+    srcs = sorted(_PKG_ROOT.rglob("*.py"))
+    newest = max(p.stat().st_mtime for p in srcs)
+    if not zip_path.exists() or zip_path.stat().st_mtime < newest:
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in srcs:
+                zf.write(p, f"myhadoop_spark/{p.relative_to(_PKG_ROOT)}")
+        tmp.replace(zip_path)
+    sc.addPyFile(str(zip_path))
+    setattr(sc, _SENTINEL, True)

@@ -1,0 +1,100 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (one job at a time,
+/root/reference/namenode.py:375); streaming is the engine extension
+mandated by SURVEY.md §1.5/§2.4 #15. Batch-checkable twins of these live
+in queries/streaming_batch.py — Spark's window()/session_window semantics
+are shared between the two engines' modes, which is what lets the DuckDB
+oracle validate the streaming logic.
+
+At scale: the parquet file source here stands in for Kafka; watermark
+bounds state, and the windowed aggregation state is partitioned by
+(window, event_type) — the same shuffle key as the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from myhadoop_spark.catalog import tune
+from myhadoop_spark.functions.money import dec
+
+# events schema with ts already converted from raw nanos (catalog.load
+# handles batch; the streaming source needs the raw schema)
+RAW_EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream: each parquet file in source_dir is a
+    micro-batch (maxFilesPerTrigger=1 replays files one at a time, which
+    is what exercises watermark advancement across batches)."""
+    tune(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event type with watermark-bounded
+    state. Streaming twin of queries/streaming_batch.stream_window minus
+    exact countDistinct (unsupported in streaming aggs — the streaming
+    surface uses approx_count_distinct instead)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "n_events", "sum_value", "approx_users")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "10 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based), watermark-bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming face of the dedup_exact operator."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory(df: DataFrame, table: str,
+                  output_mode: str = "complete") -> StreamingQuery:
+    """Drive a streaming aggregation to a memory sink synchronously
+    (test/smoke harness; production would use kafka/parquet sinks)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(table)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,32 @@
+"""Bound checks for approximate operators (SURVEY.md §5.1: approx ops are
+bound-checked against exact computation, not hash-matched)."""
+
+from __future__ import annotations
+
+from myhadoop_spark import registry
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_approx_distinct_within_5pct(spark):
+    approx = {r["o_orderstatus"]: r["approx_cust"]
+              for r in registry.get("approx_distinct").fn(spark, SF_ORACLE).collect()}
+    exact = {r["o_orderstatus"]: r["n_cust"]
+             for r in registry.get("distinct_agg").fn(spark, SF_ORACLE).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= 0.05 * e, (k, approx[k], e)
+
+
+def test_lsh_recall_vs_exact(spark):
+    """simsearch_lsh must recover a reasonable fraction of the true
+    top-5 neighbors (random 64-dim embeddings are a worst case for
+    sign-LSH; the bound is deliberately loose but non-vacuous)."""
+    exact = registry.get("simsearch_exact").fn(spark, SF_SMOKE).collect()
+    lsh = registry.get("simsearch_lsh").fn(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["q_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # every LSH hit must be a real vector pair with a sane cosine
+    for r in lsh:
+        assert -1.0 <= r["cosine"] <= 1.0

@@ -1,0 +1,39 @@
+"""Semantic invariants for the dedup tier beyond oracle equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myhadoop_spark import registry
+from myhadoop_spark.catalog import load
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_exact_restores_original(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    deduped = registry.get("dedup_exact").fn(spark, SF_SMOKE)
+    assert deduped.count() == docs.count()
+    assert sorted(deduped.columns) == sorted(docs.columns)
+
+
+def test_dedup_content_covers_all_docs(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    out = registry.get("dedup_content").fn(spark, SF_SMOKE)
+    # doubled input → every content group has an even copy count ≥ 2
+    assert out.filter((F.col("n_copies") % 2 != 0) | (F.col("n_copies") < 2)).count() == 0
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == 2 * docs.count()
+
+
+def test_minhash_pairs_are_true_near_dups(spark):
+    """Every emitted pair must genuinely meet the Jaccard threshold
+    (the verify stage guarantees no LSH false positives survive)."""
+    pairs = registry.get("dedup_minhash").fn(spark, SF_SMOKE)
+    assert pairs.filter(F.col("jaccard") < 0.5).count() == 0
+    # and pairs are canonical (doc1 < doc2), no self-pairs
+    assert pairs.filter(F.col("doc1") >= F.col("doc2")).count() == 0
+
+
+def test_simhash_is_32bit(spark):
+    out = registry.get("simhash").fn(spark, SF_SMOKE)
+    bad = out.filter((F.col("simhash") < 0) | (F.col("simhash") > (1 << 32) - 1))
+    assert bad.count() == 0
