@@ -8,6 +8,7 @@ with its DuckDB oracle SQL so the two stay in lock-step.
 from myhadoop_spark.queries import (  # noqa: F401
     dedup,
     relational,
+    relational2,
     simsearch,
     streaming_batch,
     text,

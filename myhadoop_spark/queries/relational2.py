@@ -1,0 +1,291 @@
+"""Second relational wave: cube, pivot, grouping sets, correlated
+subquery, as-of join, Pandas-UDF scoring, TPC-H classic shapes —
+completing the SURVEY.md §2.2 engine-surface checklist.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.functions.money import (
+    SQL_REVENUE_TERM,
+    dsum,
+    revenue_term,
+    sql_dsum,
+    sql_dsum_raw,
+)
+from myhadoop_spark.operators.asof import asof_join
+from myhadoop_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# cube (full grouping-set lattice; complements rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "cube"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregate",),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status), (priority), (grand total)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS
+                DECIMAL(18,2)) END) AS DOUBLE) AS price_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS
+                DECIMAL(18,2)) END) AS DOUBLE) AS price_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS
+                DECIMAL(18,2)) END) AS DOUBLE) AS price_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("pivot", "aggregate"),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per market segment (explicit value
+    list — required at scale so Spark needn't pre-scan for values)."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus",
+                                                  "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wide = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.col("F").alias("price_F"),
+        F.col("O").alias("price_O"),
+        F.col("P").alias("price_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("subquery",),
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders more than 2× their customer's average order value
+    (correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join, which is exactly the scalable plan)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (custom operator; oracle = DuckDB native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST(v.ts AS TIMESTAMP) AS asof_view_ts,
+           v.value AS asof_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    """,
+    tags=("asof", "join", "extension"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent prior view by the same user —
+    an as-of join, composed as union + one window pass
+    (operators/asof.py) instead of per-group pandas merge_asof."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value"))
+    out = asof_join(purchases, views.withColumnRenamed("view_ts", "ts"),
+                    on="user_id", time_col="ts",
+                    value_cols=["ts", "view_value"], strict=True)
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("asof_ts").cast("timestamp_ntz").alias("asof_view_ts"),
+        F.col("asof_view_value").alias("asof_view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF scoring (the sanctioned Python path, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def _affinity_score(price: pd.Series, balance: pd.Series) -> pd.Series:
+    """Vectorized score = (price/100k) * (1 + |balance|/10k) - price/1e6.
+    Deliberately arithmetic-only float64 (no transcendentals, whose libm
+    implementations differ across engines in the last ulp) so the SQL
+    oracle reproduces it bit-for-bit."""
+    p = price / 100_000.0
+    return p * (1.0 + balance.abs() / 10_000.0) - price / 1_000_000.0
+
+
+@register(
+    "pandas_udf_score",
+    oracle="""
+    SELECT o_orderkey,
+           (o_totalprice / 100000.0) * (1.0 + abs(c_acctbal) / 10000.0)
+             - o_totalprice / 1000000.0 AS score
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("udf", "extension"),
+)
+def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF over a join — the engine's generalization
+    of the reference's arbitrary-Python map surface
+    (/root/reference/app.py:10-11) in its vectorized (scalable) form."""
+    from myhadoop_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                  "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey",
+                _affinity_score("o_totalprice", "c_acctbal").alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (Q3 / Q6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum_raw(SQL_REVENUE_TERM, 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("aggregate", "filter"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + global aggregate (no groupBy —
+    partial aggregation collapses to a single row exchange)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue_term()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum_raw(SQL_REVENUE_TERM, 'revenue')},
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "aggregate", "limit"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: shipping-priority top-10 (3-way join, filter on
+    both fact tables, TakeOrdered final)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue_term()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
