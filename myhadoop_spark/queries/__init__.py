@@ -9,6 +9,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dedup,
     relational,
     relational2,
+    relational3,
     simsearch,
     streaming_batch,
     text,

@@ -45,6 +45,21 @@ def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_sort(F.array_distinct(toks)).alias("toks"))
 
 
+def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → sorted distinct md5-derived 32-bit token hashes. The
+    Jaccard verify runs over these int sets instead of string arrays:
+    the 6M-pair verify join shuffles ~5× fewer bytes and intersects
+    primitive ints. Hash collisions are deterministic and mirrored in
+    the oracle, so results stay engine-identical."""
+    sets = _token_sets(spark, sf_dir)
+    return sets.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.transform(
+            "toks",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ))).alias("toks"))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup — SURVEY.md §2.4 #14
 # ---------------------------------------------------------------------------
@@ -135,13 +150,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM bsig x JOIN bsig y
                ON x.band = y.band AND x.band_sig = y.band_sig
               AND x.doc_id < y.doc_id),
-    ds AS (SELECT doc_id, list_sort(list_distinct(toks)) AS s FROM sets),
+    ds AS (SELECT doc_id, list_sort(list_distinct(list(th))) AS s
+           FROM th GROUP BY doc_id),
     j AS (SELECT doc1, doc2,
-                 CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE)
-                   AS jaccard
+                 CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) AS inter,
+                 CAST(len(s1.s) + len(s2.s) AS DOUBLE) AS tot
           FROM cand JOIN ds s1 ON doc1 = s1.doc_id JOIN ds s2 ON doc2 = s2.doc_id)
-    SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= {JACCARD_THRESHOLD}
+    SELECT doc1, doc2, inter / (tot - inter) AS jaccard
+    FROM j WHERE inter / (tot - inter) >= {JACCARD_THRESHOLD}
     """,
     tags=("dedup", "extension", "lsh"),
 )
@@ -159,16 +175,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
         .distinct()
     )
-    sets = _token_sets(spark, sf_dir)
+    sets = _hashed_token_sets(spark, sf_dir)
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("s1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    tot = (F.size("s1") + F.size("s2")).cast("double")
     jac = (
         cand.join(s1, "doc1").join(s2, "doc2")
-        .select(
-            "doc1", "doc2",
-            (F.size(F.array_intersect("s1", "s2")).cast("double")
-             / F.size(F.array_union("s1", "s2")).cast("double")).alias("jaccard"),
-        )
+        .select("doc1", "doc2", (inter / (tot - inter)).alias("jaccard"))
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 

@@ -1,0 +1,52 @@
+"""File-format surface (SURVEY.md §2.2 row 1): parquet/csv/json/orc
+round-trips preserve the data the engine computes on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def nation_df(spark):
+    return load(spark, SF_SMOKE, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, nation_df, fmt, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp(f"fmt_{fmt}")) + "/data"
+    writer = nation_df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(out)
+        back = (spark.read.option("header", True)
+                .schema(nation_df.schema).csv(out))
+    else:
+        getattr(writer, fmt)(out)
+        if fmt == "json":
+            back = spark.read.schema(nation_df.schema).json(out)
+        else:
+            back = getattr(spark.read, fmt)(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation_df.collect()))
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path_factory):
+    """Hive-style partitioned sink (the scalable layout: partition column
+    becomes directory structure, later scans prune by it)."""
+    out = str(tmp_path_factory.mktemp("part_sink")) + "/orders"
+    orders = load(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate"))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    one_year = back.filter(F.col("o_year") == 1996)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_year.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "o_year" in plan
+    expected = orders.filter(F.col("o_year") == 1996).count()
+    assert one_year.count() == expected
