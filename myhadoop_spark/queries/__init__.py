@@ -10,6 +10,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     simsearch,
     streaming_batch,
     text,
