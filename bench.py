@@ -48,6 +48,16 @@ def main() -> None:
         times[name] = round(run_query(spark, fn, sf_dir), 4)
 
     total = round(sum(times.values()), 4)
+
+    # TSV record mirroring the reference's export shape
+    # (/root/reference/export_record.py:8-56: one row per run with config
+    # columns then per-phase times) — here one row per query.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    with open("bench_records.tsv", "w") as f:
+        f.write("engine\tcpus\tsf\tquery\twall_s\n")
+        for name, t in times.items():
+            f.write(f"myhadoop_spark\t{cpus}\t{sf}\t{name}\t{t}\n")
+
     print(json.dumps({
         "metric": "declared_query_set_wall",
         "value": total,

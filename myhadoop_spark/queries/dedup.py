@@ -251,7 +251,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
                  CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
-          FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+          FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           AND CAST(least(len(a.grams), len(b.grams)) AS DOUBLE)
+               / CAST(greatest(len(a.grams), len(b.grams)) AS DOUBLE) >= 0.75)
     SELECT doc1, doc2, inter / (tot - inter) AS jaccard
     FROM p WHERE inter / (tot - inter) >= 0.75
     """,
@@ -262,10 +264,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparison is per-block (the blocking key stands in for an
     LSH prefilter at real scale — never an unblocked O(n²)).
 
-    Perf: grams are packed into ints (ascii*65536+ascii*256+ascii — an
-    engine-portable encoding) so the pair shuffle moves int arrays, and
-    |A∪B| is derived as |A|+|B|−|A∩B| instead of materializing the union:
-    ~2× over the string-array formulation at sf0.1."""
+    Perf (three layers, all semantics-preserving):
+      * grams packed into ints (ascii*65536+ascii*256+ascii, portable)
+        so arrays are primitive and small;
+      * size-ratio prefilter: jaccard ≥ τ ⟹ min(|A|,|B|)/max ≥ τ, so
+        candidate pairs are pruned on two tiny ints BEFORE any gram
+        array is joined or shuffled;
+      * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
+    The blocked pair join itself moves only (doc_id, size) columns."""
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     grams = docs.select(
         "doc_id", "source",
@@ -276,15 +282,25 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + ascii(substring(text, i + 2, 1)))"
         ))).alias("grams"),
     )
-    a = grams.select(F.col("doc_id").alias("doc1"), "source",
-                     F.col("grams").alias("g1"))
-    b = grams.select(F.col("doc_id").alias("doc2"),
-                     F.col("source").alias("source2"), F.col("grams").alias("g2"))
+    sizes = grams.select("doc_id", "source", F.size("grams").alias("n"))
+    a = sizes.select(F.col("doc_id").alias("doc1"), "source",
+                     F.col("n").alias("n1"))
+    b = sizes.select(F.col("doc_id").alias("doc2"),
+                     F.col("source").alias("source2"), F.col("n").alias("n2"))
+    ratio = (F.least("n1", "n2").cast("double")
+             / F.greatest("n1", "n2").cast("double"))
+    cand = (
+        a.join(b, (F.col("source") == F.col("source2"))
+               & (F.col("doc1") < F.col("doc2")))
+        .filter(ratio >= 0.75)
+        .select("doc1", "doc2")
+    )
+    g1 = grams.select(F.col("doc_id").alias("doc1"), F.col("grams").alias("g1"))
+    g2 = grams.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     tot = (F.size("g1") + F.size("g2")).cast("double")
     pairs = (
-        a.join(b, (F.col("source") == F.col("source2"))
-               & (F.col("doc1") < F.col("doc2")))
+        cand.join(g1, "doc1").join(g2, "doc2")
         .select("doc1", "doc2", (inter / (tot - inter)).alias("jaccard"))
     )
     return pairs.filter(F.col("jaccard") >= 0.75)
