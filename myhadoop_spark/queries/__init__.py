@@ -12,8 +12,10 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     simsearch,
     streaming_batch,
     text,
+    udtf_demo,
     wordcount,
 )
