@@ -8,6 +8,7 @@ with its DuckDB oracle SQL so the two stay in lock-step.
 from myhadoop_spark.queries import (  # noqa: F401
     dedup,
     higher_order,
+    pipeline,
     relational,
     relational2,
     relational3,
@@ -15,6 +16,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational5,
     simsearch,
     streaming_batch,
+    string_fns,
     text,
     udtf_demo,
     wordcount,

@@ -213,24 +213,38 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: each distinct token votes ±1 on every
     bit of its md5-derived hash; bit j of the fingerprint is 1 iff the
-    vote is positive. Narrow + two keyed aggregations — scales linearly."""
-    sets = _token_sets(spark, sf_dir)
-    toks = sets.select("doc_id", F.explode("toks").alias("tok"))
-    toks = toks.withColumn(
-        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
-    bits = spark.range(32).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "j")
-        .agg(F.sum(
-            F.when(F.expr("(th >> j) & 1") == 1, 1).otherwise(-1)).alias("vote"))
+    vote is positive.
+
+    Perf: computed entirely inside one narrow projection — a
+    higher-order fold builds the 32-slot vote vector per document
+    (aggregate over token hashes × zip_with over bit slots), then a
+    second fold packs the sign bits. No explode, no shuffle at all;
+    the operator is embarrassingly parallel at any scale."""
+    sets = _hashed_token_sets(spark, sf_dir)
+
+    def pow2(j):  # 2^j as exact long (j ≤ 31, well under double precision)
+        return F.pow(F.lit(2.0), j.cast("double")).cast("long")
+
+    # (shiftright/shiftleft take literal shift counts; inside a lambda the
+    # bit index is a Column, so bits are extracted arithmetically)
+    votes = F.aggregate(
+        F.col("toks"),
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, th: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda a, j: a + F.when((th / pow2(j)).cast("long") % 2 == 1,
+                                    F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0,
-                   F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
-        ).alias("simhash")
+    packed = F.aggregate(
+        F.zip_with(votes, F.sequence(F.lit(0), F.lit(31)),
+                   lambda v, j: F.when(v > 0, pow2(j))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    return sets.select("doc_id", packed.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
