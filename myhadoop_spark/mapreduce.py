@@ -53,11 +53,15 @@ class MapReduceJob:
     map_fn: MapFn
     reduce_fn: ReduceFn
 
+    output_schema: str = "key STRING, value LONG"
+
     def run_on_lines(self, lines_df: DataFrame, column: str = "value") -> DataFrame:
-        """Execute over a DataFrame of text lines; returns DataFrame
-        [key string, value string] (stringified values — the reference's
-        output is stringified tuples, /root/reference/utilities.py:164-167;
-        we keep values typed until the final projection)."""
+        """Execute over a DataFrame of text lines; returns a DataFrame of
+        ``output_schema`` (default key/count — the WordCount shape; the
+        reference stringifies outputs, /root/reference/utilities.py:164-167,
+        which we deliberately do not reproduce). The explicit schema also
+        makes the all-input-filtered-out case well-defined (an empty
+        input must yield an empty result, not a schema-inference error)."""
         from myhadoop_spark.shipping import ensure_shipped
 
         ensure_shipped(lines_df.sparkSession)
@@ -72,7 +76,7 @@ class MapReduceJob:
             .reduceByKey(lambda r1, r2: reduce_fn(r1, r2))
             .map(lambda kv: (kv[1][0], kv[1][1]))
         )
-        return rdd.toDF(["key", "value"])
+        return lines_df.sparkSession.createDataFrame(rdd, self.output_schema)
 
     def run_on_text_dir(self, spark: SparkSession, path: str) -> DataFrame:
         """Execute over a directory of plain text files — the reference's
