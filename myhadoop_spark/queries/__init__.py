@@ -14,6 +14,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    sampling,
     simsearch,
     streaming_batch,
     string_fns,

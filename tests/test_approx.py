@@ -17,6 +17,26 @@ def test_approx_distinct_within_5pct(spark):
         assert abs(approx[k] - e) <= 0.05 * e, (k, approx[k], e)
 
 
+def test_percentile_approx_within_bounds(spark):
+    """approx median within 5% of the exact double-row_number median."""
+    from pyspark.sql import functions as F
+
+    from myhadoop_spark.catalog import load
+
+    orders = load(spark, SF_ORACLE, "orders")
+    approx = {
+        r["o_orderpriority"]: r["m"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("m"))
+        .collect()
+    }
+    exact = {r["o_orderpriority"]: r["median_price"]
+             for r in registry.get("median_price").fn(spark, SF_ORACLE).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= 0.05 * e, (k, approx[k], e)
+
+
 def test_lsh_recall_vs_exact(spark):
     """simsearch_lsh must recover a reasonable fraction of the true
     top-5 neighbors (random 64-dim embeddings are a worst case for
