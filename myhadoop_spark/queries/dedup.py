@@ -109,27 +109,42 @@ def dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, band, band_sig — LSH band signatures from 16 minhashes."""
-    sets = _token_sets(spark, sf_dir)
-    toks = sets.select("doc_id", F.explode("toks").alias("tok"))
-    # 32-bit deterministic token hash shared with the oracle: first 8 hex
-    # chars of md5 (engine-portable, unlike xxhash64/murmur)
-    toks = toks.withColumn(
-        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
-    fam = spark.createDataFrame(MINHASH_FAM, "i INT, a LONG, b LONG")
-    sig = (
-        toks.crossJoin(F.broadcast(fam))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("th") + F.col("b")) % MINHASH_P).alias("mh"))
+    """doc_id, band, band_sig — LSH band signatures from 16 minhashes.
+
+    Computed as a zero-shuffle narrow fold (same discipline as simhash):
+    per document, one higher-order expression evaluates all 16 affine
+    minhashes over the hashed token set and packs them into 4 band
+    signatures; posexplode emits the 4 (band, sig) rows. No token
+    explode, no hash-family join, no groupBy — the first shuffle in the
+    whole dedup pipeline is the band-bucket candidate join itself.
+
+    Token-less documents are excluded (mirrors the oracle, where a doc
+    with no tokens contributes no hash rows)."""
+    sets = _hashed_token_sets(spark, sf_dir).filter(F.size("toks") > 0)
+    fam_a = F.array(*[F.lit(a).cast("long") for _, a, _ in MINHASH_FAM])
+    fam_b = F.array(*[F.lit(b).cast("long") for _, _, b in MINHASH_FAM])
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(MINHASH_FAM) - 1)),
+        lambda i: F.aggregate(
+            F.col("toks"),
+            F.lit(MINHASH_P).cast("long"),
+            lambda acc, th: F.least(
+                acc,
+                (F.element_at(fam_a, i + 1) * th + F.element_at(fam_b, i + 1))
+                % MINHASH_P),
+        ),
     )
-    return (
-        sig.withColumn("band", (F.col("i") / MINHASH_BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda s: s["mh"].cast("string")),
-            ",").alias("band_sig"))
+    n_bands = len(MINHASH_FAM) // MINHASH_BAND_ROWS
+    band_sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.array_join(
+            F.transform(
+                F.slice(sigs, b * MINHASH_BAND_ROWS + 1, MINHASH_BAND_ROWS),
+                lambda v: v.cast("string")),
+            ","),
     )
+    return sets.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
 
 
 @register(
