@@ -1,0 +1,63 @@
+"""Connected components via iterative min-label propagation.
+
+The missing last step of near-duplicate deduplication: LSH + verify
+emits PAIRS; keep-one-per-group needs the transitive closure — cluster
+ids. Spark has no built-in CC (GraphFrames isn't in the image), so this
+is the classic iterative DataFrame algorithm:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint. Each round is one join + one aggregation (both
+shuffle on the node id); convergence takes O(diameter) rounds — near-dup
+graphs are dense clusters with tiny diameters, so typically 2-4 rounds.
+Lineage is cut every round (localCheckpoint) so the plan doesn't grow
+exponentially — the standard discipline for iterative DataFrame jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iterations: int = 20) -> DataFrame:
+    """[src, dst] edge list → [id, component] where component is the
+    smallest node id reachable from `id`. Nodes only appear if they
+    occur in some edge (callers union isolated nodes as self-edges if
+    they want them represented)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_component"), F.col("component"))
+                 < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -6,6 +6,7 @@ with its DuckDB oracle SQL so the two stay in lock-step.
 """
 
 from myhadoop_spark.queries import (  # noqa: F401
+    clusters,
     dedup,
     higher_order,
     pipeline,

@@ -1,0 +1,54 @@
+"""Connected components on crafted graphs + the dedup-cluster contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myhadoop_spark import registry
+from myhadoop_spark.operators.connected_components import connected_components
+from tests.conftest import SF_SMOKE
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return {r["id"]: r["component"]
+            for r in connected_components(df).collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-3-4 chain: diameter 4, everything labels to 0
+    got = _cc(spark, [(i, i + 1) for i in range(4)])
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22)])
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_and_cycle(spark):
+    edges = [(5, i) for i in (6, 7, 8)] + [(100, 101), (101, 102), (102, 100)]
+    got = _cc(spark, edges)
+    assert {got[5], got[6], got[7], got[8]} == {5}
+    assert {got[100], got[101], got[102]} == {100}
+
+
+def test_self_edge_isolated_node(spark):
+    got = _cc(spark, [(9, 9)])
+    assert got == {9: 9}
+
+
+def test_dedup_clusters_query(spark):
+    """Cluster assignment must be consistent with the near-dup pairs:
+    endpoints of every pair share a component, and the representative is
+    the cluster minimum."""
+    pairs = registry.get("embed_neardup").fn(spark, SF_SMOKE).collect()
+    clusters = {r["id"]: r["component"]
+                for r in registry.get("dedup_clusters").fn(spark, SF_SMOKE).collect()}
+    assert clusters, "no clusters produced"
+    for p in pairs:
+        assert clusters[p["id1"]] == clusters[p["id2"]], p
+    for vid, comp in clusters.items():
+        assert comp <= vid
+        assert clusters[comp] == comp  # representative labels itself
