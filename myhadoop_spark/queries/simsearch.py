@@ -176,6 +176,25 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("simsearch_ivf", oracle=None, tags=("simsearch", "extension", "ivf"))
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF index (operators/ivf.py): 16 sampled-k-means
+    centroids partition the corpus; each query scores only its 4 nearest
+    buckets (~25% of the corpus at any scale). Deterministic training →
+    reproducible results; recall vs simsearch_exact is bound-checked in
+    tests/test_approx.py."""
+    from myhadoop_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    cents = train_centroids(emb, k=16, iterations=5)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    return ivf_topk(emb, q, cents, top_k=TOP_K)
+
+
 @register(
     "embed_neardup",
     oracle=f"""

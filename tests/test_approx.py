@@ -37,6 +37,21 @@ def test_percentile_approx_within_bounds(spark):
         assert abs(approx[k] - e) <= 0.05 * e, (k, approx[k], e)
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 4/16 probed buckets must beat blind 25% sampling by a
+    wide margin (centroids concentrate true neighbors)."""
+    exact = registry.get("simsearch_exact").fn(spark, SF_SMOKE).collect()
+    ivf = registry.get("simsearch_ivf").fn(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["q_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    # determinism: second run identical (sampled training is reproducible)
+    again = {(r["q_id"], r["neighbor_id"])
+             for r in registry.get("simsearch_ivf").fn(spark, SF_SMOKE).collect()}
+    assert got == again
+
+
 def test_lsh_recall_vs_exact(spark):
     """simsearch_lsh must recover a reasonable fraction of the true
     top-5 neighbors (random 64-dim embeddings are a worst case for
