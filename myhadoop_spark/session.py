@@ -47,7 +47,10 @@ def get_spark(app_name: str = "myhadoop-spark", cpus: int | None = None,
         # reader rejects; read ns as long and convert in catalog.load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for tests; bench turns it on to scrape shuffle metrics
+        # from the REST API
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
