@@ -7,6 +7,7 @@ with its DuckDB oracle SQL so the two stay in lock-step.
 
 from myhadoop_spark.queries import (  # noqa: F401
     clusters,
+    corpus_stats,
     dedup,
     higher_order,
     pipeline,
