@@ -16,6 +16,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     sampling,
     simsearch,
     streaming_batch,

@@ -58,3 +58,90 @@ def near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
         .withWatermark(ts_col, watermark)
         .dropDuplicates(["minhash_sig"])
     )
+
+
+# ---------------------------------------------------------------------------
+# banded (OR-of-bands) streaming near-dedup — higher recall than full-
+# signature equality: a doc is a near-dup if ANY of its 4 band signatures
+# was seen before (the same OR-matching the batch LSH uses).
+# ---------------------------------------------------------------------------
+
+BAND_ROWS = 4  # bands of 4 minhashes each, matching dedup.py
+
+
+def band_keys_col(text_col: str = "text") -> Column:
+    """Array of 4 band keys ('band_index:sig') for a text column."""
+    sig = minhash_signature_col(text_col)  # "m0,m1,...,m15"
+    parts = F.split(sig, ",")
+    n_bands = len(MINHASH_FAM) // BAND_ROWS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"), F.lit(":"),
+            F.array_join(F.slice(parts, b * BAND_ROWS + 1, BAND_ROWS), ",")),
+    )
+
+
+def _band_registry(key, pdfs, state):
+    """applyInPandasWithState fn keyed by band_key: the first document to
+    present a band signature owns it; later presenters are flagged."""
+    import pandas as pd
+
+    owner = state.get[0] if state.exists else None
+    out = []
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+    for _, r in rows.iterrows():
+        if owner is None:
+            owner = int(r["doc_id"])
+        out.append({"doc_id": int(r["doc_id"]),
+                    "band_key": key[0],
+                    "owner_doc": owner})
+    state.update((owner,))
+    return iter([pd.DataFrame(out)])
+
+
+def banded_near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
+                             text_col: str = "text") -> DataFrame:
+    """Per-(doc, band) ownership stream: explode each document into its
+    4 band keys and run a stateful registry per band key. Emits one row
+    per (doc_id, band_key) with the owning doc (the first presenter).
+    A document is a near-duplicate iff any of its rows has
+    owner_doc != doc_id — that reduction happens per micro-batch in the
+    consumer (e.g. foreachBatch; all 4 rows of a doc share a batch), so
+    only one stateful operator is needed."""
+    from pyspark.sql import types as T
+
+    from myhadoop_spark.shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    exploded = docs.select(
+        "doc_id", ts_col,
+        F.explode(band_keys_col(text_col)).alias("band_key"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_key", T.StringType()),
+        T.StructField("owner_doc", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("owner", T.LongType())])
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return exploded.groupBy("band_key").applyInPandasWithState(
+        _band_registry,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def band_decisions(batch_df: DataFrame) -> DataFrame:
+    """Reduce a micro-batch of band-registry rows to per-doc decisions:
+    is_near_dup ⇔ any band owned by an earlier doc."""
+    return (
+        batch_df.groupBy("doc_id")
+        .agg(F.max((F.col("owner_doc") != F.col("doc_id")).cast("int"))
+             .alias("dup"),
+             F.min("owner_doc").alias("matched_doc"))
+        .select("doc_id", (F.col("dup") == 1).alias("is_near_dup"),
+                "matched_doc")
+    )
