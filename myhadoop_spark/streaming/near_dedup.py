@@ -82,39 +82,74 @@ def band_keys_col(text_col: str = "text") -> Column:
     )
 
 
-def _band_registry(key, pdfs, state):
-    """applyInPandasWithState fn keyed by band_key: the first document to
-    present a band signature owns it; later presenters are flagged."""
-    import pandas as pd
+BAND_TTL_MS = 6 * 3600 * 1000  # band ownership expires 6h of event time
+# after the owner's last sighting (bounds registry state on unbounded
+# streams; replays beyond the horizon are treated as fresh documents)
 
-    owner = state.get[0] if state.exists else None
-    out = []
-    rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
-    for _, r in rows.iterrows():
-        if owner is None:
-            owner = int(r["doc_id"])
-        out.append({"doc_id": int(r["doc_id"]),
-                    "band_key": key[0],
-                    "owner_doc": owner})
-    state.update((owner,))
-    return iter([pd.DataFrame(out)])
+
+def _make_band_registry(use_ttl: bool):
+    """Factory for the applyInPandasWithState fn keyed by band_key: the
+    first document to present a band signature owns it; later presenters
+    are flagged. With use_ttl (EventTimeTimeout configured), expired
+    owners are evicted and the next presenter becomes the new owner.
+    (Timeout APIs throw under NoTimeout, hence the closure flag.)"""
+
+    def _band_registry(key, pdfs, state):
+        import pandas as pd
+
+        if use_ttl and state.hasTimedOut:
+            # idle expiry: no data for this band since the timeout passed
+            state.remove()
+            return iter([pd.DataFrame({"doc_id": [], "band_key": [],
+                                       "owner_doc": []})])
+        owner, last_seen = (state.get if state.exists else (None, 0))
+        if use_ttl and owner is not None:
+            # inline expiry: hasTimedOut never fires for groups that
+            # receive data in the expiring batch, so ownership must also
+            # lapse here once the watermark passes last_seen + TTL
+            if state.getCurrentWatermarkMs() > last_seen + BAND_TTL_MS:
+                owner = None
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        max_ts_ms = last_seen
+        for _, r in rows.iterrows():
+            if owner is None:
+                owner = int(r["doc_id"])
+            out.append({"doc_id": int(r["doc_id"]),
+                        "band_key": key[0],
+                        "owner_doc": owner})
+            max_ts_ms = max(max_ts_ms, int(r["ts"].timestamp() * 1000))
+        state.update((owner, max_ts_ms))
+        if use_ttl:
+            state.setTimeoutTimestamp(max_ts_ms + BAND_TTL_MS)
+        return iter([pd.DataFrame(out)])
+
+    return _band_registry
 
 
 def banded_near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             watermark: str | None = None) -> DataFrame:
     """Per-(doc, band) ownership stream: explode each document into its
     4 band keys and run a stateful registry per band key. Emits one row
     per (doc_id, band_key) with the owning doc (the first presenter).
     A document is a near-duplicate iff any of its rows has
     owner_doc != doc_id — that reduction happens per micro-batch in the
     consumer (e.g. foreachBatch; all 4 rows of a doc share a batch), so
-    only one stateful operator is needed."""
+    only one stateful operator is needed.
+
+    Pass ``watermark`` (e.g. "1 hour") to bound state: band ownership
+    then expires BAND_TTL_MS after the owner's last sighting once the
+    watermark passes it — the unbounded-stream configuration."""
     from pyspark.sql import types as T
 
     from myhadoop_spark.shipping import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
-    exploded = docs.select(
+    src = docs
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    exploded = src.select(
         "doc_id", ts_col,
         F.explode(band_keys_col(text_col)).alias("band_key"))
     out_schema = T.StructType([
@@ -122,15 +157,21 @@ def banded_near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
         T.StructField("band_key", T.StringType()),
         T.StructField("owner_doc", T.LongType()),
     ])
-    state_schema = T.StructType([T.StructField("owner", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("owner", T.LongType()),
+        T.StructField("last_seen_ms", T.LongType()),
+    ])
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    use_ttl = watermark is not None
+    timeout = (GroupStateTimeout.EventTimeTimeout if use_ttl
+               else GroupStateTimeout.NoTimeout)
     return exploded.groupBy("band_key").applyInPandasWithState(
-        _band_registry,
+        _make_band_registry(use_ttl),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -96,3 +96,62 @@ def test_banded_stream_flags_cross_batch_band_matches(spark, replay):
     assert got[12] == expected[12]  # superset: whatever the bands say
     # and the flagged replay points at its batch-1 owner
     assert decisions[10][1] == 1
+
+
+def test_band_state_expires_after_ttl(spark, tmp_path_factory):
+    """With a watermark, a replay arriving after the TTL horizon is NOT
+    flagged — the band registry evicted the expired owner."""
+    src = tmp_path_factory.mktemp("ttl_src")
+    now = time.time()
+    text = "expiring text alpha beta gamma"
+    # batch 1 at t=0h, batch 2 a week later (advances watermark far past
+    # the 6h TTL), batch 3 replays the batch-1 text
+    _write_batch(spark, [(1, text)], src / "000.parquet", "00", now)
+    _write_batch(spark, [(2, "unrelated filler words")],
+                 src / "001.parquet", "08", now + 10)
+    # craft batch 2 with a much later day to push the watermark
+    from pyspark.sql import functions as FF
+    df = spark.createDataFrame(
+        [(2, "unrelated filler words", "2024-01-20 00:00:00")],
+        "doc_id LONG, text STRING, s STRING",
+    ).select("doc_id", "text", FF.col("s").cast("timestamp").alias("ts"))
+    staging = Path(str(src / "001.parquet") + "_late")
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    shutil.copy(next(staging.glob("part-*.parquet")), src / "001.parquet")
+    os.utime(src / "001.parquet", (now + 10, now + 10))
+    _write_batch(spark, [(3, text)], src / "002.parquet", "02", now + 20)
+    # batch 3's ts (2024-01-01) is behind the watermark (2024-01-20 - 1h),
+    # so give it a fresh late-Jan timestamp instead to stay live
+    df3 = spark.createDataFrame(
+        [(3, text, "2024-01-21 00:00:00")],
+        "doc_id LONG, text STRING, s STRING",
+    ).select("doc_id", "text", FF.col("s").cast("timestamp").alias("ts"))
+    staging3 = Path(str(src / "002.parquet") + "_v2")
+    df3.coalesce(1).write.mode("overwrite").parquet(str(staging3))
+    shutil.copy(next(staging3.glob("part-*.parquet")), src / "002.parquet")
+    os.utime(src / "002.parquet", (now + 20, now + 20))
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    decisions = {}
+
+    def sink(batch_df, epoch_id):
+        for r in band_decisions(batch_df).collect():
+            decisions[r["doc_id"]] = r["is_near_dup"]
+
+    q = (banded_near_dedup_stream(stream, watermark="1 hour")
+         .writeStream.outputMode("update").foreachBatch(sink).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert decisions[1] is False
+    # doc 3 replays doc 1's text 20 days later — ownership expired, so
+    # it is treated as fresh
+    assert decisions[3] is False, decisions
