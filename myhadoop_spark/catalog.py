@@ -53,9 +53,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     tune(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     if key in _df_cache:
         return _df_cache[key]
+    # evict entries from other (stopped) sessions so the cache cannot
+    # grow without bound across session restarts in one process
+    for stale in [k for k in _df_cache if k[0] != app_id]:
+        del _df_cache[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as raw nanoseconds (see tune()); truncate to µs exactly

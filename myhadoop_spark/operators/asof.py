@@ -25,12 +25,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
     """
     lt = left.withColumn("_side", F.lit(1))
     rt = right.withColumn("_side", F.lit(0))
-    cols = {on, time_col}
-    all_cols = [
-        *cols,
-        "_side",
-        *[c for c in lt.columns if c not in cols and c != "_side"],
-    ]
     rt_filled = rt
     for c in lt.columns:
         if c not in rt.columns:

@@ -37,6 +37,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    n_changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -60,4 +61,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # silent wrong labels would under-merge clusters downstream
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({n_changed} labels still changing) — graph "
+            "diameter exceeds the budget; raise max_iterations")
     return labels

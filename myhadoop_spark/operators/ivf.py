@@ -59,21 +59,20 @@ def _dot(a: Column, b: Column) -> Column:
 def assign_buckets(emb: DataFrame, cents: list[list[float]],
                    vec_col: str = "v") -> DataFrame:
     """Append `bucket` = argmax over centroids of dot(v, centroid)
-    (cosine-equivalent for scoring against shared centroids)."""
+    (cosine-equivalent for scoring against shared centroids). Each dot
+    product is evaluated exactly once: scores are materialized into
+    (score, idx) structs and array_max picks the lexicographic maximum
+    (Catalyst does not CSE across lambda branches, so a compare-and-
+    rebuild fold would pay 2× the multiply-adds)."""
     mat = _centroid_matrix(cents)
     k = len(cents)
-    best = F.aggregate(
+    scored = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        F.struct(F.lit(-1).alias("idx"),
-                 F.lit(float("-inf")).alias("score")),
-        lambda acc, i: F.when(
-            _dot(F.col(vec_col), F.element_at(mat, i + 1)) > acc["score"],
-            F.struct(i.alias("idx"),
-                     _dot(F.col(vec_col), F.element_at(mat, i + 1))
-                     .alias("score")),
-        ).otherwise(acc),
+        lambda i: F.struct(
+            _dot(F.col(vec_col), F.element_at(mat, i + 1)).alias("score"),
+            i.alias("idx")),
     )
-    return emb.withColumn("bucket", best["idx"])
+    return emb.withColumn("bucket", F.array_max(scored)["idx"])
 
 
 def probe_buckets(queries: DataFrame, cents: list[list[float]],

@@ -127,11 +127,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    # lazy corpus size — an eager .count() here would run an extra scan
+    # job at every plan build (same pattern as vocab_coverage)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term",
-                (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df"))
+                (F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
                 .alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),

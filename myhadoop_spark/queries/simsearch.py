@@ -111,22 +111,33 @@ N_TABLES = 8
 N_PLANES = 4
 
 
-def _lsh_buckets_expr(vcol: str) -> Column:
-    """array of N_TABLES bucket ids for a vector column."""
-    expr = f"""
-    transform(sequence(0, {N_TABLES - 1}), t ->
-      aggregate(
-        sequence(0, {N_PLANES - 1}),
-        CAST(0 AS BIGINT),
-        (acc, p) -> acc + CASE WHEN
-          aggregate(
-            zip_with({vcol}, sequence(0, size({vcol}) - 1),
-                     (x, d) -> x * sin(CAST(1 + (t * {N_PLANES} + p) * 997 + d
-                                            AS DOUBLE))),
-            CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0
-          THEN shiftleft(CAST(1 AS BIGINT), p) ELSE 0 END))
-    """
-    return F.expr(expr)
+def _lsh_buckets_expr(vcol: str, dim: int = 64) -> Column:
+    """array of N_TABLES bucket ids for a vector column. The hyperplane
+    weights sin(1 + plane_index*997 + d) are row constants — they are
+    precomputed in Python and inlined as literal arrays (like
+    operators/ivf.py), not re-evaluated per row×table×plane×dim."""
+    import math
+
+    planes = [
+        [math.sin(1 + (t * N_PLANES + p) * 997 + d) for d in range(dim)]
+        for t in range(N_TABLES) for p in range(N_PLANES)
+    ]
+    w = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    v = F.col(vcol)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.when(
+                F.aggregate(
+                    F.zip_with(v, F.element_at(w, t * N_PLANES + p + 1),
+                               lambda x, ww: x * ww),
+                    F.lit(0.0), lambda a, x: a + x) > 0,
+                F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
 
 
 @register("simsearch_lsh", oracle=None, tags=("simsearch", "extension", "lsh"))

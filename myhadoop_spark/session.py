@@ -32,8 +32,16 @@ def get_spark(app_name: str = "myhadoop-spark", cpus: int | None = None,
     if shuffle_partitions is None:
         # local: ~cores; cluster: submit-time override (AQE coalesces anyway)
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
+    builder = SparkSession.builder
+    # respect an externally configured master (spark-submit --master /
+    # MASTER env); only default to local[] when none is set — otherwise a
+    # cluster submission would silently run single-node
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master") and not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -51,12 +51,15 @@ def near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
                       text_col: str = "text",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming near-dedup: keep the first document per minhash
-    signature within the watermark horizon; signature-identical
-    later arrivals are dropped."""
+    signature within the watermark horizon; signature-identical later
+    arrivals are dropped. dropDuplicatesWithinWatermark (rather than
+    plain dropDuplicates) is what makes the horizon real: state for a
+    signature is evicted once the watermark passes it, so memory is
+    bounded and a re-ingestion after the horizon counts as fresh."""
     return (
         docs.withColumn("minhash_sig", minhash_signature_col(text_col))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["minhash_sig"])
+        .dropDuplicatesWithinWatermark(["minhash_sig"])
     )
 
 
@@ -149,8 +152,9 @@ def banded_near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
     src = docs
     if watermark is not None:
         src = src.withWatermark(ts_col, watermark)
+    # normalize the time column to "ts" — the stateful fn sorts on it
     exploded = src.select(
-        "doc_id", ts_col,
+        "doc_id", F.col(ts_col).alias("ts"),
         F.explode(band_keys_col(text_col)).alias("band_key"))
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
