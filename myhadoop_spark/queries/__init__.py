@@ -17,6 +17,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     sampling,
     simsearch,
     streaming_batch,
