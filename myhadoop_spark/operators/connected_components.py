@@ -52,13 +52,34 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
-                (F.coalesce(F.col("nbr_component"), F.col("component"))
-                 < F.col("component")).alias("_changed"),
             )
         )
-        updated = updated.localCheckpoint()
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        # pointer jumping (shortcutting): also adopt the label of the
+        # current label-node. Each round then roughly squares the
+        # propagation reach, so convergence is O(log diameter) — long
+        # similarity chains (which near-dup graphs DO produce; observed
+        # diameter > 20 on the sf0.1 embedding graph) converge in a few
+        # rounds instead of diameter rounds.
+        lbl2 = updated.select(F.col("id").alias("cid"),
+                              F.col("component").alias("ccomp"))
+        shortcut = (
+            updated.join(lbl2, updated.component == lbl2.cid, "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("ccomp"), F.col("component")))
+                .alias("component"),
+            )
+        )
+        shortcut = shortcut.localCheckpoint()
+        old = labels.select(F.col("id").alias("oid"),
+                            F.col("component").alias("ocomp"))
+        n_changed = (
+            shortcut.join(old, shortcut.id == old.oid)
+            .filter(F.col("component") < F.col("ocomp"))
+            .count()
+        )
+        labels = shortcut
         if n_changed == 0:
             break
     if n_changed != 0:

@@ -87,3 +87,37 @@ def test_dedup_minhash_no_cartesian(spark):
 def test_simsearch_lsh_no_cartesian(spark):
     plan = plan_of(spark, "simsearch_lsh")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must compile to a hash/merge equi-join
+    on the bucket id — never the nested-loop plan naive BETWEEN gets."""
+    plan = plan_of(spark, "range_join_hist")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Gaps-and-islands sessionization: one shuffle on user_id feeds both
+    window passes and the final aggregation."""
+    plan = plan_of(spark, "sessionize")
+    import re
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, f"{n_exchanges} exchanges\n{plan}"
+
+
+def test_sampling_is_narrow(spark):
+    """Hash sampling and split assignment are pure filters/projections —
+    zero shuffles."""
+    for name in ("sample_hash", "train_test_split"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, f"{name}:\n{plan}"
+
+
+def test_corpus_prep_single_shuffle(spark):
+    """The composed prep pipeline's only wide operation is the dedup
+    window on md5(text)."""
+    plan = plan_of(spark, "corpus_prep")
+    import re
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, f"{n_exchanges} exchanges\n{plan}"
