@@ -41,6 +41,10 @@ class SyntheticDocsReader(DataSourceReader):
         self.max_tokens = int(options.get("maxTokens", 60))
 
     def partitions(self):
+        if self.rows <= 0:
+            # the DataSource API rejects an empty partition list; one
+            # empty split yields a clean zero-row DataFrame
+            return [_DocsPartition(0, 0, 0)]
         step = (self.rows + self.num_partitions - 1) // self.num_partitions
         return [
             _DocsPartition(i, i * step, min((i + 1) * step, self.rows))

@@ -50,6 +50,13 @@ def test_composes_with_engine_operators(spark):
     assert set(wc) <= set(VOCAB)
 
 
+def test_zero_rows_is_clean_empty(spark):
+    df = _read(spark, rows=0)
+    assert df.count() == 0
+    assert df.schema.simpleString() == \
+        "struct<doc_id:bigint,text:string,gen_partition:int>"
+
+
 def test_token_bounds_respected(spark):
     df = _read(spark, rows=200, numPartitions=2, minTokens=3, maxTokens=7)
     sizes = [r["n"] for r in
