@@ -11,6 +11,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dedup,
     higher_order,
     pipeline,
+    reference_parity,
     relational,
     relational2,
     relational3,
