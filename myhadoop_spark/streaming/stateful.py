@@ -9,8 +9,10 @@ State discipline: per-user counters, cents kept as integers so the
 accumulated sum is exact and order-independent (float accumulation
 across nondeterministic batch boundaries would drift). At scale, state
 is partitioned by user_id across executors and checkpointed by Spark;
-a processing-time timeout would bound idle-user state (not enabled here
-so the equivalence test is exact).
+pass a watermark to enable event-time idle eviction (idle_ttl_ms) so
+state stays bounded on unbounded streams — with the inline-expiry
+pattern, since hasTimedOut never fires for keys that receive data in
+the expiring batch.
 """
 
 from __future__ import annotations
@@ -32,43 +34,76 @@ OUTPUT_SCHEMA = T.StructType([
 STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
     T.StructField("sum_value_cents", T.LongType()),
+    T.StructField("last_seen_ms", T.LongType()),
 ])
 
 
-def _update_user_totals(key: tuple[Any, ...],
-                        pdfs: Iterator[pd.DataFrame],
-                        state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        n, cents = state.get
-    else:
-        n, cents = 0, 0
-    for pdf in pdfs:
-        n += len(pdf)
-        # 2-decimal values → exact integer cents
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
-    state.update((n, cents))
-    yield pd.DataFrame({
-        "user_id": [key[0]],
-        "n_events": [n],
-        "sum_value_cents": [cents],
-    })
+IDLE_TTL_MS = 24 * 3600 * 1000  # evict users idle for a day of event time
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def _make_update_user_totals(use_ttl: bool, ttl_ms: int = IDLE_TTL_MS):
+    def _update_user_totals(key: tuple[Any, ...],
+                            pdfs: Iterator[pd.DataFrame],
+                            state: GroupState) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            # idle eviction: totals for a silent user are dropped; if the
+            # user returns, counting restarts (documented semantics)
+            state.remove()
+            return iter([pd.DataFrame({"user_id": [], "n_events": [],
+                                       "sum_value_cents": []})])
+        if state.exists:
+            n, cents, last_seen = state.get
+            # inline expiry: hasTimedOut never fires for keys receiving
+            # data in the expiring batch (see streaming/near_dedup.py) —
+            # a user returning after the idle horizon restarts at zero
+            if use_ttl and state.getCurrentWatermarkMs() > last_seen + ttl_ms:
+                n, cents = 0, 0
+        else:
+            n, cents, last_seen = 0, 0, 0
+        max_ts_ms = last_seen
+        for pdf in pdfs:
+            n += len(pdf)
+            # 2-decimal values → exact integer cents
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            if use_ttl and len(pdf):
+                max_ts_ms = max(
+                    max_ts_ms,
+                    int(pdf["ts"].max().timestamp() * 1000))
+        state.update((n, cents, max_ts_ms))
+        if use_ttl:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value_cents": [cents],
+        })
+
+    return _update_user_totals
+
+
+def running_user_totals(events: DataFrame,
+                        watermark: str | None = None,
+                        idle_ttl_ms: int = IDLE_TTL_MS) -> DataFrame:
     """Streaming running totals per user (update mode): each micro-batch
     emits the new cumulative (count, exact cents) for every user seen in
-    that batch."""
+    that batch. Pass ``watermark`` to bound state on unbounded streams:
+    users idle for ``idle_ttl_ms`` of event time are evicted (their running
+    totals restart if they return)."""
     from myhadoop_spark.shipping import ensure_shipped
 
     ensure_shipped(events.sparkSession)
+    use_ttl = watermark is not None
+    src = events.withWatermark("ts", watermark) if use_ttl else events
+    cols = ["user_id", "ts", "value"] if use_ttl else ["user_id", "value"]
     return (
-        events.select("user_id", "value")
+        src.select(*cols)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            _make_update_user_totals(use_ttl, idle_ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.EventTimeTimeout if use_ttl
+                         else GroupStateTimeout.NoTimeout),
         )
     )
