@@ -210,7 +210,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash",
     oracle=f"""
-    WITH th AS (SELECT doc_id,
+    WITH th AS (SELECT DISTINCT doc_id,
                        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
                 FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
                       FROM documents)),
@@ -219,8 +219,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
              GROUP BY doc_id, j)
     SELECT doc_id,
-           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-             AS simhash
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     tags=("dedup", "extension"),
