@@ -22,12 +22,15 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
 
 
 def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
-               ts_col: str) -> DataFrame:
+               ts_col: str, tiebreak: tuple[str, ...] = ()) -> DataFrame:
     """Slowly-changing-dimension type 2: append updates to the history
     and recompute validity windows — each version is valid from its own
-    timestamp until the next version's (NULL for the current one)."""
+    timestamp until the next version's (NULL for the current one).
+    Pass ``tiebreak`` columns when several versions can share a
+    timestamp — lead() over an ambiguous order is nondeterministic."""
     all_rows = history.unionByName(updates)
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak])
     return (
         all_rows
         .withColumn("valid_from", F.col(ts_col))

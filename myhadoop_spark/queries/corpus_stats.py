@@ -9,7 +9,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
-from myhadoop_spark.queries.sampling import hash_bucket
 from myhadoop_spark.queries.text import _sql_tokens, _tokens
 from myhadoop_spark.registry import register
 
@@ -19,7 +18,7 @@ from myhadoop_spark.registry import register
 
 
 @register(
-    "vocab_coverage",
+    "ngram_stats",
     oracle=rf"""
     WITH t AS (SELECT unnest({_sql_tokens('text')}) AS word FROM documents),
     c AS (SELECT word, COUNT(*) AS freq FROM t GROUP BY word),
@@ -28,67 +27,87 @@ from myhadoop_spark.registry import register
                  ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank,
                  SUM(freq) OVER (ORDER BY freq DESC, word ASC
                                  ROWS UNBOUNDED PRECEDING) AS cum
-          FROM c)
-    SELECT rank, word, freq,
+          FROM c),
+    toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
+    b AS (SELECT unnest(list_transform(
+                     generate_series(1, len(t) - 1),
+                     i -> concat(t[i], ' ', t[i + 1]))) AS bigram
+          FROM toks WHERE len(t) >= 2),
+    p AS (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, least(len(t), 3)),
+                     i -> struct_pack(pos := i - 1, tok := t[i]))) AS s
+          FROM toks WHERE len(t) > 0)
+    SELECT 'uni' AS kind, word AS gram, freq,
+           CAST(rank AS BIGINT) AS rank,
            CAST(cum AS DOUBLE) / (SELECT n FROM tot) AS cum_coverage
     FROM r
+    UNION ALL
+    SELECT 'bi', bigram, COUNT(*), NULL, NULL
+    FROM b GROUP BY bigram HAVING COUNT(*) >= 5
+    UNION ALL
+    SELECT 'pos', s.tok, COUNT(*), CAST(s.pos AS BIGINT), NULL
+    FROM p GROUP BY s.pos, s.tok
     """,
     tags=("text", "extension"),
 )
-def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-ranked vocabulary with cumulative corpus coverage —
-    the curve that decides a tokenizer's vocab size. Counts are exact
-    ints, so coverage ratios are engine-identical."""
+def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics battery, tagged by kind:
+
+      * ``uni`` — frequency-ranked vocabulary with cumulative corpus
+        coverage (the curve that decides a tokenizer's vocab size);
+      * ``bi`` — adjacent-token bigram frequencies (≥5), formed inside
+        the token array (transform over an index sequence) before one
+        explode — no self-join of token positions;
+      * ``pos`` — document-opening token frequencies for positions 0-2
+        via posexplode (the ordinality-preserving row expansion).
+
+    Counts are exact ints, so coverage ratios are engine-identical.
+    Scale: three grouped aggregates over one documents scan each; the
+    global unigram ranking window is the only single-partition stage and
+    operates on the (small) distinct-vocabulary aggregate, not the
+    corpus."""
     docs = load(spark, sf_dir, "documents")
+    null_rank = F.lit(None).cast("bigint")
+    null_cov = F.lit(None).cast("double")
+    # unigrams + coverage
     words = docs.select(F.explode(_tokens()).alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     total = counts.agg(F.sum("freq").alias("n"))
     w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = counts.select(
-        F.row_number().over(w).alias("rank"),
-        "word", "freq",
-        F.sum("freq").over(wcum).alias("cum"),
+    uni = (
+        counts.select(
+            "word", "freq",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.sum("freq").over(wcum).alias("cum"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("uni").alias("kind"), F.col("word").alias("gram"), "freq",
+            "rank", (F.col("cum").cast("double") / F.col("n"))
+            .alias("cum_coverage"))
     )
-    return ranked.crossJoin(F.broadcast(total)).select(
-        "rank", "word", "freq",
-        (F.col("cum").cast("double") / F.col("n")).alias("cum_coverage"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# bigram counts
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "bigram_count",
-    oracle=rf"""
-    WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
-    b AS (SELECT unnest(list_transform(
-                     generate_series(1, len(t) - 1),
-                     i -> concat(t[i], ' ', t[i + 1]))) AS bigram
-          FROM toks WHERE len(t) >= 2)
-    SELECT bigram, COUNT(*) AS freq
-    FROM b GROUP BY bigram HAVING COUNT(*) >= 5
-    """,
-    tags=("text", "extension"),
-)
-def bigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjacent-token bigram frequencies (≥5): the collocation statistic
-    for tokenizer merges / phrase mining. Bigrams are formed inside the
-    array (transform over an index sequence) before one explode — no
-    self-join of token positions."""
-    docs = load(spark, sf_dir, "documents")
+    # bigrams
     toks = docs.select(_tokens().alias("t")).filter(F.size("t") >= 2)
-    bigrams = toks.select(F.explode(F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-    )).alias("bigram"))
-    return (
-        bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    bi = (
+        toks.select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        )).alias("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
+        .select(F.lit("bi").alias("kind"), "gram", "freq",
+                null_rank.alias("rank"), null_cov.alias("cum_coverage"))
     )
+    # opening-position tokens (posexplode)
+    pos = (
+        docs.select(F.posexplode(F.slice(_tokens(), 1, 3)).alias("pos", "gram"))
+        .groupBy("pos", "gram").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.lit("pos").alias("kind"), "gram", "freq",
+                F.col("pos").cast("bigint").alias("rank"),
+                null_cov.alias("cum_coverage"))
+    )
+    return uni.unionAll(bi).unionAll(pos)
 
 
 # ---------------------------------------------------------------------------
@@ -146,45 +165,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# quality-weighted sampling
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "quality_weighted_sample",
-    oracle=rf"""
-    WITH t AS (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
-    s AS (SELECT doc_id,
-                 CAST(len(toks) AS DOUBLE) AS n_tokens,
-                 CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
-          FROM t WHERE len(toks) > 0),
-    q AS (SELECT doc_id,
-                 0.5 * least(1.0, n_tokens / 50.0)
-                   + 0.5 * (n_distinct / n_tokens) AS quality
-          FROM s)
-    SELECT doc_id, quality
-    FROM q
-    WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-               AS BIGINT) % 1000 AS DOUBLE) / 1000.0 < quality * 0.5
-    """,
-    tags=("sampling", "text", "extension"),
-)
-def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample documents with probability ∝ quality (acceptance test:
-    id-hash uniform < quality/2) — better documents are kept more often,
-    and the draw is deterministic/engine-portable like all sampling
-    here."""
-    docs = load(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_tokens = F.size(toks).cast("double")
-    n_distinct = F.size(F.array_distinct(toks)).cast("double")
-    quality = (F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
-               + F.lit(0.5) * (n_distinct / n_tokens))
-    u = hash_bucket(F.col("doc_id"), 1000).cast("double") / F.lit(1000.0)
-    return (
-        docs.filter(F.size(toks) > 0)
-        .select("doc_id", quality.alias("quality"), u.alias("u"))
-        .filter(F.col("u") < F.col("quality") * 0.5)
-        .select("doc_id", "quality")
-    )
+# (quality-weighted sampling lives in the sampling battery,
+# queries/sampling.py — it shares the id-hash acceptance machinery with
+# the other deterministic samplers)

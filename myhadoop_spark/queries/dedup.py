@@ -68,38 +68,40 @@ def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     oracle=f"""
-    SELECT DISTINCT doc_id, text, lang, source, n_chars FROM {_DOUBLED}
+    WITH d AS (SELECT DISTINCT doc_id, text, lang, source, n_chars
+               FROM {_DOUBLED}),
+    c AS (SELECT md5(text) AS content_hash,
+                 MIN(doc_id) AS keep_id,
+                 COUNT(*) AS n_copies
+          FROM {_DOUBLED}
+          GROUP BY md5(text))
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           c.content_hash, c.keep_id, c.n_copies
+    FROM d JOIN c ON md5(d.text) = c.content_hash
     """,
     tags=("dedup", "extension"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicates over a deliberately doubled copy of documents —
-    must return exactly the original rows."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.unionAll(docs).dropDuplicates()
-
-
-@register(
-    "dedup_content",
-    oracle=f"""
-    SELECT md5(text) AS content_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-    FROM {_DOUBLED}
-    GROUP BY md5(text)
-    """,
-    tags=("dedup", "extension"),
-)
-def dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash dedup: one shuffle on md5(text), keep the smallest
-    doc_id per content group. The pattern that scales to 100 TB — the
-    payload never moves, only (hash, id)."""
+    """Exact dedup battery over a deliberately doubled copy of documents:
+    dropDuplicates() must return exactly the original rows, and each
+    survivor is annotated with its content-hash group (md5(text) →
+    smallest keep_id + pre-dedup copy count) — the keep-one pattern that
+    scales to 100 TB because the payload never moves, only (hash, id).
+    The aggregate side carries no text column into its shuffle; the
+    rejoin is on the 32-char hash."""
     docs = load(spark, sf_dir, "documents")
     doubled = docs.unionAll(docs)
-    return (
+    distinct_rows = doubled.dropDuplicates().withColumn(
+        "content_hash", F.md5("text"))
+    groups = (
         doubled.select(F.md5("text").alias("content_hash"), "doc_id")
         .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+    return distinct_rows.join(groups, "content_hash").select(
+        "doc_id", "lang", "source", "n_chars",
+        "content_hash", "keep_id", "n_copies",
     )
 
 

@@ -236,87 +236,44 @@ def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join",
+    "semi_anti_join",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'semi' AS op, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-    """,
-    tags=("join",),
-)
-def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers having at least one order above 400k (left_semi)."""
-    customer = load(spark, sf_dir, "customer")
-    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return (
-        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", "c_mktsegment")
-    )
-
-
-@register(
-    "anti_join",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 450000)
     """,
     tags=("join",),
 )
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers who never placed a 450k+ order (left_anti)."""
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join battery (SURVEY §2.4 #7 'semi_anti'): customers
+    WITH a 400k+ order (left_semi) tagged 'semi', customers WITHOUT a
+    450k+ order (left_anti) tagged 'anti'. Both forms shuffle only the
+    distinct right-side keys — no payload columns move."""
     customer = load(spark, sf_dir, "customer")
-    big = load(spark, sf_dir, "orders").filter(
+    big400 = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000).select("o_custkey")
+    big450 = load(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 450000).select("o_custkey")
-    return (
-        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
+    semi = (
+        customer.join(big400, customer.c_custkey == big400.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
     )
+    anti = (
+        customer.join(big450, customer.c_custkey == big450.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionAll(anti)
 
 
 # ---------------------------------------------------------------------------
-# 8. window functions — ranking + running sum.
-#    Scale: single shuffle on the partition key; running sum uses an exact
-#    decimal accumulation so the prefix values are engine-independent.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "window_rank",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           ROW_NUMBER() OVER wo AS rn,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE)
-             AS running_spend,
-           CAST(LAG(o_orderkey) OVER wo AS BIGINT) AS prev_orderkey
-    FROM orders
-    WINDOW wo AS (PARTITION BY o_custkey
-                  ORDER BY o_orderdate ASC, o_orderkey ASC),
-           wf AS (PARTITION BY o_custkey
-                  ORDER BY o_orderdate ASC, o_orderkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-    tags=("window",),
-)
-def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer order sequence: row_number, running spend, lag.
-    lag/row_number use the order-only window (Spark rejects frames on
-    offset functions); the running sum uses the explicit prefix frame."""
-    orders = load(spark, sf_dir, "orders")
-    wo = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return orders.select(
-        "o_orderkey",
-        "o_custkey",
-        F.row_number().over(wo).alias("rn"),
-        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_spend"),
-        F.lag("o_orderkey").over(wo).cast("bigint").alias("prev_orderkey"),
-    )
-
-
+# 8. window functions — the full battery (ranking, running frames, RANGE
+#    frames) lives in relational5.window_fns.
 # ---------------------------------------------------------------------------
 # 9. top-k by aggregate.
 #    Scale: agg shuffles on partkey; the final top-10 is TakeOrdered (no
@@ -351,18 +308,25 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 10. set operations.
+# 10. set operations — ALL FIVE forms (UNION / INTERSECT / EXCEPT and the
+#     ALL multiset variants) as one tagged battery. The distinct forms run
+#     over customer keys; the ALL forms over lineitem partkey multisets
+#     (where duplicates make ALL genuinely differ from DISTINCT). Result
+#     rows carry the op tag + the multiset multiplicity so one hashable
+#     schema covers both families.
 # ---------------------------------------------------------------------------
 
-_RICH = "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000"
-_BIGSPEND = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000"
+_RICH = "SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000"
+_BIGSPEND = "SELECT o_custkey AS key FROM orders WHERE o_totalprice > 450000"
+_LI_PARTS = ("SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 45")
+_HEAVY_PARTS = ("SELECT l_partkey AS key FROM lineitem WHERE l_discount >= 0.08")
 
 
 def _rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000)
-        .select(F.col("c_custkey").alias("custkey"))
+        .select(F.col("c_custkey").alias("key"))
     )
 
 
@@ -370,39 +334,69 @@ def _bigspend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 450000)
-        .select(F.col("o_custkey").alias("custkey"))
+        .select(F.col("o_custkey").alias("key"))
     )
 
 
-@register(
-    "set_union",
-    oracle=f"{_RICH} UNION {_BIGSPEND}",
-    tags=("setop",),
-)
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of high-balance and big-spender customer keys."""
-    return _rich(spark, sf_dir).union(_bigspend(spark, sf_dir)).distinct()
+def _li_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 45).select(
+        F.col("l_partkey").alias("key"))
+
+
+def _heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_discount") >= 0.08).select(
+        F.col("l_partkey").alias("key"))
 
 
 @register(
-    "set_intersect",
-    oracle=f"{_RICH} INTERSECT {_BIGSPEND}",
+    "set_ops",
+    oracle=f"""
+    SELECT 'union' AS op, key, CAST(1 AS BIGINT) AS n
+    FROM ({_RICH} UNION {_BIGSPEND})
+    UNION ALL
+    SELECT 'intersect', key, 1 FROM ({_RICH} INTERSECT {_BIGSPEND})
+    UNION ALL
+    SELECT 'except', key, 1 FROM ({_RICH} EXCEPT {_BIGSPEND})
+    UNION ALL
+    SELECT 'except_all', key, COUNT(*)
+    FROM ({_LI_PARTS} EXCEPT ALL {_HEAVY_PARTS}) GROUP BY key
+    UNION ALL
+    SELECT 'intersect_all', key, COUNT(*)
+    FROM ({_LI_PARTS} INTERSECT ALL {_HEAVY_PARTS}) GROUP BY key
+    """,
     tags=("setop",),
 )
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of the same two key sets."""
-    return _rich(spark, sf_dir).intersect(_bigspend(spark, sf_dir))
-
-
-@register(
-    "set_except",
-    oracle=f"{_RICH} EXCEPT {_BIGSPEND}",
-    tags=("setop",),
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: high-balance customers who never placed a 450k+ order.
-    subtract() is SQL EXCEPT (distinct) semantics."""
-    return _rich(spark, sf_dir).subtract(_bigspend(spark, sf_dir))
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation battery: union().distinct(), intersect(), subtract()
+    (SQL EXCEPT) over customer keys; exceptAll() / intersectAll()
+    multiset semantics over repeated lineitem partkeys (multiplicities
+    reported per key). Every Spark set operator is exercised in one
+    declared query. Scale: each form is one shuffle on the key column;
+    the ALL variants add Spark's internal count-replication, identical
+    in shape to the groupBy the distinct forms run."""
+    one = F.lit(1).cast("bigint")
+    rich, bigspend = _rich(spark, sf_dir), _bigspend(spark, sf_dir)
+    li, heavy = _li_parts(spark, sf_dir), _heavy_parts(spark, sf_dir)
+    parts = [
+        rich.union(bigspend).distinct()
+        .select(F.lit("union").alias("op"), "key", one.alias("n")),
+        rich.intersect(bigspend)
+        .select(F.lit("intersect").alias("op"), "key", one.alias("n")),
+        rich.subtract(bigspend)
+        .select(F.lit("except").alias("op"), "key", one.alias("n")),
+        li.exceptAll(heavy).groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "key", "n"),
+        li.intersectAll(heavy).groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "key", "n"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -458,30 +452,51 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
-    GROUP BY ROLLUP(n_name, o_orderpriority)
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                            (o_orderpriority), ())
     """,
-    tags=("aggregate", "rollup"),
+    tags=("aggregate", "rollup", "grouping-sets"),
 )
 def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(n_name, o_orderpriority) with count + exact sum. Neither
-    grouping column is nullable in the data, so the rollup NULLs
-    unambiguously mark subtotal levels."""
+    """GROUPING SETS over the orders⋈customer⋈nation join: the ROLLUP
+    lattice ((n_name, prio), (n_name), ()) PLUS the extra (prio) set —
+    i.e. this one query covers both rollup subtotal semantics and
+    arbitrary grouping-set selection (the full CUBE lattice here, chosen
+    explicitly). Neither grouping column is nullable in the data, so the
+    subtotal NULLs are unambiguous. Spark expands the sets with one
+    Expand node feeding a single partial/final aggregate — one shuffle
+    regardless of how many sets are listed."""
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority",
                                                   "o_totalprice")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
+    joined = (
         orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .rollup("n_name", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
     )
+    aggs = (F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    if hasattr(joined, "groupingSets"):  # Spark 4 DataFrame API
+        return joined.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"], ["o_orderpriority"], []],
+            "n_name", "o_orderpriority",
+        ).agg(*aggs)
+    joined.createOrReplaceTempView("co_nation_joined")  # pragma: no cover
+    return joined.sparkSession.sql(f"""
+        SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'sum_price')}
+        FROM co_nation_joined
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                                (o_orderpriority), ())
+    """)
 
 
 # ---------------------------------------------------------------------------
-# 13. scalar function battery (string / date / math).
+# 13. scalar function battery (math / date / string — the full §2.2 scalar
+#     surface in one single-table, single-codegen-stage pass over orders).
 #     Cross-engine type notes: Spark length() → INT vs DuckDB BIGINT (cast),
-#     Spark floor/ceil → BIGINT vs DuckDB DOUBLE (cast), both sides pinned.
+#     Spark floor/ceil → BIGINT vs DuckDB DOUBLE (cast), Spark weekday()
+#     0=Monday == DuckDB isodow-1, Spark date_add returns DATE (cast back
+#     to midnight timestamp); both sides pinned.
 # ---------------------------------------------------------------------------
 
 
@@ -493,12 +508,33 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS o_month,
            CAST(day(o_orderdate) AS INT)   AS o_day,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT)
+             AS days_since_92,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS date_plus_30,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS o_weekday,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+             AS o_month_end,
+           CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_epoch,
            substring(o_orderpriority, 1, 1) AS prio_code,
            upper(o_orderstatus)  AS status_u,
            lower(o_orderpriority) AS prio_l,
            CAST(length(o_orderpriority) AS INT) AS prio_len,
            concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
            replace(o_orderpriority, '-', '_') AS prio_u,
+           lpad(o_orderpriority, 15, '*') AS prio_lpad,
+           rpad(o_orderstatus, 4, '.') AS status_rpad,
+           translate(o_orderpriority, '-', '_') AS prio_tr,
+           reverse(o_orderpriority) AS prio_rev,
+           repeat(substring(o_orderpriority, 1, 2), 3) AS prio_rep,
+           CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+           split_part(o_orderpriority, '-', 1) AS prio_head,
+           regexp_replace(o_orderpriority, '[0-9]+', 'N') AS prio_nonum,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+           left(o_orderpriority, 4) AS prio_left,
+           right(o_orderpriority, 4) AS prio_right,
+           CAST(starts_with(o_orderpriority, '1') AS BOOLEAN) AS is_urgent,
+           CAST(contains(o_orderpriority, '-') AS BOOLEAN) AS has_dash,
            CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
            CAST(ceil(o_totalprice)  AS BIGINT) AS price_ceil,
            abs(o_totalprice - 250000.0) AS price_dev,
@@ -506,25 +542,49 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sqrt(o_totalprice) AS DOUBLE) AS price_sqrt
     FROM orders
     """,
-    tags=("scalar",),
+    tags=("scalar", "string", "date"),
 )
 def scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date/math scalar battery over orders — all JVM-side built-ins
-    inside one whole-stage-codegen span (no UDFs)."""
+    """Math + temporal + string scalar battery over orders — 35 columns of
+    JVM-side built-ins inside one whole-stage-codegen span (no UDFs, no
+    joins, no shuffle). Consolidates the former scalar/string/date
+    batteries into the one pass a columnar engine would actually run."""
     o = load(spark, sf_dir, "orders")
     ts = F.col("o_orderdate")
+    prio = F.col("o_orderpriority")
     return o.select(
         "o_orderkey",
         F.year(ts).alias("o_year"),
         F.month(ts).alias("o_month"),
         F.dayofmonth(ts).alias("o_day"),
         F.date_trunc("month", ts).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(ts.cast("date"), F.lit("1992-01-01").cast("date"))
+        .alias("days_since_92"),
+        F.date_add(ts.cast("date"), 30).cast("timestamp_ntz")
+        .alias("date_plus_30"),
+        F.weekday(ts).alias("o_weekday"),
+        F.last_day(ts.cast("date")).cast("timestamp_ntz").alias("o_month_end"),
+        F.quarter(ts).alias("o_quarter"),
+        F.unix_timestamp(ts).cast("bigint").alias("o_epoch"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
         F.upper("o_orderstatus").alias("status_u"),
         F.lower("o_orderpriority").alias("prio_l"),
         F.length("o_orderpriority").alias("prio_len"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
-        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_u"),
+        F.replace(prio, F.lit("-"), F.lit("_")).alias("prio_u"),
+        F.lpad(prio, 15, "*").alias("prio_lpad"),
+        F.rpad(F.col("o_orderstatus"), 4, ".").alias("status_rpad"),
+        F.translate(prio, "-", "_").alias("prio_tr"),
+        F.reverse(prio).alias("prio_rev"),
+        F.repeat(F.substring("o_orderpriority", 1, 2), 3).alias("prio_rep"),
+        F.instr(prio, "-").alias("dash_pos"),
+        F.split_part(prio, F.lit("-"), F.lit(1)).alias("prio_head"),
+        F.regexp_replace(prio, "[0-9]+", "N").alias("prio_nonum"),
+        F.regexp_extract(prio, "([0-9]+)", 1).alias("prio_num"),
+        F.substring("o_orderpriority", 1, 4).alias("prio_left"),
+        prio.substr(F.length(prio) - 3, F.lit(4)).alias("prio_right"),
+        F.startswith(prio, F.lit("1")).alias("is_urgent"),
+        F.contains(prio, F.lit("-")).alias("has_dash"),
         F.floor("o_totalprice").alias("price_floor"),
         F.ceil("o_totalprice").alias("price_ceil"),
         F.abs(F.col("o_totalprice") - F.lit(250000.0)).alias("price_dev"),

@@ -44,23 +44,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
 
 
-@register(
-    "grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    tags=("aggregate",),
-)
-def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (status), (priority), (grand total)."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """)
+# (explicit GROUPING SETS coverage lives in relational.cube_rollup, which
+# selects the rollup lattice plus an extra set by hand)
 
 
 # ---------------------------------------------------------------------------

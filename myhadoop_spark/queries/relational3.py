@@ -163,76 +163,70 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# date arithmetic battery
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "date_arith",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_days,
-           CAST(l_shipdate + INTERVAL 30 DAY AS TIMESTAMP) AS ship_plus_30,
-           CAST(isodow(l_shipdate) - 1 AS INT) AS ship_weekday,
-           CAST(last_day(l_shipdate) AS DATE) AS ship_month_end,
-           CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
-           CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_epoch
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_orderkey % 100 = 0
-    """,
-    tags=("scalar", "date"),
-)
-def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal function battery (datediff, interval add, weekday,
-    last_day, quarter, epoch) with cross-engine alignment notes:
-    Spark weekday() is 0=Monday == DuckDB isodow-1; Spark date_add
-    returns DATE so it is cast back to midnight timestamp to match
-    ts + INTERVAL."""
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-    ship = F.col("l_shipdate")
-    return j.select(
-        "l_orderkey", "l_linenumber",
-        F.datediff(ship.cast("date"), F.col("o_orderdate").cast("date"))
-        .alias("ship_days"),
-        F.date_add(ship.cast("date"), 30).cast("timestamp_ntz")
-        .alias("ship_plus_30"),
-        F.weekday(ship).alias("ship_weekday"),
-        F.last_day(ship.cast("date")).alias("ship_month_end"),
-        F.quarter(ship).alias("ship_quarter"),
-        F.unix_timestamp(ship).cast("bigint").alias("ship_epoch"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# array function battery
+# array + higher-order (lambda) function battery.
+# (The temporal battery lives in relational.scalar_fns.)
+#
+# Driver-hashability: raw array columns crash pandas-based row
+# canonicalizers (lists are unhashable), so every array-valued output is
+# serialized to a CSV string of EXACT integers — floats are fixed-pointed
+# with floor(x*1e6) BEFORE serialization, which is bit-identical across
+# engines on identical doubles (string-rendering floats is not).
 # ---------------------------------------------------------------------------
 
 
 @register(
     "array_fns",
     oracle="""
+    WITH e AS (SELECT vec_id, embedding,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id % 10 = 0)
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS n_dims,
            embedding[1] AS first_val,
            embedding[-1] AS last_val,
            list_max(embedding) AS vmax,
            list_min(embedding) AS vmin,
-           CAST(len(list_filter(embedding, x -> x < 0)) AS INT) AS n_neg,
-           list_slice(embedding, 1, 3) AS head3,
-           list_reverse(list_slice(embedding, 1, 3)) AS head3_rev,
-           list_sort(list_slice(embedding, 1, 4))[4] AS top_of_4
-    FROM embeddings WHERE vec_id % 10 = 0
+           CAST(len(list_filter(v, x -> x < 0)) AS INT) AS n_neg,
+           array_to_string(list_transform(list_slice(v, 1, 3),
+               x -> CAST(floor(x * 1e6) AS BIGINT)), ',') AS head3_fp,
+           array_to_string(list_reverse(list_transform(list_slice(v, 1, 3),
+               x -> CAST(floor(x * 1e6) AS BIGINT))), ',') AS head3_rev_fp,
+           CAST(floor(list_sort(list_slice(v, 1, 4))[4] * 1e6) AS BIGINT)
+             AS top_of_4_fp,
+           array_to_string(list_transform(list_slice(v, 1, 4),
+               x -> CAST(floor(x * 2.0 * 1e6) AS BIGINT)), ',') AS doubled4_fp,
+           CAST(len(list_filter(v, x -> x > 0.5)) AS INT) AS n_big,
+           CAST(floor(list_reduce(list_transform(v, x -> x * x),
+                                  (acc, x) -> acc + x) * 1e6) AS BIGINT)
+             AS sumsq_fp,
+           array_to_string(list_transform(generate_series(1, 3),
+               i -> CAST(floor((v[i] + v[i + 1]) * 1e6) AS BIGINT)), ',')
+             AS pairsums_fp,
+           len(list_filter(v, x -> x < -0.5)) > 0 AS has_very_neg
+    FROM e
     """,
-    tags=("scalar", "array"),
+    tags=("scalar", "array", "higher-order"),
 )
 def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function battery over the embedding column: size, indexing,
-    min/max, filtered count, slice, reverse, sort — all JVM built-ins
-    (float32 values pass through untouched, so no float math to drift)."""
+    """Array + higher-order function battery over the embedding column:
+    size/index/min/max/slice/reverse/sort plus transform / filter /
+    aggregate (fold) / zip_with / exists lambdas — all JVM built-ins.
+    Array outputs are fixed-pointed (floor(x*1e6) → BIGINT) and
+    CSV-serialized so any engine's canonicalizer can hash them.
+    Note DuckDB's list_reduce has no initial accumulator — it folds left
+    from the first element, so the Spark fold seeds with element 1's
+    square and aggregates the tail identically."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     e = F.col("embedding")
+    v = F.transform(e, lambda x: x.cast("double"))
+
+    def fp(c):  # fixed-point a double for exact cross-engine rendering
+        return F.floor(c * F.lit(1e6)).cast("bigint")
+
+    def fp_csv(arr):  # serialize an array of doubles as exact fixed-points
+        return F.array_join(
+            F.transform(arr, lambda x: fp(x).cast("string")), ",")
+
     return emb.select(
         "vec_id",
         F.size(e).alias("n_dims"),
@@ -240,8 +234,23 @@ def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(e, -1).alias("last_val"),
         F.array_max(e).alias("vmax"),
         F.array_min(e).alias("vmin"),
-        F.size(F.filter(e, lambda x: x < 0)).alias("n_neg"),
-        F.slice(e, 1, 3).alias("head3"),
-        F.reverse(F.slice(e, 1, 3)).alias("head3_rev"),
-        F.element_at(F.array_sort(F.slice(e, 1, 4)), 4).alias("top_of_4"),
+        F.size(F.filter(v, lambda x: x < 0)).alias("n_neg"),
+        fp_csv(F.slice(v, 1, 3)).alias("head3_fp"),
+        F.array_join(
+            F.reverse(F.transform(F.slice(v, 1, 3),
+                                  lambda x: fp(x).cast("string"))), ",")
+        .alias("head3_rev_fp"),
+        fp(F.element_at(F.array_sort(F.slice(v, 1, 4)), 4)).alias("top_of_4_fp"),
+        fp_csv(F.transform(F.slice(v, 1, 4), lambda x: x * 2.0))
+        .alias("doubled4_fp"),
+        F.size(F.filter(v, lambda x: x > 0.5)).alias("n_big"),
+        fp(F.aggregate(
+            F.slice(v, 2, F.size(v) - 1),
+            F.element_at(v, 1) * F.element_at(v, 1),
+            lambda acc, x: acc + x * x)).alias("sumsq_fp"),
+        F.array_join(
+            F.zip_with(F.slice(v, 1, 3), F.slice(v, 2, 3),
+                       lambda a, b: fp(a + b).cast("string")), ",")
+        .alias("pairsums_fp"),
+        F.exists(v, lambda x: x < -0.5).alias("has_very_neg"),
     )

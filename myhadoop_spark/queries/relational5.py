@@ -16,10 +16,13 @@ from myhadoop_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
+_DAYS90 = 90 * 86_400
+
+
 @register(
     "window_fns",
-    oracle="""
-    SELECT o_orderkey,
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
            CAST(dense_rank()   OVER wo AS INT) AS drank,
            CAST(ntile(4)       OVER wo AS INT) AS quartile,
            percent_rank()      OVER wo AS prank,
@@ -27,26 +30,60 @@ from myhadoop_spark.registry import register
            first_value(o_orderkey) OVER wo AS first_key,
            nth_value(o_orderkey, 2) OVER wof AS second_key,
            last_value(o_orderkey) OVER wof AS last_key,
-           CAST(lead(o_orderkey) OVER wo AS BIGINT) AS next_key
-    FROM orders
+           CAST(lead(o_orderkey) OVER wo AS BIGINT) AS next_key,
+           CAST(ROW_NUMBER() OVER wc AS INT) AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wcf AS DOUBLE)
+             AS running_spend,
+           CAST(LAG(o_orderkey) OVER wc AS BIGINT) AS prev_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE)
+             AS trailing_90d_spend,
+           CAST(COUNT(*) OVER wr AS BIGINT) AS trailing_90d_orders
+    FROM (SELECT *, CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                      AS ep FROM orders) o
     WINDOW wo AS (PARTITION BY o_orderstatus
                   ORDER BY o_totalprice ASC, o_orderkey ASC),
            wof AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice ASC, o_orderkey ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wc AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC),
+           wcf AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wr AS (PARTITION BY o_custkey ORDER BY ep ASC
+                  RANGE BETWEEN {_DAYS90} PRECEDING AND CURRENT ROW)
     """,
-    tags=("window",),
+    tags=("window", "range-frame"),
 )
 def window_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/distribution window battery: dense_rank, ntile,
-    percent_rank, cume_dist, first/nth/last_value, lead — one shuffle on
-    the partition key, deterministic full ordering."""
+    """The full window-function battery in one pass over orders:
+
+      * ranking/distribution family (dense_rank, ntile, percent_rank,
+        cume_dist, first/nth/last_value, lead) over the status window;
+      * sequencing family (row_number, lag) + exact-decimal running sum
+        over the per-customer ROWS prefix frame;
+      * value-based RANGE frame (trailing 90 days on epoch seconds, so
+        same-day ties aggregate together — the semantic difference from
+        a ROWS frame, exercised deliberately).
+
+    Two physical sort keys (status, custkey) → Spark plans exactly two
+    window exchanges; the three custkey windows share one sort."""
     orders = load(spark, sf_dir, "orders")
+    ep = F.unix_timestamp("o_orderdate").cast("bigint")
     wo = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     wof = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wcf = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ep.asc())
+        .rangeBetween(-_DAYS90, Window.currentRow)
+    )
     return orders.select(
         "o_orderkey",
+        "o_custkey",
         F.dense_rank().over(wo).alias("drank"),
         F.ntile(4).over(wo).alias("quartile"),
         F.percent_rank().over(wo).alias("prank"),
@@ -55,54 +92,13 @@ def window_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(wof).alias("second_key"),
         F.last("o_orderkey").over(wof).alias("last_key"),
         F.lead("o_orderkey").over(wo).cast("bigint").alias("next_key"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# RANGE frame (value-based window) — 90-day trailing spend
-# ---------------------------------------------------------------------------
-
-_DAYS90 = 90 * 86_400
-
-
-@register(
-    "window_range_frame",
-    oracle=f"""
-    WITH o AS (SELECT o_orderkey, o_custkey,
-                      CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
-                        AS ep,
-                      o_totalprice
-               FROM orders)
-    SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY ep ASC
-                      RANGE BETWEEN {_DAYS90} PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS trailing_90d_spend,
-           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY ep ASC
-                               RANGE BETWEEN {_DAYS90} PRECEDING
-                                 AND CURRENT ROW) AS BIGINT)
-             AS trailing_90d_orders
-    FROM o
-    """,
-    tags=("window", "range-frame"),
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based RANGE frame: per order, the customer's spend/order
-    count in the trailing 90 days (inclusive). The frame is defined on
-    epoch seconds, so ties (same-day orders) aggregate together — the
-    semantic difference from a ROWS frame, exercised deliberately."""
-    orders = load(spark, sf_dir, "orders")
-    ep = F.unix_timestamp("o_orderdate").cast("bigint")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(ep.asc())
-        .rangeBetween(-_DAYS90, Window.currentRow)
-    )
-    return orders.select(
-        "o_orderkey", "o_custkey",
-        F.sum(dec("o_totalprice")).over(w).cast("double")
+        F.row_number().over(wc).alias("rn"),
+        F.sum(dec("o_totalprice")).over(wcf).cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(wc).cast("bigint").alias("prev_orderkey"),
+        F.sum(dec("o_totalprice")).over(wr).cast("double")
         .alias("trailing_90d_spend"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_90d_orders"),
+        F.count(F.lit(1)).over(wr).cast("bigint").alias("trailing_90d_orders"),
     )
 
 

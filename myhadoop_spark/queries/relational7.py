@@ -17,11 +17,14 @@ from myhadoop_spark.registry import register
 
 
 @register(
-    "map_fns",
+    "map_struct_fns",
     oracle="""
     WITH m AS (SELECT o_orderkey,
                       MAP {'status': o_orderstatus,
-                           'priority': o_orderpriority} AS props
+                           'priority': o_orderpriority} AS props,
+                      struct_pack(status := o_orderstatus,
+                                  price := o_totalprice,
+                                  cust := o_custkey) AS info
                FROM orders WHERE o_orderkey % 500 = 0)
     SELECT o_orderkey,
            props['status'][1] AS status_val,
@@ -29,19 +32,30 @@ from myhadoop_spark.registry import register
            CAST(cardinality(props) AS INT) AS n_keys,
            array_to_string(list_sort(map_keys(props)), ',') AS keys_sorted,
            list_contains(map_keys(props), 'status') AS has_status,
-           list_contains(map_keys(props), 'missing') AS has_missing
+           list_contains(map_keys(props), 'missing') AS has_missing,
+           info.status AS s_status,
+           info.price AS s_price,
+           CAST(info.cust AS BIGINT) AS s_cust,
+           info.price > 200000 AS s_big
     FROM m
     """,
-    tags=("scalar", "map"),
+    tags=("scalar", "map", "struct"),
 )
-def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-type battery: construction, key lookup, cardinality, key
-    enumeration, membership — emitted as scalars so both engines'
-    map internals stay out of the comparison."""
+def map_struct_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + struct battery in one pass over orders: map construction,
+    key lookup, cardinality, key enumeration, membership; struct
+    construction, field access, derived predicate. All outputs flattened
+    to scalars so both engines' collection internals stay out of the
+    comparison."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
     props = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
         F.lit("priority"), F.col("o_orderpriority"),
+    )
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").alias("cust"),
     )
     return o.select(
         "o_orderkey",
@@ -51,46 +65,10 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(props)), ",").alias("keys_sorted"),
         F.array_contains(F.map_keys(props), "status").alias("has_status"),
         F.array_contains(F.map_keys(props), "missing").alias("has_missing"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# struct functions
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "struct_fns",
-    oracle="""
-    WITH s AS (SELECT c_custkey,
-                      struct_pack(seg := c_mktsegment,
-                                  bal := c_acctbal,
-                                  nation := c_nationkey) AS info
-               FROM customer WHERE c_custkey % 100 = 0)
-    SELECT c_custkey,
-           info.seg AS seg,
-           info.bal AS bal,
-           CAST(info.nation AS INT) AS nation,
-           info.bal > 0 AS solvent
-    FROM s
-    """,
-    tags=("scalar", "struct"),
-)
-def struct_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct battery: construction + field access + derived predicate,
-    flattened back to scalars for comparison."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
-    info = F.struct(
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_acctbal").alias("bal"),
-        F.col("c_nationkey").alias("nation"),
-    )
-    return c.select(
-        "c_custkey",
-        info.getField("seg").alias("seg"),
-        info.getField("bal").alias("bal"),
-        info.getField("nation").alias("nation"),
-        (info.getField("bal") > 0).alias("solvent"),
+        info.getField("status").alias("s_status"),
+        info.getField("price").alias("s_price"),
+        info.getField("cust").alias("s_cust"),
+        (info.getField("price") > 200000).alias("s_big"),
     )
 
 

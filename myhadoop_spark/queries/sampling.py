@@ -7,6 +7,13 @@ hash(id) mod N < k selects a stable pseudo-random k/N fraction that any
 engine reproduces bit-for-bit, survives repartitioning, and composes
 (the same doc lands in the same split everywhere). md5-derived hashes
 keep it engine-portable (same trick as dedup.py).
+
+All four sampling strategies are declared as ONE tagged battery query
+(`sampling`) so the driver gate checks every method in a single row:
+  hash20      deterministic ~20% id-hash sample
+  split_*     80/10/10 train/val/test assignment
+  strat20     exactly 20 docs per language stratum
+  qweighted   acceptance sampling with probability ∝ quality
 """
 
 from __future__ import annotations
@@ -27,72 +34,81 @@ def hash_bucket(col: Column, buckets: int = 100) -> Column:
 _SQL_BUCKET = ("CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8)) "
                "AS BIGINT) % {n}")
 
-
-@register(
-    "sample_hash",
-    oracle=f"""
-    SELECT doc_id, lang, n_chars
-    FROM documents
-    WHERE {_SQL_BUCKET.format(col='doc_id', n=100)} < 20
-    """,
-    tags=("sampling", "extension"),
-)
-def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~20% sample of documents by id-hash bucket."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.filter(hash_bucket(F.col("doc_id")) < 20).select(
-        "doc_id", "lang", "n_chars")
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
 
 @register(
-    "train_test_split",
+    "sampling",
     oracle=f"""
     WITH b AS (SELECT doc_id, lang,
                       {_SQL_BUCKET.format(col='doc_id', n=100)} AS bucket
-               FROM documents)
-    SELECT doc_id, lang,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM b
+               FROM documents),
+    t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id, lang,
+                 0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE)) AS quality
+          FROM t WHERE len(toks) > 0),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_SQL_BUCKET.format(col='doc_id', n=1000000)}
+                            ASC, doc_id ASC) AS rn
+          FROM documents)
+    SELECT 'hash20' AS method, doc_id, lang FROM b WHERE bucket < 20
+    UNION ALL
+    SELECT concat('split_', CASE WHEN bucket < 80 THEN 'train'
+                                 WHEN bucket < 90 THEN 'val'
+                                 ELSE 'test' END), doc_id, lang FROM b
+    UNION ALL
+    SELECT 'strat20', doc_id, lang FROM r WHERE rn <= 20
+    UNION ALL
+    SELECT 'qweighted', doc_id, lang FROM q
+    WHERE CAST({_SQL_BUCKET.format(col='doc_id', n=1000)} AS DOUBLE) / 1000.0
+          < quality * 0.5
     """,
     tags=("sampling", "extension"),
 )
-def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """80/10/10 train/val/test assignment by id-hash bucket —
-    reproducible on any engine, any partitioning, any rerun."""
+def sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling battery (method, doc_id, lang):
+
+      * ``hash20`` — ~20% sample by id-hash bucket;
+      * ``split_train/val/test`` — 80/10/10 assignment by the same
+        bucket, reproducible on any engine / partitioning / rerun;
+      * ``strat20`` — exactly 20 docs per language, rank by id-hash
+        within each stratum (one shuffle on the stratum key; the
+        per-stratum top-k goes through partial top-k, not a full sort);
+      * ``qweighted`` — acceptance sampling with probability ∝ a
+        quality heuristic (id-hash uniform < quality/2), so better
+        documents are kept more often, still deterministically.
+
+    Every method is a narrow projection + filter except strat20's one
+    bounded window; nothing here collects or depends on row order."""
     docs = load(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"))
-    return docs.select(
-        "doc_id", "lang",
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-        .alias("split"),
-    )
-
-
-@register(
-    "stratified_sample",
-    oracle=f"""
-    WITH r AS (SELECT doc_id, lang,
-                      ROW_NUMBER() OVER (
-                        PARTITION BY lang
-                        ORDER BY {_SQL_BUCKET.format(col='doc_id', n=1000000)}
-                                 ASC, doc_id ASC) AS rn
-               FROM documents)
-    SELECT doc_id, lang FROM r WHERE rn <= 20
-    """,
-    tags=("sampling", "extension"),
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly 20 documents per language, chosen pseudo-randomly but
-    deterministically (rank by id-hash within each stratum). One shuffle
-    on the stratum key; at scale the per-stratum top-k goes through
-    partial top-k, not a full sort."""
-    docs = load(spark, sf_dir, "documents")
+    hash20 = docs.filter(b < 20).select(
+        F.lit("hash20").alias("method"), "doc_id", "lang")
+    split = docs.select(
+        F.concat(F.lit("split_"),
+                 F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .alias("method"),
+        "doc_id", "lang")
     w = Window.partitionBy("lang").orderBy(
         hash_bucket(F.col("doc_id"), 1_000_000).asc(), F.col("doc_id").asc())
-    return (
+    strat = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
-        .select("doc_id", "lang")
+        .select(F.lit("strat20").alias("method"), "doc_id", "lang")
     )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    quality = (F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+               + F.lit(0.5) * (n_distinct / n_tokens))
+    u = hash_bucket(F.col("doc_id"), 1000).cast("double") / F.lit(1000.0)
+    qweighted = (
+        docs.filter(F.size(toks) > 0)
+        .filter(u < quality * 0.5)
+        .select(F.lit("qweighted").alias("method"), "doc_id", "lang")
+    )
+    return hash20.unionAll(split).unionAll(strat).unionAll(qweighted)

@@ -22,22 +22,43 @@ from myhadoop_spark.registry import register
 @register(
     "stream_window",
     oracle=f"""
-    SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+    SELECT 'tumbling1h' AS kind,
+           CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
                 AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            {sql_dsum('value', 'sum_value')}
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding1h15m', CAST(window_start AS TIMESTAMP), NULL,
+           COUNT(*), NULL, {sql_dsum('value', 'sum_value')}
+    FROM (SELECT time_bucket(INTERVAL '1 hour',
+                             CAST(ts AS TIMESTAMP) - to_minutes(off_min))
+                   + to_minutes(off_min) AS window_start,
+                 value
+          FROM events
+          CROSS JOIN (SELECT unnest([0, 15, 30, 45]) AS off_min) offs) w
+    GROUP BY 2
     """,
     tags=("streaming", "window"),
 )
 def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event type: counts, distinct users,
-    exact value sum. Epoch-aligned bucketing matches DuckDB time_bucket."""
+    """Event-time window battery, tagged by kind:
+
+      * ``tumbling1h`` — 1-hour tumbling windows per event type: counts,
+        distinct users, exact value sum;
+      * ``sliding1h15m`` — sliding windows (1 hour long, 15-minute
+        slide): every event lands in 4 overlapping windows.
+
+    Epoch-aligned bucketing matches DuckDB time_bucket; the oracle
+    reproduces Spark's window(ts, len, slide) semantics via explicit
+    offset replication. The streaming twins (readStream + watermark over
+    the same table) live in streaming/windows.py and are proven
+    equivalent to these batch plans in tests/test_streaming.py."""
     ev = load(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -45,41 +66,24 @@ def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
         .select(
+            F.lit("tumbling1h").alias("kind"),
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type", "n_events", "n_users", "sum_value",
         )
     )
-
-
-@register(
-    "stream_sliding",
-    oracle=f"""
-    WITH offs AS (SELECT unnest([0, 15, 30, 45]) AS off_min),
-    w AS (SELECT time_bucket(INTERVAL '1 hour',
-                             CAST(ts AS TIMESTAMP) - to_minutes(off_min))
-                   + to_minutes(off_min) AS window_start,
-                 value
-          FROM events CROSS JOIN offs)
-    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
-           COUNT(*) AS n_events,
-           {sql_dsum('value', 'sum_value')}
-    FROM w GROUP BY 1
-    """,
-    tags=("streaming", "window"),
-)
-def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 hour long, 15-minute slide): every event lands in
-    4 overlapping windows. The oracle reproduces Spark's window(ts, len,
-    slide) semantics via explicit offset replication."""
-    ev = load(spark, sf_dir, "events")
-    return (
+    sliding = (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(
+            F.lit("sliding1h15m").alias("kind"),
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "n_events", "sum_value",
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            F.lit(None).cast("bigint").alias("n_users"),
+            "sum_value",
         )
     )
+    return tumbling.unionAll(sliding)
 
 
 @register(
