@@ -43,10 +43,21 @@ def canon_value(v: Any) -> Any:
     return v
 
 
+def _sort_key(x: Any) -> str:
+    # Tolerance-stable sort key: floats that differ within the 1e-9
+    # relative comparison tolerance must not sort into different row
+    # orders (compare() zips row partners positionally), so the KEY
+    # rounds to 10 significant digits; the comparison itself still sees
+    # full-precision values.
+    if isinstance(x, float) and math.isfinite(x):
+        return f"{x:.9e}"
+    return str(x)
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple((x is None, _sort_key(x)) for x in t))
     return sorted(cols), out
 
 

@@ -302,7 +302,17 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidate pairs are pruned on two tiny ints BEFORE any gram
         array is joined or shuffled;
       * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
-    The blocked pair join itself moves only (doc_id, size) columns."""
+    The blocked pair join itself moves only (doc_id, size) columns.
+
+    NEGATIVE RESULT (r2, measured at sf0.1): a PPJoin-style prefix
+    filter (grams ordered by global frequency; candidates = pairs
+    sharing ≥1 of their |x|−⌈τ|x|⌉+1 rarest grams — exact recall) pruned
+    only 0.5% of candidates here (316,217 vs 317,870) while adding the
+    freq-join + per-doc window cost (~+4 s): same-source synthetic docs
+    share even their rarest 3-grams, so prefix selectivity collapses.
+    On a real crawl corpus (Zipfian gram rarity) the prefix filter is
+    the right next layer; on this fixture it is pure overhead, so the
+    size-ratio filter remains the candidate generator. See ROADMAP."""
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     grams = docs.select(
         "doc_id", "source",

@@ -12,21 +12,33 @@ standard mechanism for distributing Python deps to executors.
 
 from __future__ import annotations
 
+import tempfile
 import zipfile
 from pathlib import Path
-from tempfile import gettempdir
 
 from pyspark.sql import SparkSession
 
 _PKG_ROOT = Path(__file__).resolve().parent
 _SENTINEL = "_myhadoop_spark_shipped"
+_STAGING: Path | None = None  # per-process private staging dir (0700)
+
+
+def _staging_dir() -> Path:
+    """Private per-process staging dir. A fixed path in the shared system
+    temp dir would let another local user pre-create/replace the zip
+    (code injection into executors via addPyFile); mkdtemp gives a fresh
+    0700 directory owned by us, cached for the process lifetime."""
+    global _STAGING
+    if _STAGING is None or not _STAGING.exists():
+        _STAGING = Path(tempfile.mkdtemp(prefix="myhadoop_spark_pkg_"))
+    return _STAGING
 
 
 def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, _SENTINEL, False):
         return
-    zip_path = Path(gettempdir()) / "myhadoop_spark_pkg.zip"
+    zip_path = _staging_dir() / "myhadoop_spark_pkg.zip"
     # rebuild if missing or stale vs any source file
     srcs = sorted(_PKG_ROOT.rglob("*.py"))
     newest = max(p.stat().st_mtime for p in srcs)

@@ -113,7 +113,14 @@ def _make_band_registry(use_ttl: bool):
             if state.getCurrentWatermarkMs() > last_seen + BAND_TTL_MS:
                 owner = None
         out = []
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            # defensive: an empty data iterator outside the timeout path
+            # (possible under misconfiguration or future runtime changes)
+            # must not crash pd.concat; state stays as-is
+            return iter([pd.DataFrame({"doc_id": [], "band_key": [],
+                                       "owner_doc": []})])
+        rows = pd.concat(frames).sort_values(["ts", "doc_id"])
         max_ts_ms = last_seen
         for _, r in rows.iterrows():
             if owner is None:

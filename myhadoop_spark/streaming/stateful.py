@@ -47,10 +47,12 @@ def _make_update_user_totals(use_ttl: bool, ttl_ms: int = IDLE_TTL_MS):
                             state: GroupState) -> Iterator[pd.DataFrame]:
         if use_ttl and state.hasTimedOut:
             # idle eviction: totals for a silent user are dropped; if the
-            # user returns, counting restarts (documented semantics)
+            # user returns, counting restarts (documented semantics).
+            # Bare return: this function is a generator (it yields below),
+            # so a returned value would be silently discarded anyway —
+            # no output on eviction is the intended behavior.
             state.remove()
-            return iter([pd.DataFrame({"user_id": [], "n_events": [],
-                                       "sum_value_cents": []})])
+            return
         if state.exists:
             n, cents, last_seen = state.get
             # inline expiry: hasTimedOut never fires for keys receiving

@@ -56,8 +56,10 @@ def test_lsh_recall_vs_exact(spark):
     """simsearch_lsh must recover a reasonable fraction of the true
     top-5 neighbors (random 64-dim embeddings are a worst case for
     sign-LSH; the bound is deliberately loose but non-vacuous)."""
+    from myhadoop_spark.queries.simsearch import simsearch_lsh
+
     exact = registry.get("simsearch_exact").fn(spark, SF_SMOKE).collect()
-    lsh = registry.get("simsearch_lsh").fn(spark, SF_SMOKE).collect()
+    lsh = simsearch_lsh(spark, SF_SMOKE).collect()
     truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
     got = {(r["q_id"], r["neighbor_id"]) for r in lsh}
     recall = len(truth & got) / len(truth)

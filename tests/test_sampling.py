@@ -11,10 +11,15 @@ from myhadoop_spark.queries.sampling import hash_bucket
 from tests.conftest import SF_SMOKE
 
 
+def _battery(spark, method: str):
+    out = registry.get("sampling").fn(spark, SF_SMOKE)
+    return out.filter(F.col("method").startswith(method))
+
+
 def test_sample_fraction_is_roughly_20pct(spark):
     docs = load(spark, SF_SMOKE, "documents")
     n = docs.count()
-    s = registry.get("sample_hash").fn(spark, SF_SMOKE).count()
+    s = _battery(spark, "hash20").count()
     assert 0.10 * n <= s <= 0.30 * n, (s, n)
 
 
@@ -28,17 +33,18 @@ def test_sample_stable_under_repartition(spark):
 
 
 def test_split_partitions_are_exhaustive_and_disjoint(spark):
-    out = registry.get("train_test_split").fn(spark, SF_SMOKE)
+    out = _battery(spark, "split_")
     docs_n = load(spark, SF_SMOKE, "documents").count()
-    per = {r["split"]: r["n"] for r in
-           out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    per = {r["method"]: r["n"] for r in
+           out.groupBy("method").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(per.values()) == docs_n
-    assert set(per) == {"train", "val", "test"}
-    assert per["train"] > per["val"] and per["train"] > per["test"]
+    assert set(per) == {"split_train", "split_val", "split_test"}
+    assert per["split_train"] > per["split_val"]
+    assert per["split_train"] > per["split_test"]
 
 
 def test_stratified_exact_counts(spark):
-    out = registry.get("stratified_sample").fn(spark, SF_SMOKE)
+    out = _battery(spark, "strat20")
     per = {r["lang"]: r["n"] for r in
            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     langs = {r["lang"] for r in
