@@ -44,10 +44,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry the pre-round label through the pipeline so convergence
+        # detection needs no extra join-with-old (and no second action):
+        # each round is exactly ONE Spark action — the count() below
+        # both materializes the lazy checkpoint and measures progress.
         updated = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -66,20 +71,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             updated.join(lbl2, updated.component == lbl2.cid, "left")
             .select(
                 "id",
+                "prev",
                 F.least(F.col("component"),
                         F.coalesce(F.col("ccomp"), F.col("component")))
                 .alias("component"),
             )
         )
-        shortcut = shortcut.localCheckpoint()
-        old = labels.select(F.col("id").alias("oid"),
-                            F.col("component").alias("ocomp"))
-        n_changed = (
-            shortcut.join(old, shortcut.id == old.oid)
-            .filter(F.col("component") < F.col("ocomp"))
-            .count()
-        )
-        labels = shortcut
+        shortcut = shortcut.localCheckpoint(eager=False)
+        n_changed = shortcut.filter(F.col("component") < F.col("prev")).count()
+        labels = shortcut.select("id", "component")
         if n_changed == 0:
             break
     if n_changed != 0:

@@ -1,8 +1,8 @@
 """Deduplication operators over ``documents`` (SURVEY.md §2.3 extension).
 
-Four tiers, each a `queries()` entry with a DuckDB oracle:
-  dedup_exact    exact row dedup (dropDuplicates)
-  dedup_content  content-hash keep-one (md5 groupBy)
+Three tiers, each a `queries()` entry with a DuckDB oracle:
+  dedup_exact    exact row dedup (dropDuplicates) + content-hash
+                 keep-one annotation (md5 groupBy) in one battery
   dedup_minhash  MinHash-LSH near-dup candidate pairs + Jaccard verify
   simhash        32-bit SimHash fingerprint per document
 

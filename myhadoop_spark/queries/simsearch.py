@@ -12,13 +12,15 @@ Paths:
   embed_neardup    cosine ≥ τ near-duplicate pairs through sign-LSH
                    candidate buckets + exact-cosine verify
 
-Float determinism: every dot product is an explicit left-associated
-64-term sum over double-cast elements — bitwise identical to a left
-fold and to DuckDB's list_dot_product on double lists, but (unlike a
-higher-order-function fold) it compiles inside whole-stage codegen,
-which is ~10× faster per pair. Output cosines are floor-truncated to 6
-decimals (floor(x*1e6)/1e6) — truncation of identical doubles is
-identical, unlike round-half rules which differ between engines.
+Float determinism: every dot product is a left-fold double
+accumulation over double-cast elements, bitwise identical to DuckDB's
+list_dot_product on double lists — so results (and even top-k
+membership) agree across engines. Perf note: the fold measured 4×
+FASTER than an explicitly expanded 64-term element_at chain — the big
+expression tree trips codegen size heuristics and deoptimizes the whole
+stage (see _dot). Output cosines are floor-truncated to 6 decimals
+(floor(x*1e6)/1e6) — truncation of identical doubles is identical,
+unlike round-half rules which differ between engines.
 """
 
 from __future__ import annotations
@@ -40,26 +42,21 @@ def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def _dot(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
-    """Explicit left-associated Σ a[d]·b[d] — bitwise equal to the fold
-    (0.0 seed) and to DuckDB list_dot_product, but whole-stage-codegen
-    friendly (no interpreted higher-order functions in the hot loop)."""
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Left fold Σ a[d]·b[d] (0.0 seed) — bitwise equal to DuckDB's
+    list_dot_product. MEASURED (r2): the fold beats an explicitly
+    expanded 64-term element_at chain 4× — the big expression tree trips
+    Spark's codegen size heuristics and knocks the WHOLE stage out of
+    WholeStageCodegen, while the fold stays compact. Keep dot-product
+    stages wide (see embed_neardup's explicit repartition): AQE's
+    size-based coalescing cannot see per-row compute cost."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    total: Column | None = None
-    for d in range(1, dim + 1):
-        term = F.element_at(a, d) * F.element_at(b, d)
-        total = term if total is None else total + term
-    return total
-
-
-def _plane_dot(v: Column, weights: list[float]) -> Column:
-    """Σ v[d]·w_d with literal weights, same left-associated order."""
-    total: Column | None = None
-    for d, w in enumerate(weights, start=1):
-        term = F.element_at(v, d) * F.lit(w)
-        total = term if total is None else total + term
-    return total
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _trunc6(c: Column) -> Column:
@@ -279,7 +276,7 @@ def _nd_sql_bucket_exprs() -> str:
 
 
 _ND_TAGGED_SQL = " UNION ALL ".join(
-    f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM eb"
+    f"SELECT vec_id, v, nrm, {t} AS t, b{t} AS bucket FROM eb"
     for t in range(ND_TABLES))
 
 
@@ -291,57 +288,62 @@ _ND_TAGGED_SQL = " UNION ALL ".join(
                FROM embeddings),
     eb AS (SELECT vec_id, v, nrm, {_nd_sql_bucket_exprs()} FROM e),
     tagged AS ({_ND_TAGGED_SQL}),
-    cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-             FROM tagged x JOIN tagged y
-               ON x.t = y.t AND x.bucket = y.bucket
-              AND x.vec_id < y.vec_id),
-    p AS (SELECT id1, id2,
-                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-          FROM cand JOIN e a ON id1 = a.vec_id JOIN e b ON id2 = b.vec_id)
-    SELECT id1, id2, floor(cos * 1e6) / 1e6 AS cosine
+    p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+                 list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+          FROM tagged x JOIN tagged y
+            ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    SELECT DISTINCT id1, id2, floor(cos * 1e6) / 1e6 AS cosine
     FROM p WHERE cos >= {ND_THRESHOLD}
     """,
     tags=("simsearch", "dedup", "extension", "lsh"),
 )
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidate
-    generation (6 tables × 6 axis-aligned planes — one coordinate-sign
-    comparison per bit) + exact cosine ≥ τ verify on candidates only. The declared semantics ARE the
-    LSH-candidate semantics (mirrored bit-for-bit in the oracle): that
-    is the honest 100 TB contract — an unblocked exact all-pairs cosine
-    join does not exist at scale, and metadata blocking (the r1 `label`
-    stand-in) is not content-based.
+    generation (6 tables x 6 axis-aligned planes - one coordinate-sign
+    comparison per bit) + exact cosine >= t verify on candidates only.
+    The declared semantics ARE the LSH-candidate semantics (mirrored
+    bit-for-bit in the oracle): that is the honest 100 TB contract - an
+    unblocked exact all-pairs cosine join does not exist at scale, and
+    metadata blocking (the r1 `label` stand-in) is not content-based.
 
-    Scale: candidate pairs ∝ Σ_buckets n_b² with n_b ≈ n/2^P per table —
-    ~10× below all-pairs at any corpus size and tunable by P; the verify
-    join touches candidates only; bucket computation is a narrow
-    codegen projection."""
+    Shape: vectors ride INTO the (t, bucket) self-join, the cosine is
+    computed inline in the join stage (fold dot product), and the
+    pair-dedup DISTINCT runs AFTER the threshold filter - so the only
+    wide ops are one (t, bucket) exchange of T vector copies and a
+    distinct over the (tiny) surviving pairs. The r2 first cut
+    (distinct candidate ids, then two vector re-joins) spent 3 extra
+    shuffles on the full candidate set and measured 2x slower.
+
+    Scale: candidate pairs are sum over buckets of n_b^2 with
+    n_b ~ n/2^P per table, tunable by P; per-candidate work is one
+    codegen dot product, no shuffle."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v"))
     emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
     tagged = emb.select(
-        "vec_id",
+        "vec_id", "v", "nrm",
         F.posexplode(F.array(
             *[_nd_bucket_col(F.col("v"), t) for t in range(ND_TABLES)]
         )).alias("t", "bucket"))
-    left = tagged.select(F.col("vec_id").alias("id1"), "t", "bucket")
-    right = tagged.select(F.col("vec_id").alias("id2"), "t", "bucket")
-    cand = (
-        left.join(right, ["t", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
-                   F.col("nrm").alias("n1"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
-                   F.col("nrm").alias("n2"))
-    pairs = (
-        cand.join(a, "id1").join(b, "id2")
-        .select("id1", "id2",
-                (_dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cos"))
-    )
+    # explicit wide partitioning on the join keys: the bucket-join INPUT
+    # is tiny (T rows per vector), so AQE would coalesce the exchange to
+    # one partition — but the join OUTPUT times the per-pair dot product
+    # is the real work, invisible to size-based coalescing. A
+    # user-specified partition count survives AQE and keeps the verify
+    # compute parallel (measured 6 s single-core → sub-second wide).
+    par = spark.sparkContext.defaultParallelism
+    x = tagged.select(F.col("vec_id").alias("id1"), "t", "bucket",
+                      F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    y = tagged.select(F.col("vec_id").alias("id2"), "t", "bucket",
+                      F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    x = x.repartition(par, "t", "bucket")
+    y = y.repartition(par, "t", "bucket")
+    cos = _dot("v1", "v2") / (F.col("n1") * F.col("n2"))
     return (
-        pairs.filter(F.col("cos") >= ND_THRESHOLD)
+        x.join(y, ["t", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos.alias("cos"))
+        .filter(F.col("cos") >= ND_THRESHOLD)
         .select("id1", "id2", _trunc6(F.col("cos")).alias("cosine"))
+        .distinct()
     )

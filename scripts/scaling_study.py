@@ -30,7 +30,7 @@ REF_CORPUS = Path("/root/reference/fs/input/wordcount")
 VOLUMES = ["512", "768", "1024", "2048"]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
-HEADLINE = ["wc", "agg_q1", "join_multi", "window_rank", "simhash",
+HEADLINE = ["wc", "agg_q1", "join_multi", "window_fns", "simhash",
             "stream_window", "topk"]
 
 
