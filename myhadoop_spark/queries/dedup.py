@@ -197,8 +197,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("s2"))
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
     tot = (F.size("s1") + F.size("s2")).cast("double")
+    # pin the verify join wide: candidate pairs are small in BYTES but
+    # each costs an int-set intersect — AQE's size-based coalescing
+    # must not serialize this stage (see ngram_jaccard / embed_neardup)
+    par = spark.sparkContext.defaultParallelism
     jac = (
-        cand.join(s1, "doc1").join(s2, "doc2")
+        cand.repartition(par, "doc1")
+        .join(s1, "doc1").join(s2, "doc2")
         .select("doc1", "doc2", (inter / (tot - inter)).alias("jaccard"))
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -340,8 +345,16 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = grams.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     tot = (F.size("g1") + F.size("g2")).cast("double")
+    # explicit wide partitioning before the verify join: the candidate
+    # list is a few MB of int pairs, so AQE's size-based coalescing
+    # would run the array-intersect verify (the real work — ~800-int
+    # intersects per pair) nearly single-core (same trap as
+    # simsearch.embed_neardup; measured there 6 s narrow → sub-second
+    # wide)
+    par = spark.sparkContext.defaultParallelism
     pairs = (
-        cand.join(g1, "doc1").join(g2, "doc2")
+        cand.repartition(par, "doc1")
+        .join(g1, "doc1").join(g2, "doc2")
         .select("doc1", "doc2", (inter / (tot - inter)).alias("jaccard"))
     )
     return pairs.filter(F.col("jaccard") >= 0.75)
