@@ -1,9 +1,14 @@
 """dedup_clusters — near-duplicate clusters from pairwise edges.
 
-Iterative (non-SQL-expressible in one statement), so this is a declared
-rows-only query; its contract is tested structurally in
-tests/test_connected_components.py (pair-consistency, representative
-minimality) instead of oracle-hashed.
+Iterative on the engine side (pointer-jumping min-label propagation,
+operators/connected_components.py — no single-statement Spark SQL can
+express a fixpoint), but DuckDB CAN express the fixpoint as a recursive
+CTE, so since r2 this query is fully oracle-checked: the oracle inlines
+the embed_neardup pair oracle, symmetrizes the edges, walks the
+transitive closure with WITH RECURSIVE, and takes MIN(reachable id) per
+node — exactly the engine's (id, component) contract. The closure is
+quadratic in component size, fine at oracle scale (sf0.01); the engine
+side stays O(edges · log diameter) and is the form that scales.
 """
 
 from __future__ import annotations
@@ -11,18 +16,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myhadoop_spark import registry as _registry
 from myhadoop_spark.operators.connected_components import connected_components
+from myhadoop_spark.queries import simsearch  # registers embed_neardup
 from myhadoop_spark.registry import register
 
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_registry.get('embed_neardup').oracle}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym) n(a)
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
+"""
 
-@register("dedup_clusters", oracle=None, tags=("dedup", "extension", "iterative"))
+
+@register("dedup_clusters", oracle=_CC_ORACLE,
+          tags=("dedup", "extension", "iterative"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs → transitive clusters → (id, component)
     where component is the smallest member id (the canonical keep-one
-    representative). The full dedup story: LSH/blocked candidate pairs →
-    verify → connected components → keep component representatives."""
-    from myhadoop_spark.queries.simsearch import embed_neardup
-
-    edges = embed_neardup(spark, sf_dir).select(
+    representative). The full dedup story: LSH candidate pairs →
+    exact-cosine verify → connected components → keep component
+    representatives. Structural invariants (pair consistency,
+    representative minimality) additionally tested in
+    tests/test_connected_components.py."""
+    edges = simsearch.embed_neardup(spark, sf_dir).select(
         F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return connected_components(edges)
