@@ -79,6 +79,31 @@ def test_pandas_udf_is_arrow(spark):
     assert "ArrowEvalPython" in plan, plan  # vectorized, not row-at-a-time
 
 
+def test_window_battery_two_exchanges(spark):
+    """The 14-column window battery uses two sort keys (status, custkey)
+    → exactly two exchanges; the three custkey windows share one sort."""
+    plan = plan_of(spark, "window_fns")
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 2, f"{n} exchanges\n{plan}"
+
+
+def test_doc_metrics_is_narrow(spark):
+    """Per-document text features are one zero-shuffle codegen pass."""
+    for name in ("doc_metrics", "array_fns", "map_struct_fns"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, f"{name}:\n{plan}"
+        assert "BatchEvalPython" not in plan, f"{name}:\n{plan}"
+
+
+def test_media_decode_is_arrow_batched(spark):
+    """The multimodal decode path must run through Arrow mapInPandas in
+    executors — never a driver collect or row-at-a-time Python."""
+    plan = plan_of(spark, "media_features")
+    assert ("MapInPandas" in plan or "PythonMapInArrow" in plan
+            or "ArrowEvalPython" in plan), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_dedup_minhash_no_cartesian(spark):
     plan = plan_of(spark, "dedup_minhash")
     assert "CartesianProduct" not in plan, plan

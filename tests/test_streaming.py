@@ -97,3 +97,30 @@ def test_stream_dedup(spark, event_source):
     finally:
         q.stop()
     assert n == batch_events.count()
+
+
+def test_state_metrics_bounded_by_watermark(spark, event_source):
+    """State observability (ROADMAP r2 #2): the windowed aggregation
+    reports its state size through StreamingQueryProgress, and the
+    watermark keeps it bounded by the open-window count — the metric an
+    operator watches at 100 TB to know state isn't leaking."""
+    from myhadoop_spark.streaming.windows import tumbling_counts
+
+    src_dir, batch_events = event_source
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    q = run_to_memory(tumbling_counts(stream), "state_metrics_out", "append")
+    try:
+        progress = q.recentProgress
+        state_rows = [
+            op["numRowsTotal"]
+            for p in progress for op in (p.get("stateOperators") or [])
+        ]
+    finally:
+        q.stop()
+    assert state_rows and max(state_rows) > 0, progress
+    # bound: state holds at most the (window × event_type) groups seen
+    n_groups = (
+        batch_events.select(F.window("ts", "1 hour"), "event_type")
+        .distinct().count()
+    )
+    assert max(state_rows) <= n_groups, (max(state_rows), n_groups)
