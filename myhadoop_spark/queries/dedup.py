@@ -37,21 +37,34 @@ _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 _DOUBLED = "(SELECT * FROM documents UNION ALL SELECT * FROM documents)"
 
 
-def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → distinct token array (sorted for determinism)."""
+def _token_sets(spark: SparkSession, sf_dir: str,
+                wide: bool = False) -> DataFrame:
+    """doc_id → distinct token array (sorted for determinism).
+
+    wide=True repartitions the scan to the default parallelism BEFORE
+    the per-row tokenize/hash work. The fixture is one small parquet
+    file with a single row group — one input split — so without this
+    every downstream per-document expression (md5 per token, minhash
+    folds) runs on ONE core. Real multi-file data gets this parallelism
+    from the scan itself; the repartition moves only the bytes a real
+    scan would read per split (measured: minhash signature build 4×
+    faster at sf0.1)."""
     docs = load(spark, sf_dir, "documents")
+    if wide:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
     return docs.select(
         "doc_id", F.array_sort(F.array_distinct(toks)).alias("toks"))
 
 
-def _hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hashed_token_sets(spark: SparkSession, sf_dir: str,
+                       wide: bool = False) -> DataFrame:
     """doc_id → sorted distinct md5-derived 32-bit token hashes. The
     Jaccard verify runs over these int sets instead of string arrays:
     the 6M-pair verify join shuffles ~5× fewer bytes and intersects
     primitive ints. Hash collisions are deterministic and mirrored in
     the oracle, so results stay engine-identical."""
-    sets = _token_sets(spark, sf_dir)
+    sets = _token_sets(spark, sf_dir, wide=wide)
     return sets.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.transform(
@@ -110,7 +123,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       sets: DataFrame | None = None) -> DataFrame:
     """doc_id, band, band_sig — LSH band signatures from 16 minhashes.
 
     Computed as a zero-shuffle narrow fold (same discipline as simhash):
@@ -121,8 +135,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole dedup pipeline is the band-bucket candidate join itself.
 
     Token-less documents are excluded (mirrors the oracle, where a doc
-    with no tokens contributes no hash rows)."""
-    sets = _hashed_token_sets(spark, sf_dir).filter(F.size("toks") > 0)
+    with no tokens contributes no hash rows). Callers that also need
+    the hashed token sets (the Jaccard verify) pass them in via `sets`
+    so the tokenize+hash work is shared instead of recomputed."""
+    if sets is None:
+        sets = _hashed_token_sets(spark, sf_dir)
+    sets = sets.filter(F.size("toks") > 0)
     fam_a = F.array(*[F.lit(a).cast("long") for _, a, _ in MINHASH_FAM])
     fam_b = F.array(*[F.lit(b).cast("long") for _, _, b in MINHASH_FAM])
     sigs = F.transform(
@@ -182,8 +200,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: 16 minhashes → 4 bands × 4 rows →
     candidate pairs per identical band signature → exact Jaccard ≥ 0.5
     verify. No cross join anywhere: candidates come from the band-bucket
-    self-join, verification touches candidates only."""
-    bands = minhash_signatures(spark, sf_dir)
+    self-join, verification touches candidates only.
+
+    The hashed token sets are built WIDE (see _token_sets) and
+    materialized once (localCheckpoint) because both the signature
+    branch and the verify branch need them — Catalyst has no common
+    subtree sharing across joins, so without the checkpoint the
+    tokenize+md5 work runs twice — and on ONE core (single-split
+    fixture file). Measured r2 at sf0.1: 12.5 s → 3.8 s warm."""
+    sets = _hashed_token_sets(spark, sf_dir, wide=True).localCheckpoint()
+    bands = minhash_signatures(spark, sf_dir, sets=sets)
     left = bands.select(F.col("doc_id").alias("doc1"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc2"), "band", "band_sig")
     cand = (
@@ -192,7 +218,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
         .distinct()
     )
-    sets = _hashed_token_sets(spark, sf_dir)
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("s1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("s2"))
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
@@ -317,8 +342,22 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     share even their rarest 3-grams, so prefix selectivity collapses.
     On a real crawl corpus (Zipfian gram rarity) the prefix filter is
     the right next layer; on this fixture it is pure overhead, so the
-    size-ratio filter remains the candidate generator. See ROADMAP."""
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    size-ratio filter remains the candidate generator. See ROADMAP.
+
+    r2 parallelism fixes (23 s → 2.6 s warm at sf0.1): (a) the gram build is
+    repartitioned wide and materialized once (single-split fixture file
+    + no Catalyst subtree sharing — see dedup_minhash); (b) the blocked
+    pair join is SALTED: `source` has only a handful of distinct values,
+    so a plain equi-join on it runs on that many cores regardless of
+    shuffle partitions. Each right-side doc gets a bucket
+    hash(doc_id) % B, the left side is replicated B× (3-int rows), and
+    the join key becomes (source, bucket) — parallelism |sources|·B,
+    every pair still produced exactly once (the right side's bucket is
+    a function of doc2). This is the skew playbook from operators/
+    skew.py applied to a low-cardinality blocking key."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.length("text") >= 3).repartition(par))
     grams = docs.select(
         "doc_id", "source",
         F.array_sort(F.array_distinct(F.expr(
@@ -327,16 +366,22 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + ascii(substring(text, i + 1, 1)) * 256"
             "    + ascii(substring(text, i + 2, 1)))"
         ))).alias("grams"),
-    )
+    ).localCheckpoint()
+    n_buckets = 16
     sizes = grams.select("doc_id", "source", F.size("grams").alias("n"))
-    a = sizes.select(F.col("doc_id").alias("doc1"), "source",
-                     F.col("n").alias("n1"))
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    a = (sizes.select(F.col("doc_id").alias("doc1"), "source",
+                      F.col("n").alias("n1"))
+         .crossJoin(F.broadcast(buckets)))
     b = sizes.select(F.col("doc_id").alias("doc2"),
-                     F.col("source").alias("source2"), F.col("n").alias("n2"))
+                     F.col("source").alias("source2"), F.col("n").alias("n2"),
+                     F.pmod(F.hash("doc_id"), F.lit(n_buckets)).alias("bucket2"))
     ratio = (F.least("n1", "n2").cast("double")
              / F.greatest("n1", "n2").cast("double"))
     cand = (
         a.join(b, (F.col("source") == F.col("source2"))
+               & (F.col("bucket") == F.col("bucket2"))
                & (F.col("doc1") < F.col("doc2")))
         .filter(ratio >= 0.75)
         .select("doc1", "doc2")
