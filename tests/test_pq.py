@@ -1,0 +1,85 @@
+"""IVF-PQ (operators/pq.py): recall bounds, determinism, and the
+compact-index contract. Approximate op → bound-checked vs exact, not
+hash-matched (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myhadoop_spark import registry
+from myhadoop_spark.catalog import load
+from myhadoop_spark.operators.ivf import train_centroids
+from myhadoop_spark.operators.pq import (ivfpq_topk, pq_index,
+                                         train_pq_codebooks)
+from myhadoop_spark.queries.simsearch import N_QUERIES, _as_double, _dot
+from tests.conftest import SF_SMOKE
+
+
+def _emb_and_queries(spark):
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v"))).localCheckpoint()
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    return emb, q
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ must recover most true neighbors (the quantized shortlist
+    + exact re-rank can lose a little vs plain IVF, whose probe recall
+    is its ceiling) and be bit-reproducible run-to-run."""
+    emb, q = _emb_and_queries(spark)
+    cents = train_centroids(emb, k=16, iterations=5)
+    books = train_pq_codebooks(emb)
+    exact = registry.get("simsearch_exact").fn(spark, SF_SMOKE).collect()
+    truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    got_rows = ivfpq_topk(emb, q, cents, books).collect()
+    got = {(r["q_id"], r["neighbor_id"]) for r in got_rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF-PQ recall collapsed: {recall}"
+    # re-ranked cosines are EXACT: every reported pair must carry the
+    # same cosine the exact search reports for that pair
+    exact_cos = {(r["q_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in got_rows:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key], key
+    again = {(r["q_id"], r["neighbor_id"])
+             for r in ivfpq_topk(emb, q, cents, books).collect()}
+    assert got == again
+
+
+def test_pq_index_is_compact_and_codes_valid(spark):
+    """The searchable index must NOT carry the raw vector, and every
+    code must be a valid codebook row index."""
+    emb, _ = _emb_and_queries(spark)
+    cents = train_centroids(emb, k=16, iterations=5)
+    books = train_pq_codebooks(emb)
+    idx = pq_index(emb, cents, books)
+    assert "v" not in idx.columns, idx.columns
+    m, k_sub = len(books), len(books[0])
+    bad = idx.filter(
+        (F.size("codes") != m)
+        | F.exists("codes", lambda c: (c < 0) | (c >= k_sub))).count()
+    assert bad == 0
+    assert idx.count() == emb.count()
+
+
+def test_larger_refine_cannot_reduce_recall(spark):
+    """The exact re-rank is monotone in the shortlist: widening refine
+    can only add true neighbors (guards the shortlist/re-rank wiring —
+    a bug that ranked by approximate score at the END would break
+    this)."""
+    emb, q = _emb_and_queries(spark)
+    cents = train_centroids(emb, k=16, iterations=5)
+    books = train_pq_codebooks(emb)
+    truth = {(r["q_id"], r["neighbor_id"]) for r in
+             registry.get("simsearch_exact").fn(spark, SF_SMOKE).collect()}
+
+    def recall(refine: int) -> float:
+        got = {(r["q_id"], r["neighbor_id"]) for r in
+               ivfpq_topk(emb, q, cents, books, refine=refine).collect()}
+        return len(truth & got) / len(truth)
+
+    assert recall(8) >= recall(2)
