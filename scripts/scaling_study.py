@@ -31,7 +31,8 @@ VOLUMES = ["512", "768", "1024", "2048"]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
 HEADLINE = ["wc", "agg_q1", "join_multi", "window_fns", "simhash",
-            "stream_window", "topk"]
+            "stream_window", "topk", "dedup_minhash", "ngram_jaccard",
+            "embed_neardup"]
 
 
 def timed(fn, reps: int) -> float:

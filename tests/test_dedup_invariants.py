@@ -40,3 +40,40 @@ def test_simhash_is_32bit(spark):
     out = registry.get("simhash").fn(spark, SF_SMOKE)
     bad = out.filter((F.col("simhash") < 0) | (F.col("simhash") > (1 << 32) - 1))
     assert bad.count() == 0
+
+
+def test_ngram_salted_candidates_equal_direct_join(spark):
+    """The salted (source, hash(doc_id)%B) candidate join must produce
+    EXACTLY the pair set of a direct source-blocked self-join — salting
+    is a physical-parallelism rewrite, never a semantic one. (Guards
+    the replicate-left/bucket-right wiring: a bug that bucketed BOTH
+    sides would silently drop cross-bucket pairs.)"""
+    from pyspark.sql import functions as F
+
+    from myhadoop_spark.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.length("text") >= 3)
+    sizes = docs.select("doc_id", "source", F.length("text").alias("n"))
+    ratio = (F.least("n1", "n2").cast("double")
+             / F.greatest("n1", "n2").cast("double"))
+    a = sizes.select(F.col("doc_id").alias("doc1"), "source",
+                     F.col("n").alias("n1"))
+    b = sizes.select(F.col("doc_id").alias("doc2"),
+                     F.col("source").alias("source2"),
+                     F.col("n").alias("n2"))
+    direct = {(r["doc1"], r["doc2"]) for r in
+              a.join(b, (F.col("source") == F.col("source2"))
+                     & (F.col("doc1") < F.col("doc2")))
+              .filter(ratio >= 0.75).select("doc1", "doc2").collect()}
+
+    n_buckets = 16
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    a_rep = a.crossJoin(F.broadcast(buckets))
+    b_bk = b.withColumn("bucket2", F.pmod(F.hash("doc2"), F.lit(n_buckets)))
+    salted = {(r["doc1"], r["doc2"]) for r in
+              a_rep.join(b_bk, (F.col("source") == F.col("source2"))
+                         & (F.col("bucket") == F.col("bucket2"))
+                         & (F.col("doc1") < F.col("doc2")))
+              .filter(ratio >= 0.75).select("doc1", "doc2").collect()}
+    assert direct == salted and len(direct) > 0
