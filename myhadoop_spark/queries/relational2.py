@@ -6,7 +6,7 @@ completing the SURVEY.md §2.2 engine-surface checklist.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -174,30 +174,87 @@ def _affinity_score(price: pd.Series, balance: pd.Series) -> pd.Series:
     return p * (1.0 + balance.abs() / 10_000.0) - price / 1_000_000.0
 
 
+@F.pandas_udf(T.LongType())
+def _cents_total(cents: pd.Series) -> int:
+    """GROUPED_AGG pandas UDAF: exact int64 sum of order cents. Integer
+    arithmetic end-to-end so the result is bitwise engine-independent
+    (a float UDAF's summation order would not be)."""
+    return int(cents.sum())
+
+
+def _rank_in_customer(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas grouped map: SQL RANK() semantics (ties share the
+    minimum rank) over order cents within one customer's orders."""
+    pdf = pdf.copy()
+    pdf["price_rank"] = (
+        pdf["cents"].rank(method="min", ascending=True).astype("int64"))
+    return pdf
+
+
 @register(
     "pandas_udf_score",
     oracle="""
     SELECT o_orderkey,
            (o_totalprice / 100000.0) * (1.0 + abs(c_acctbal) / 10000.0)
-             - o_totalprice / 1000000.0 AS score
+             - o_totalprice / 1000000.0 AS score,
+           SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey) AS cust_total_cents,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(round(o_totalprice * 100, 0)
+                                           AS BIGINT))
+                AS BIGINT) AS price_rank
     FROM orders JOIN customer ON o_custkey = c_custkey
     """,
     tags=("udf", "extension"),
 )
 def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched pandas UDF over a join — the engine's generalization
-    of the reference's arbitrary-Python map surface
-    (/root/reference/app.py:10-11) in its vectorized (scalable) form."""
+    """The full sanctioned-Python surface in one battery, every path
+    Arrow-batched (never row-at-a-time) — the engine's generalization of
+    the reference's arbitrary-Python map surface
+    (/root/reference/app.py:10-11):
+
+      * scalar pandas UDF (`_affinity_score`) — vectorized per-row map;
+      * GROUPED_AGG pandas UDAF (`_cents_total`) as an unbounded window
+        over the customer partition — custom aggregation semantics;
+      * `applyInPandas` grouped map (`_rank_in_customer`) — per-group
+        frame logic (SQL RANK ties) where whole-group visibility is
+        needed.
+
+    All three mirror to plain SQL bitwise: the UDAF sums int64 cents
+    (round(price·100) recovers exact integer cents from the double
+    price — cast alone would TRUNCATE in Spark but ROUND in DuckDB),
+    the rank is integer, and the score is
+    arithmetic-only float64. Shuffle discipline: one shuffle on
+    o_custkey feeds BOTH the window UDAF and the grouped map (the
+    applyInPandas grouping key), then the broadcast customer join adds
+    none."""
     from myhadoop_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
-                                                  "o_totalprice")
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_totalprice")
+              .withColumn("cents",
+                          F.round(F.col("o_totalprice") * 100, 0)
+                          .cast("long")))
+    w = Window.partitionBy("o_custkey")
+    totaled = orders.withColumn("cust_total_cents",
+                                _cents_total("cents").over(w))
+    # grouped map AFTER the window: the window's output partitioning is
+    # exactly hashpartitioning(o_custkey), which FlatMapGroupsInPandas
+    # reuses — one exchange feeds both pandas stages (plan-asserted)
+    ranked = totaled.groupBy("o_custkey").applyInPandas(
+        _rank_in_customer,
+        schema=("o_orderkey bigint, o_custkey bigint, o_totalprice "
+                "double, cents bigint, cust_total_cents bigint, "
+                "price_rank bigint"))
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return (
-        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        ranked
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey",
-                _affinity_score("o_totalprice", "c_acctbal").alias("score"))
+                _affinity_score(F.col("o_totalprice").cast("double"),
+                                F.col("c_acctbal")).alias("score"),
+                "cust_total_cents", "price_rank")
     )
 
 

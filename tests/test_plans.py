@@ -75,8 +75,18 @@ def test_scalar_fns_single_codegen_stage(spark):
 
 
 def test_pandas_udf_is_arrow(spark):
+    """All three Python stages of the battery are Arrow-batched — the
+    scalar UDF, the GROUPED_AGG window UDAF, and the applyInPandas
+    grouped map — never row-at-a-time; and the window + grouped map
+    share ONE o_custkey exchange (the grouped map reuses the window's
+    output partitioning)."""
     plan = plan_of(spark, "pandas_udf_score")
-    assert "ArrowEvalPython" in plan, plan  # vectorized, not row-at-a-time
+    assert "ArrowEvalPython" in plan, plan      # scalar pandas UDF
+    assert "ArrowWindowPython" in plan, plan    # GROUPED_AGG window UDAF
+    assert "FlatMapGroupsInPandas" in plan, plan  # applyInPandas
+    assert "BatchEvalPython" not in plan, plan
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 1, f"{n} exchanges\n{plan}"
 
 
 def test_window_battery_two_exchanges(spark):
