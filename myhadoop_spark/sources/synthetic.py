@@ -11,16 +11,26 @@ schema declaration, option handling, partition planning (one split per
 deterministic per-partition generation (seeded by partition index, so
 the dataset is identical for any executor placement).
 
+Since r2 the source also has a STREAMING face (simpleStreamReader):
+micro-batches over the same deterministic document space, with dict
+offsets and a replayable readBetweenOffsets — the contract Structured
+Streaming's exactly-once recovery requires. Batch and stream share one
+generator (_gen_doc), so stream output ≡ batch output (tested).
+
 Usage:
     from myhadoop_spark.sources.synthetic import register
     register(spark)
     df = (spark.read.format("synthetic_docs")
           .option("rows", 1000).option("numPartitions", 8).load())
+    stream = (spark.readStream.format("synthetic_docs")
+              .option("rowsPerBatch", 100).load())
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 VOCAB = ("data spark shuffle join scan filter table row column batch "
          "stream window agg sort merge hash key value query plan").split()
@@ -53,19 +63,64 @@ class SyntheticDocsReader(DataSourceReader):
         ]
 
     def read(self, partition: _DocsPartition):
-        # deterministic per-row generation: an LCG seeded by doc id, so
-        # output is independent of partitioning and executor placement
+        # deterministic per-row generation (_gen_doc: LCG seeded by doc
+        # id), independent of partitioning and executor placement
         for doc_id in range(partition.start, partition.end):
-            state = (doc_id * 6364136223846793005 + 1442695040888963407) \
-                % (1 << 63)
-            span = self.max_tokens - self.min_tokens + 1
-            n_tokens = self.min_tokens + state % span
-            words = []
-            for _ in range(n_tokens):
-                state = (state * 6364136223846793005 + 1442695040888963407) \
-                    % (1 << 63)
-                words.append(VOCAB[state % len(VOCAB)])
-            yield (doc_id, " ".join(words), partition.index)
+            yield (doc_id, _gen_doc(doc_id, self.min_tokens,
+                                    self.max_tokens), partition.index)
+
+
+def _gen_doc(doc_id: int, min_tokens: int, max_tokens: int) -> str:
+    """The shared deterministic generator: an LCG seeded by doc id, so
+    a document's text depends only on its id — identical between the
+    batch reader, the stream reader, and any executor placement."""
+    state = (doc_id * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    n_tokens = min_tokens + state % (max_tokens - min_tokens + 1)
+    words = []
+    for _ in range(n_tokens):
+        state = (state * 6364136223846793005 + 1442695040888963407) \
+            % (1 << 63)
+        words.append(VOCAB[state % len(VOCAB)])
+    return " ".join(words)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic document space.
+
+    Offsets are plain dicts {"next": <first unproduced doc_id>}; each
+    poll produces up to `rowsPerBatch` documents. Because documents are
+    a pure function of doc_id, replaying any offset range after a
+    restart regenerates IDENTICAL rows — which is exactly the
+    replayability contract Structured Streaming's exactly-once recovery
+    requires from a source (readBetweenOffsets is the replay path the
+    engine calls when recovering a batch written to the offset log but
+    not yet committed)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.min_tokens = int(options.get("minTokens", 5))
+        self.max_tokens = int(options.get("maxTokens", 60))
+        self.max_rows = int(options.get("maxRows", -1))  # -1 = unbounded
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # a concrete list, not a generator: the engine pickles the
+        # produced rows into its prefetch cache
+        return [(doc_id, _gen_doc(doc_id, self.min_tokens,
+                                  self.max_tokens), 0)
+                for doc_id in range(start, end)]
+
+    def read(self, start: dict):
+        first = start["next"]
+        end = first + self.rows_per_batch
+        if self.max_rows >= 0:
+            end = min(end, self.max_rows)
+        return self._rows(first, max(first, end)), {"next": max(first, end)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
 
 
 class SyntheticDocsSource(DataSource):
@@ -78,6 +133,9 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -62,3 +62,52 @@ def test_token_bounds_respected(spark):
     sizes = [r["n"] for r in
              df.select(F.size(F.split("text", " ")).alias("n")).collect()]
     assert min(sizes) >= 3 and max(sizes) <= 7
+
+
+def test_stream_reader_batches_match_batch_read(spark, tmp_path):
+    """The STREAMING face of the source (Spark 4 SimpleDataSourceStream-
+    Reader): micro-batches over the same deterministic document space
+    must reproduce the batch read exactly — same ids, same text."""
+    import time
+
+    register(spark)
+    # default micro-batch trigger: availableNow drains only the first
+    # prefetched batch of a SimpleDataSourceStreamReader, so poll the
+    # bounded stream (maxRows) until all rows land, then stop
+    q = (spark.readStream.format("synthetic_docs")
+         .option("rowsPerBatch", 40).option("maxRows", 100).load()
+         .writeStream.format("memory").queryName("synth_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        deadline = time.time() + 120
+        while (spark.sql("SELECT count(*) FROM synth_stream").first()[0] < 100
+               and time.time() < deadline):
+            time.sleep(0.5)
+        streamed = {(r["doc_id"], r["text"])
+                    for r in spark.sql("SELECT * FROM synth_stream").collect()}
+    finally:
+        q.stop()
+    batch = {(r["doc_id"], r["text"])
+             for r in _read(spark, rows=100, numPartitions=3).collect()}
+    assert streamed == batch and len(streamed) == 100
+
+
+def test_stream_reader_replay_is_identical(spark):
+    """readBetweenOffsets (the exactly-once recovery path) must
+    regenerate the same rows for the same offset range."""
+    from myhadoop_spark.sources.synthetic import SyntheticDocsStreamReader
+
+    r = SyntheticDocsStreamReader({"rowsPerBatch": "10"})
+    assert r.initialOffset() == {"next": 0}
+    rows, nxt = r.read({"next": 0})
+    first = list(rows)
+    assert nxt == {"next": 10} and len(first) == 10
+    replay = list(r.readBetweenOffsets({"next": 0}, {"next": 10}))
+    assert replay == first
+    # bounded source: reads past maxRows produce nothing and hold offset
+    b = SyntheticDocsStreamReader({"rowsPerBatch": "10", "maxRows": "5"})
+    rows, nxt = b.read({"next": 0})
+    assert len(list(rows)) == 5 and nxt == {"next": 5}
+    rows, nxt = b.read({"next": 5})
+    assert list(rows) == [] and nxt == {"next": 5}
