@@ -70,6 +70,32 @@ def _sql_lang_case() -> str:
 _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal ADJACENT elements — an O(n) higher-order
+    fold (struct accumulator: previous element, current run, best run).
+    Over a sorted array this is the maximum element multiplicity; over
+    text in natural order it is the longest character repeat. Stays a
+    narrow codegen expression — the shuffle-free way to get per-doc
+    repetition statistics that would otherwise need an explode +
+    groupBy."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        arr,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))).alias("best")),
+        lambda acc: acc["best"])
+
+
+
+
 @register(
     "doc_metrics",
     oracle=rf"""
@@ -82,7 +108,25 @@ _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
                  {_sql_hits('toks', STOPWORDS)} AS stopword_hits,
                  {', '.join(f"{_sql_hits('toks', ws)} AS h_{lang}"
                             for lang, ws in LANG_MARKERS.items())}
-          FROM t)
+          FROM t),
+    tw AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_count
+           FROM (SELECT doc_id, tok, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                 GROUP BY doc_id, tok)
+           GROUP BY doc_id),
+    ch AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 1) AS c
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, greatest(length(text), 0)))
+                          AS pos
+                 FROM t)),
+    runs AS (SELECT doc_id, c,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, c
+                                             ORDER BY pos) AS island
+             FROM ch),
+    cr AS (SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_char_run
+           FROM (SELECT doc_id, COUNT(*) AS run_len
+                 FROM runs GROUP BY doc_id, c, island)
+           GROUP BY doc_id)
     SELECT doc_id, lang, source,
            CAST(length(text) AS BIGINT) AS n_chars_m,
            n_tokens, n_distinct,
@@ -101,8 +145,12 @@ _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
            md5(lower(trim(text))) AS fp_md5,
            md5(array_to_string(list_sort(list_distinct(
                list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                           x -> x <> ''))), ' ')) AS fp_shingle
-    FROM h
+                           x -> x <> ''))), ' ')) AS fp_shingle,
+           COALESCE(tw.top_word_count, 0) AS top_word_count,
+           CAST(COALESCE(tw.top_word_count, 0) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS top_word_frac,
+           COALESCE(cr.max_char_run, 0) AS max_char_run
+    FROM h LEFT JOIN tw USING (doc_id) LEFT JOIN cr USING (doc_id)
     """,
     tags=("text", "extension"),
 )
@@ -144,6 +192,9 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & (hits[lang] >= hits[other])
         pred = (F.when(cond, F.lit(lang)) if pred is None
                 else pred.when(cond, F.lit(lang)))
+    # max multiplicity of any token == longest run over the SORTED array —
+    # repetition scoring without an explode+groupBy shuffle
+    top_word = _max_run(F.array_sort(toks))
     norm = F.lower(F.trim(F.col("text")))
     norm_toks = F.filter(F.split(norm, r"\s+"), lambda t: t != F.lit(""))
     return docs.select(
@@ -166,4 +217,10 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(norm_toks)), " "))
         .alias("fp_shingle"),
+        top_word.alias("top_word_count"),
+        (top_word.cast("double") / n_tokens.cast("double"))
+        .alias("top_word_frac"),
+        _max_run(F.filter(F.split(F.col("text"), ""),
+                          lambda c: c != F.lit("")))
+        .alias("max_char_run"),
     )
