@@ -69,6 +69,58 @@ def _sql_lang_case() -> str:
 # BPE-ish regex lexer: letter runs / digit runs / single punctuation
 _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
+# winnowing fingerprint (Schleimer/Wilkerson/Aiken, MOSS): polynomial
+# k-gram hashes, then the minimum of every w-hash window.  Constants are
+# shared verbatim with the SQL oracle; the polynomial keeps every
+# intermediate < 2^63 (5 terms * 255 * 257^4 ~ 5.6e12) so no interim
+# mod is needed and Spark/DuckDB BIGINT arithmetic agrees bitwise.
+_WIN_K, _WIN_B, _WIN_M, _WIN_W = 5, 257, 2_147_483_647, 4
+_WIN_POWERS = [_WIN_B ** (_WIN_K - 1 - j) for j in range(_WIN_K)]
+
+
+def _kgram_hashes(codes: Column) -> Column:
+    """Polynomial k-gram hashes over a materialized char-code column.
+
+    ``codes`` MUST be a plain column reference (not an inline
+    expression): it is read inside the per-position lambda, and an
+    inline expression there would be re-evaluated per position —
+    turning the O(n·k) chain quadratic.  Same discipline in the SQL
+    oracle (staged CTE columns)."""
+    n_grams = F.size(codes) - F.lit(_WIN_K - 1)
+    return F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: sum(
+                F.element_at(codes, (i + j).cast("int")).cast("bigint")
+                * F.lit(p)
+                for j, p in enumerate(_WIN_POWERS)) % F.lit(_WIN_M)))
+
+
+def _window_mins(kh: Column) -> Column:
+    """Winnowing selection: min of each w-window of the (materialized)
+    k-gram hash column.  O(n·w) per row, narrow, no UDF."""
+    n_windows = F.size(kh) - F.lit(_WIN_W - 1)
+    return F.when(n_windows < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(kh, i, _WIN_W))))
+
+
+_SQL_WIN_POLY = " + ".join(
+    f"CAST(codes[CAST(g + {j} AS INT)] AS BIGINT) * {p}"
+    for j, p in enumerate(_WIN_POWERS))
+# staged per-column expressions for the oracle CTE chain (codes → kh →
+# winnow); each references the previous CTE's COLUMN so nothing is
+# re-evaluated per lambda position
+_SQL_WIN_CODES = ("list_transform(generate_series(1,"
+                  " greatest(length(text), 0)),"
+                  " i -> ascii(substr(text, CAST(i AS INT), 1)))")
+_SQL_WIN_KH = (f"list_transform(generate_series(1, greatest(len(codes)"
+               f" - {_WIN_K - 1}, 0)), g -> ({_SQL_WIN_POLY}) % {_WIN_M})")
+_SQL_WIN_SEL = (f"list_transform(generate_series(1, greatest(len(kh)"
+                f" - {_WIN_W - 1}, 0)),"
+                f" i -> list_min(list_slice(kh, CAST(i AS INT),"
+                f" CAST(i + {_WIN_W - 1} AS INT))))")
+
 
 def _max_run(arr: Column) -> Column:
     """Longest run of equal ADJACENT elements — an O(n) higher-order
@@ -126,7 +178,15 @@ def _max_run(arr: Column) -> Column:
     cr AS (SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_char_run
            FROM (SELECT doc_id, COUNT(*) AS run_len
                  FROM runs GROUP BY doc_id, c, island)
-           GROUP BY doc_id)
+           GROUP BY doc_id),
+    wcod AS (SELECT doc_id, {_SQL_WIN_CODES} AS codes FROM t),
+    wkh AS (SELECT doc_id, {_SQL_WIN_KH} AS kh FROM wcod),
+    wsel AS (SELECT doc_id, {_SQL_WIN_SEL} AS sel FROM wkh),
+    wfp AS (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(sel)), ','))
+                     AS fp_winnow,
+                   CAST(len(list_distinct(sel)) AS BIGINT) AS n_winnow_fp
+            FROM wsel)
     SELECT doc_id, lang, source,
            CAST(length(text) AS BIGINT) AS n_chars_m,
            n_tokens, n_distinct,
@@ -149,8 +209,10 @@ def _max_run(arr: Column) -> Column:
            COALESCE(tw.top_word_count, 0) AS top_word_count,
            CAST(COALESCE(tw.top_word_count, 0) AS DOUBLE)
              / CAST(n_tokens AS DOUBLE) AS top_word_frac,
-           COALESCE(cr.max_char_run, 0) AS max_char_run
+           COALESCE(cr.max_char_run, 0) AS max_char_run,
+           wfp.fp_winnow, wfp.n_winnow_fp
     FROM h LEFT JOIN tw USING (doc_id) LEFT JOIN cr USING (doc_id)
+         LEFT JOIN wfp USING (doc_id)
     """,
     tags=("text", "extension"),
 )
@@ -172,6 +234,16 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero shuffles, zero UDFs: one narrow whole-stage-codegen projection,
     embarrassingly parallel at any corpus size."""
     docs = load(spark, sf_dir, "documents")
+    # winnowing stages as materialized columns — each is referenced
+    # several times downstream (incl. inside lambdas), which both keeps
+    # the chain O(n·k) and blocks CollapseProject from inlining them
+    docs = (
+        docs
+        .withColumn("_codes", F.transform(
+            F.filter(F.split(F.col("text"), ""),
+                     lambda c: c != F.lit("")), F.ascii))
+        .withColumn("_kh", _kgram_hashes(F.col("_codes")))
+        .withColumn("_winnow", _window_mins(F.col("_kh"))))
     toks = _tokens()
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
@@ -195,6 +267,7 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max multiplicity of any token == longest run over the SORTED array —
     # repetition scoring without an explode+groupBy shuffle
     top_word = _max_run(F.array_sort(toks))
+    winnow = F.col("_winnow")
     norm = F.lower(F.trim(F.col("text")))
     norm_toks = F.filter(F.split(norm, r"\s+"), lambda t: t != F.lit(""))
     return docs.select(
@@ -223,4 +296,10 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _max_run(F.filter(F.split(F.col("text"), ""),
                           lambda c: c != F.lit("")))
         .alias("max_char_run"),
+        F.md5(F.array_join(
+            F.transform(F.array_sort(F.array_distinct(winnow)),
+                        lambda x: x.cast("string")), ","))
+        .alias("fp_winnow"),
+        F.size(F.array_distinct(winnow)).cast("bigint")
+        .alias("n_winnow_fp"),
     )
