@@ -155,3 +155,37 @@ def test_band_state_expires_after_ttl(spark, tmp_path_factory):
     # doc 3 replays doc 1's text 20 days later — ownership expired, so
     # it is treated as fresh
     assert decisions[3] is False, decisions
+
+
+def test_band_registry_state_metrics(spark, replay):
+    """State observability (ROADMAP r2 #2, applyInPandasWithState leg):
+    the band registry reports its keyed-state size through
+    StreamingQueryProgress, and that size is bounded by the number of
+    distinct band keys presented — the leak gauge an operator watches
+    at corpus scale."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(replay))
+    q = (banded_near_dedup_stream(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _eid: df.count()).start())
+    try:
+        q.processAllAvailable()
+        state_rows = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in (p.get("stateOperators") or [])
+        ]
+    finally:
+        q.stop()
+    assert state_rows and max(state_rows) > 0, q.recentProgress
+    all_rows = TEXTS_B1 + TEXTS_B2
+    df = spark.createDataFrame(all_rows, "doc_id LONG, text STRING")
+    n_bands = (df.select(F.explode(band_keys_col("text")).alias("bk"))
+               .distinct().count())
+    assert max(state_rows) <= n_bands, (max(state_rows), n_bands)
