@@ -79,3 +79,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load() plus scan widening for heavy per-row work.
+
+    A fixture table is one small parquet file with one row group — a
+    single input split — so compute-dense narrow pipelines (winnowing,
+    minhash folds, per-char runs) would run on ONE core regardless of
+    shuffle settings. When the scan yields fewer partitions than the
+    default parallelism, repartition round-robin up to it; on real
+    multi-file data (the 100 TB case) the scan already produces at
+    least that many splits and this is a NO-OP — no shuffle appears in
+    the plan."""
+    df = load(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df

@@ -235,7 +235,17 @@ def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "o_custkey", "o_totalprice")
               .withColumn("cents",
                           F.round(F.col("o_totalprice") * 100, 0)
-                          .cast("long")))
+                          .cast("long"))
+              # EXPLICIT wide hash partition on the grouping key: the
+              # per-group pandas stages are heavy-compute/small-bytes,
+              # exactly the shape AQE's size-based coalescing serializes
+              # onto a few tasks (optimization log #0; measured 19.7 s →
+              # 2.7 s for the grouped map at sf0.1). A user repartition
+              # with an EXPLICIT partition count is exempt from
+              # coalescing, and hashpartitioning(o_custkey) is reused
+              # by the window AND the grouped map.
+              .repartition(spark.sparkContext.defaultParallelism,
+                           F.col("o_custkey")))
     w = Window.partitionBy("o_custkey")
     totaled = orders.withColumn("cust_total_cents",
                                 _cents_total("cents").over(w))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myhadoop_spark.catalog import load
+from myhadoop_spark.catalog import load, load_wide
 from myhadoop_spark.registry import register
 
 # stopword / marker lists (tiny, deterministic; shared with the SQL oracles)
@@ -231,9 +231,12 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct token set (bag-of-words, token-order-invariant — the
         building block for near-dup detection).
 
-    Zero shuffles, zero UDFs: one narrow whole-stage-codegen projection,
-    embarrassingly parallel at any corpus size."""
-    docs = load(spark, sf_dir, "documents")
+    Zero UDFs and (on multi-split data) zero shuffles: one narrow
+    whole-stage-codegen projection, embarrassingly parallel at any
+    corpus size. The single-split fixture scan is widened round-robin
+    first (catalog.load_wide) so the compute-dense winnowing/run folds
+    use every core — a no-op at real scale."""
+    docs = load_wide(spark, sf_dir, "documents")
     # winnowing stages as materialized columns — each is referenced
     # several times downstream (incl. inside lambdas), which both keeps
     # the chain O(n·k) and blocks CollapseProject from inlining them

@@ -98,10 +98,19 @@ def test_window_battery_two_exchanges(spark):
 
 
 def test_doc_metrics_is_narrow(spark):
-    """Per-document text features are one zero-shuffle codegen pass."""
+    """Per-document text features are one narrow codegen pass. On the
+    single-split fixture doc_metrics carries exactly one ROUND-ROBIN
+    scan-widening exchange (catalog.load_wide — absent on multi-split
+    data); none of them may hash-shuffle or drop into Python."""
     for name in ("doc_metrics", "array_fns", "map_struct_fns"):
         plan = plan_of(spark, name)
-        assert "Exchange" not in plan, f"{name}:\n{plan}"
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        if name == "doc_metrics":
+            assert n_exchange == 1, f"{name}:\n{plan}"
+            assert "roundrobinpartitioning" in plan.lower(), plan
+            assert "hashpartitioning" not in plan.lower(), plan
+        else:
+            assert n_exchange == 0, f"{name}:\n{plan}"
         assert "BatchEvalPython" not in plan, f"{name}:\n{plan}"
 
 
