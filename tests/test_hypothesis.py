@@ -86,3 +86,28 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     else:
         expected = {int(r.lid): None for r in lp.itertuples()}
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.text(alphabet=st.sampled_from("abá9 !\n"), min_size=0, max_size=30),
+    min_size=1, max_size=6))
+def test_winnowing_matches_python_model(spark, texts):
+    """k-gram polynomial hashing + window-min selection ≡ the pure-Python
+    winnowing model on arbitrary short unicode text (incl. empty and
+    shorter-than-k strings)."""
+    from pyspark.sql import functions as F
+
+    from myhadoop_spark.queries.text import _kgram_hashes, _window_mins
+    from tests.test_text_metrics import py_winnow
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    codes = F.transform(
+        F.filter(F.split("text", ""), lambda c: c != F.lit("")), F.ascii)
+    out = (df.withColumn("_codes", codes)
+             .withColumn("_kh", _kgram_hashes(F.col("_codes")))
+             .withColumn("sel", _window_mins(F.col("_kh"))))
+    got = {r["id"]: r["sel"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow(t), (t, got[i])
