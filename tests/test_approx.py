@@ -38,17 +38,19 @@ def test_percentile_approx_within_bounds(spark):
 
 
 def test_ivf_recall_vs_exact(spark):
-    """IVF with 4/16 probed buckets must beat blind 25% sampling by a
-    wide margin (centroids concentrate true neighbors)."""
-    exact = registry.get("simsearch_exact").fn(spark, SF_SMOKE).collect()
-    ivf = registry.get("simsearch_ivf").fn(spark, SF_SMOKE).collect()
-    truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
-    got = {(r["q_id"], r["neighbor_id"]) for r in ivf}
-    recall = len(truth & got) / len(truth)
-    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    """The declared ANN query holds recall@5 ≥ 0.8 vs the exact top-k
+    (measured 0.84 at sf0.001, 0.88 at sf0.01 — deterministic given the
+    fixture: sampled centroid training is seeded)."""
+    for sf in (SF_SMOKE, SF_ORACLE):
+        exact = registry.get("simsearch_exact").fn(spark, sf).collect()
+        ivf = registry.get("simsearch_ivf").fn(spark, sf).collect()
+        truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
+        got = {(r["q_id"], r["neighbor_id"]) for r in ivf}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.8, f"IVF recall below bar at {sf}: {recall}"
     # determinism: second run identical (sampled training is reproducible)
     again = {(r["q_id"], r["neighbor_id"])
-             for r in registry.get("simsearch_ivf").fn(spark, SF_SMOKE).collect()}
+             for r in registry.get("simsearch_ivf").fn(spark, SF_ORACLE).collect()}
     assert got == again
 
 
