@@ -69,6 +69,13 @@ def _sql_lang_case() -> str:
 # BPE-ish regex lexer: letter runs / digit runs / single punctuation
 _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
+# curation pattern counters — ASCII-only character classes so Java
+# (Spark) and RE2 (DuckDB) regex semantics agree exactly
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# printable ASCII + tab/newline/CR; anything else is "non-clean"
+_CLEAN_ASCII_RE = r"[\x09\x0A\x0D\x20-\x7E]"
+
 # winnowing fingerprint (Schleimer/Wilkerson/Aiken, MOSS): polynomial
 # k-gram hashes, then the minimum of every w-hash window.  Constants are
 # shared verbatim with the SQL oracle; the polynomial keeps every
@@ -210,7 +217,15 @@ def _max_run(arr: Column) -> Column:
            CAST(COALESCE(tw.top_word_count, 0) AS DOUBLE)
              / CAST(n_tokens AS DOUBLE) AS top_word_frac,
            COALESCE(cr.max_char_run, 0) AS max_char_run,
-           wfp.fp_winnow, wfp.n_winnow_fp
+           wfp.fp_winnow, wfp.n_winnow_fp,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text,
+                            '{_CLEAN_ASCII_RE}', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END AS nonascii_frac
     FROM h LEFT JOIN tw USING (doc_id) LEFT JOIN cr USING (doc_id)
          LEFT JOIN wfp USING (doc_id)
     """,
@@ -305,4 +320,13 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp_winnow"),
         F.size(F.array_distinct(winnow)).cast("bigint")
         .alias("n_winnow_fp"),
+        F.regexp_count("text", F.lit(_URL_RE)).cast("bigint")
+        .alias("n_urls"),
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint")
+        .alias("n_emails"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(
+            F.length(F.regexp_replace("text", _CLEAN_ASCII_RE, ""))
+            .cast("double") / F.length("text").cast("double"))
+        .alias("nonascii_frac"),
     )

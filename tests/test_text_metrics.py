@@ -90,3 +90,45 @@ def test_max_run_over_sorted_tokens_is_max_multiplicity(spark):
     expect = [3, 0, 1, 2]
     for i, e in enumerate(expect):
         assert got[i] == e, (toks[i], got[i])
+
+
+def test_pattern_counters_vs_duckdb_on_crafted_text(spark):
+    """The fixture corpus contains no URLs/emails/non-ASCII, so the
+    oracle run only proves 0 == 0; this pins the Java-vs-RE2 regex
+    parity on text that actually exercises the counters."""
+    import duckdb
+
+    from myhadoop_spark.queries.text import (
+        _CLEAN_ASCII_RE, _EMAIL_RE, _URL_RE)
+
+    texts = [
+        "visit https://example.com/x?q=1 and http://a.b now",
+        "mail me: first.last+tag@sub.example.org or bad@@x",
+        "naïve café — ünïcödé",
+        "mixed http://u.io text bob@x.co tail\tline\nnext",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    got = {r["id"]: (r["u"], r["e"], r["f"]) for r in df.select(
+        "id",
+        F.regexp_count("text", F.lit(_URL_RE)).cast("bigint").alias("u"),
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("e"),
+        F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+            F.length(F.regexp_replace("text", _CLEAN_ASCII_RE, ""))
+            .cast("double") / F.length("text").cast("double")).alias("f"),
+    ).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        u, e, f = con.execute(f"""
+            SELECT CAST(len(regexp_extract_all(?, '{_URL_RE}')) AS BIGINT),
+                   CAST(len(regexp_extract_all(?, '{_EMAIL_RE}')) AS BIGINT),
+                   CASE WHEN length(?) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(?,
+                               '{_CLEAN_ASCII_RE}', '', 'g')) AS DOUBLE)
+                             / CAST(length(?) AS DOUBLE) END
+            """, [t] * 5).fetchone()
+        assert got[i] == (u, e, f), (t, got[i], (u, e, f))
+    # and the counters really fire on this input
+    assert sum(u for u, _, _ in got.values()) >= 3
+    assert sum(e for _, e, _ in got.values()) >= 2
+    assert any(f > 0 for _, _, f in got.values())
