@@ -50,3 +50,31 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path_factory):
     assert "PartitionFilters" in plan and "o_year" in plan
     expected = orders.filter(F.col("o_year") == 1996).count()
     assert one_year.count() == expected
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path_factory):
+    """partitionOverwriteMode=dynamic rewrites ONLY the partitions
+    present in the incoming batch — the idempotent-backfill primitive a
+    100 TB pipeline relies on (re-running one day's job must not
+    truncate the other days, which STATIC overwrite would)."""
+    out = str(tmp_path_factory.mktemp("dyn_ovw")) + "/orders"
+    orders = load(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate"))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    base = {r["o_year"]: r["n"] for r in spark.read.parquet(out)
+            .groupBy("o_year").agg(F.count("*").alias("n")).collect()}
+    # backfill 1996 with a halved slice, dynamic mode
+    patch = (orders.filter(F.col("o_year") == 1996)
+             .filter(F.col("o_orderkey") % 2 == 0))
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    after = {r["o_year"]: r["n"] for r in spark.read.parquet(out)
+             .groupBy("o_year").agg(F.count("*").alias("n")).collect()}
+    assert after[1996] == patch.count()          # targeted partition replaced
+    for y, n in base.items():                    # every other one intact
+        if y != 1996:
+            assert after[y] == n, (y, after[y], n)
