@@ -32,16 +32,12 @@ query, independent of corpus size.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from myhadoop_spark.operators.ivf import assign_buckets, probe_buckets
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+from myhadoop_spark.operators.ivf import (
+    _bounded_sample, _centroid_matrix, _dot, _lloyd,
+    assign_buckets, probe_buckets)
 
 
 def train_pq_codebooks(emb: DataFrame, vec_col: str = "v",
@@ -49,8 +45,8 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "v",
                        iterations: int = 5,
                        sample_cap: int = 4096) -> list[list[list[float]]]:
     """M codebooks, each k_sub × (dim/M): deterministic Lloyd k-means
-    per sub-space over the `sample_cap` smallest-id vectors (bounded,
-    reproducible — identical discipline to ivf.train_centroids; FAISS
+    per sub-space over the same bounded sample discipline as
+    ivf.train_centroids (shared `_bounded_sample` + `_lloyd`; FAISS
     trains PQ on a sample too). dim must divide evenly by m.
 
     Default m=16 for the 64-dim fixture (4-dim sub-spaces): measured at
@@ -59,32 +55,13 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "v",
     quantization must be bought back with a longer exact-re-rank
     shortlist. 16 codes + a norm is still ~32× smaller than the raw
     64×8-byte vector."""
-    sample = np.array(
-        [r[0] for r in
-         emb.select(vec_col).orderBy(F.col(id_col).asc())
-         .limit(sample_cap).collect()],
-        dtype=np.float64)
+    sample = _bounded_sample(emb, vec_col, id_col, sample_cap)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sub = sample[:, j * d_sub:(j + 1) * d_sub]
-        cents = sub[:k_sub].copy()
-        for _ in range(iterations):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k_sub):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append([[float(x) for x in c] for c in cents])
-    return books
-
-
-def _book_matrix(book: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+    return [_lloyd(sample[:, j * d_sub:(j + 1) * d_sub], k_sub, iterations)
+            for j in range(m)]
 
 
 def _sub_code(mat: Column, sub: Column, k_sub: int) -> Column:
@@ -117,7 +94,7 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]],
     k_sub = len(books[0])
     d_sub = len(books[0][0])
     code_cols = [
-        _sub_code(_book_matrix(books[j]),
+        _sub_code(_centroid_matrix(books[j]),
                   F.slice(F.col(vec_col), j * d_sub + 1, d_sub), k_sub)
         for j in range(m)
     ]
@@ -143,7 +120,7 @@ def _query_lut(books: list[list[list[float]]],
     k_sub = len(books[0])
     d_sub = len(books[0][0])
     return F.array(*[
-        _sub_lut(_book_matrix(books[j]),
+        _sub_lut(_centroid_matrix(books[j]),
                  F.slice(F.col(qvec_col), j * d_sub + 1, d_sub), k_sub)
         for j in range(m)
     ])
@@ -183,7 +160,10 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame,
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id",
                 (adc / (F.col("nrm") * F.col("qnrm"))).alias("approx_cos"))
-        .distinct()
+        # no dedup needed: assign_buckets gives each vector exactly one
+        # bucket and probe_buckets emits n_probe DISTINCT buckets per
+        # query, so (q_id, vec_id) is already unique — a distinct here
+        # would shuffle the largest intermediate for nothing
         .withColumn("srn", F.row_number().over(short_w))
         .filter(F.col("srn") <= refine * top_k)
         .select("q_id", "vec_id")

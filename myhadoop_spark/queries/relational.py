@@ -582,7 +582,9 @@ def scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(prio, "[0-9]+", "N").alias("prio_nonum"),
         F.regexp_extract(prio, "([0-9]+)", 1).alias("prio_num"),
         F.substring("o_orderpriority", 1, 4).alias("prio_left"),
-        prio.substr(F.length(prio) - 3, F.lit(4)).alias("prio_right"),
+        # F.right matches DuckDB right() exactly incl. strings shorter
+        # than 4 chars (substr(length-3, 4) would drop all but the last)
+        F.right(prio, F.lit(4)).alias("prio_right"),
         F.startswith(prio, F.lit("1")).alias("is_urgent"),
         F.contains(prio, F.lit("-")).alias("has_dash"),
         F.floor("o_totalprice").alias("price_floor"),

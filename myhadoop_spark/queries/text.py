@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myhadoop_spark.catalog import load, load_wide
+from myhadoop_spark.catalog import load_wide
 from myhadoop_spark.registry import register
 
 # stopword / marker lists (tiny, deterministic; shared with the SQL oracles)

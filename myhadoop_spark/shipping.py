@@ -12,6 +12,8 @@ standard mechanism for distributing Python deps to executors.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import zipfile
 from pathlib import Path
@@ -31,6 +33,9 @@ def _staging_dir() -> Path:
     global _STAGING
     if _STAGING is None or not _STAGING.exists():
         _STAGING = Path(tempfile.mkdtemp(prefix="myhadoop_spark_pkg_"))
+        # remove on interpreter exit — one leaked dir per process
+        # otherwise (pytest runs, bench reps, gate checks all add up)
+        atexit.register(shutil.rmtree, str(_STAGING), ignore_errors=True)
     return _STAGING
 
 

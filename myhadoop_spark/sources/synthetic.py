@@ -107,9 +107,14 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, start: int, end: int) -> list[tuple]:
         # a concrete list, not a generator: the engine pickles the
-        # produced rows into its prefetch cache
+        # produced rows into its prefetch cache. gen_partition is the
+        # stream's generation unit — the micro-batch ordinal this row
+        # belongs to under normal offset advancement (doc_id //
+        # rows_per_batch: deterministic, replay-stable, the stream
+        # analog of the batch face's split index).
         return [(doc_id, _gen_doc(doc_id, self.min_tokens,
-                                  self.max_tokens), 0)
+                                  self.max_tokens),
+                 doc_id // self.rows_per_batch)
                 for doc_id in range(start, end)]
 
     def read(self, start: dict):
