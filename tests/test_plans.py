@@ -198,3 +198,27 @@ def test_corpus_prep_single_shuffle(spark):
     import re
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 1, f"{n_exchanges} exchanges\n{plan}"
+
+
+def test_load_wide_is_noop_on_multisplit_input(spark, tmp_path_factory):
+    """catalog.load_wide widens ONLY a narrower-than-parallelism scan:
+    on multi-file input (the real-scale shape) it must add nothing —
+    the 100 TB plan stays shuffle-free."""
+    import contextlib
+    import io
+
+    from myhadoop_spark.catalog import load, load_wide
+
+    par = spark.sparkContext.defaultParallelism
+    wide_dir = tmp_path_factory.mktemp("wide_scan")
+    (load(spark, SF_SMOKE, "documents").repartition(par)
+     .write.mode("overwrite").parquet(str(wide_dir / "documents.parquet")))
+    df = load_wide(spark, str(wide_dir), "documents")
+    assert df.rdd.getNumPartitions() >= par
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+    # and the fixture path (single split) does widen
+    narrow = load_wide(spark, SF_SMOKE, "documents")
+    assert narrow.rdd.getNumPartitions() >= par
