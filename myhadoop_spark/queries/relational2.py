@@ -197,8 +197,9 @@ def _rank_in_customer(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT o_orderkey,
            (o_totalprice / 100000.0) * (1.0 + abs(c_acctbal) / 10000.0)
              - o_totalprice / 1000000.0 AS score,
-           SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-             OVER (PARTITION BY o_custkey) AS cust_total_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  OVER (PARTITION BY o_custkey)
+                AS BIGINT) AS cust_total_cents,
            CAST(RANK() OVER (PARTITION BY o_custkey
                              ORDER BY CAST(round(o_totalprice * 100, 0)
                                            AS BIGINT))
