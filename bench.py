@@ -54,27 +54,74 @@ class StageMeter:
         self.base = spark.sparkContext.uiWebUrl  # None when UI disabled
         self.app_id = spark.sparkContext.applicationId
         self._last = dict.fromkeys(_STAGE_FIELDS, 0)
+        self._seen_stages: set[tuple[int, int]] = set()
 
-    def snapshot(self) -> dict[str, int]:
+    def _fetch(self) -> list[dict]:
         if not self.base:
-            return dict(self._last)
+            return []
         import urllib.request
 
         try:
             url = (f"{self.base}/api/v1/applications/{self.app_id}"
                    "/stages?status=complete")
             with urllib.request.urlopen(url, timeout=5) as r:
-                stages = json.load(r)
-            return {k: sum(s.get(api, 0) for s in stages)
-                    for k, api in _STAGE_FIELDS.items()}
+                return json.load(r)
         except Exception:
+            return []
+
+    def snapshot(self) -> dict[str, int]:
+        stages = self._fetch()
+        if not stages:
             return dict(self._last)
+        return {k: sum(s.get(api, 0) for s in stages)
+                for k, api in _STAGE_FIELDS.items()}
 
     def delta(self) -> dict[str, int]:
         now = self.snapshot()
         d = {k: now[k] - self._last[k] for k in _STAGE_FIELDS}
         self._last = now
         return d
+
+    def new_stages(self) -> list[dict]:
+        """Completed stages not returned by a previous call — the stage
+        slice belonging to the query that just ran."""
+        fresh = [s for s in self._fetch()
+                 if (s.get("stageId", -1), s.get("attemptId", 0))
+                 not in self._seen_stages]
+        for s in fresh:
+            self._seen_stages.add((s.get("stageId", -1), s.get("attemptId", 0)))
+        return fresh
+
+
+def phase_breakdown(stages: list[dict]) -> dict[str, float]:
+    """Classify a query's stages into the reference's phase vocabulary
+    (/root/reference/client.py:67-77 collects per-node map /
+    exec_schedule / datanode_job / namenode_job times; export_record.py
+    lays them out per run). Spark's stage graph is the analog:
+
+      map_s    — executor task-time (core-seconds) of map-side stages
+                 (write shuffle, read none): the reference's map phase.
+      reduce_s — task-time of stages that read a shuffle: the
+                 merge+reduce work a datanode does after map.
+      scan_s   — task-time of stages with neither side of a shuffle
+                 (scan→project→sink): no reference analog (the reference
+                 always shuffles); kept so the columns sum to total.
+      sched_s  — wall-clock minus busy-time/cores: driver/DAG-scheduler
+                 wait, the analog of the reference's exec_schedule.
+
+    Executor times are TASK-TIME SUMS (core-seconds), not wall — the
+    honest multi-core measure; the reference's per-node walls sum the
+    same way across its datanodes."""
+    ms = {"map": 0, "reduce": 0, "scan": 0}
+    for s in stages:
+        run = s.get("executorRunTime", 0)
+        if s.get("shuffleReadBytes", 0) > 0:
+            ms["reduce"] += run
+        elif s.get("shuffleWriteBytes", 0) > 0:
+            ms["map"] += run
+        else:
+            ms["scan"] += run
+    return {f"{k}_s": round(v / 1000.0, 4) for k, v in ms.items()}
 
 
 def run_query(spark, fn, sf_dir: str) -> float:
@@ -94,22 +141,46 @@ def main() -> None:
 
     # JVM/codegen warm-up on an uncounted query so the first measured
     # query doesn't absorb session start-up cost
-    run_query(spark, qs["wc"], sf_dir)
+    try:
+        run_query(spark, qs["wc"], sf_dir)
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
+        print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     meter = StageMeter(spark)
     meter.delta()  # baseline after warm-up
     times: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     telemetry: dict[str, dict[str, int]] = {}
+    meter.new_stages()  # mark warm-up stages as seen
+    cores = spark.sparkContext.defaultParallelism
+    errors: dict[str, str] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name, fn in qs.items():
+        # per-query isolation: one broken query costs one row, never the
+        # whole artifact (round 2 lost its entire bench run to a single
+        # AnalysisException aborting this loop)
         rep_times = []
-        for i in range(reps):
-            rep_times.append(round(run_query(spark, fn, sf_dir), 4))
-            if i == 0:
-                # telemetry from the first rep only (per-run work, not ×reps)
-                telemetry[name] = meter.delta()
-            else:
-                meter.delta()
+        try:
+            for i in range(reps):
+                rep_times.append(round(run_query(spark, fn, sf_dir), 4))
+                if i == 0:
+                    # telemetry + phase slice from the first rep only
+                    # (per-run work, not ×reps)
+                    telemetry[name] = meter.delta()
+                    ph = phase_breakdown(meter.new_stages())
+                    busy = (ph["map_s"] + ph["reduce_s"] + ph["scan_s"]) / cores
+                    ph["sched_s"] = round(max(0.0, rep_times[0] - busy), 4)
+                    phases[name] = ph
+                else:
+                    meter.delta()
+                    meter.new_stages()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: query {name!r} failed: {errors[name]}",
+                  file=sys.stderr)
+            meter.delta()  # re-baseline so the next query's slice is clean
+            meter.new_stages()
+            continue
         all_reps[name] = rep_times
         times[name] = round(statistics.median(rep_times), 4)
 
@@ -121,14 +192,26 @@ def main() -> None:
         json.dump({"sf": sf, "reps": all_reps, "queries": telemetry}, f, indent=1)
 
     # TSV record mirroring the reference's export shape
-    # (/root/reference/export_record.py:8-56: one row per run with config
-    # columns then per-phase times) — here one row per (query, rep).
+    # (/root/reference/export_record.py:8-56: one row per run — config
+    # columns [schedule_plan, datanode_number, partition_number,
+    # input_volume] then per-phase times [map..., exec_schedule...,
+    # datanode_job..., namenode_job]). Spark analogs, one row per
+    # (query, rep): schedule_plan → AQE; node/partition counts from the
+    # session; map/reduce/scan core-second phases + sched_s (driver/DAG
+    # scheduling gap, the exec_schedule analog; phases from rep 0) and
+    # wall_s as the namenode_job-equivalent end-to-end time.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with open("bench_records.tsv", "w") as f:
-        f.write("engine\tcpus\tsf\tquery\trep\twall_s\n")
+        f.write("engine\tschedule_plan\tcpus\tnodes\tpartition_number\tsf\t"
+                "query\trep\tmap_s\treduce_s\tscan_s\tsched_s\twall_s\n")
         for name, rts in all_reps.items():
+            ph = phases.get(name, {})
             for i, t in enumerate(rts):
-                f.write(f"myhadoop_spark\t{cpus}\t{sf}\t{name}\t{i}\t{t}\n")
+                f.write(f"myhadoop_spark\taqe\t{cpus}\t1\t{shuffle_parts}\t"
+                        f"{sf}\t{name}\t{i}\t{ph.get('map_s', '')}\t"
+                        f"{ph.get('reduce_s', '')}\t{ph.get('scan_s', '')}\t"
+                        f"{ph.get('sched_s', '')}\t{t}\n")
 
     print(json.dumps({
         "metric": "declared_query_set_wall",
@@ -137,6 +220,7 @@ def main() -> None:
         "n": reps,
         "aggregation": "median_of_warm_reps",
         "queries": times,
+        **({"errors": errors} if errors else {}),
         "telemetry": {name: {"shuffle_write_bytes": t["shuffle_write_bytes"],
                              "spill_disk_bytes": t["spill_disk_bytes"],
                              "peak_execution_memory": t["peak_execution_memory"]}

@@ -32,7 +32,9 @@ def tune(spark: SparkSession) -> SparkSession:
     """Runtime session settings every query depends on, applied defensively
     because the driver's harness may pass a session built elsewhere:
     UTC so timestamp semantics match the (UTC-naive) DuckDB oracle, and
-    nanosAsLong so the ns-precision events table is readable at all."""
+    nanosAsLong kept for backward compat with the round-1 fixture's
+    int64-ns events encoding (harmless under the current timestamp[us]
+    encoding; _normalize_events_ts branches on what actually arrives)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
@@ -44,6 +46,27 @@ def tune(spark: SparkSession) -> SparkSession:
 # Keyed by applicationId — unique per session, unlike id(spark) which
 # the allocator may reuse after a stop().
 _df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-tz TimestampType regardless of how the
+    fixture stores it. The driver has shipped two physical encodings so far
+    (round 1: int64 nanoseconds surfaced as LongType via nanosAsLong;
+    round 2+: timestamp[us] surfaced as TIMESTAMP_NTZ), so branch on the
+    ACTUAL dtype instead of assuming either one. Session tz is pinned to
+    UTC in tune(), so NTZ→TZ is a wall-clock identity that matches the
+    UTC-naive DuckDB oracle."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # raw nanoseconds; truncate to µs exactly like DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP cast. Integer division — double math
+        # would lose precision above 2^53 ns.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df  # already TimestampType (or future driver encodings)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,10 +86,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         del _df_cache[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as raw nanoseconds (see tune()); truncate to µs exactly
-        # like DuckDB's TIMESTAMP_NS → TIMESTAMP cast. Integer division —
-        # double math would lose precision above 2^53 ns.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
     _df_cache[key] = df
     return df
 

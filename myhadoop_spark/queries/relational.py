@@ -61,6 +61,33 @@ def sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sort_full",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    """,
+    tags=("sort",),
+)
+def sort_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered FULL output — the exact semantics of the reference's
+    MergeSort app (/root/reference/app.py:17-43, R14), which emits the whole
+    sorted dataset, not a top-N. Unlike sort_topn (TakeOrderedAndProject,
+    per-partition pruning), this compiles to sampled RANGE partitioning +
+    per-partition sort: every partition holds a disjoint key range and is
+    locally sorted, so concatenating partitions in order IS the total order
+    — no single-node merge, the scalable form of a 100 TB global sort.
+    Unique (orderkey, linenumber) tie-break makes the order deterministic
+    across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+                 F.col("l_linenumber").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. filter + projection — predicate pushdown & column pruning showcase.
 # ---------------------------------------------------------------------------
@@ -427,14 +454,38 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct", oracle=None, tags=("aggregate", "approx"))
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_cust,
+           TRUE AS hll_within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "approx"),
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) per order status — sketch values are
-    engine-specific, so correctness is bound-checked against the exact
-    count in tests/test_approx.py rather than oracle-hashed."""
+    """approx_count_distinct (HLL++, rsd=0.01) per order status. Sketch
+    estimates are engine-specific, so the raw estimate can't be hash-compared
+    across engines; instead the query emits the exact countDistinct (hashed
+    against the oracle) plus a boolean asserting the HLL estimate landed
+    within 5× its configured rsd of the exact value — so the sketch IS
+    oracle-verified, as a bound rather than a bit-pattern. The raw estimate
+    is additionally bound-checked in tests/test_approx.py."""
     orders = load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_cust"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_cust",
+            (F.abs(F.col("_approx") - F.col("exact_cust"))
+             <= 0.05 * F.col("exact_cust")).alias("hll_within_5pct"),
+        )
     )
 
 

@@ -26,22 +26,27 @@ from myhadoop_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "cube_agg",
-    oracle="""
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets.
+
+    Deregistered from the 50-entry driver gate in round 3 to make room for
+    sort_full (R14 full-sort closure): CUBE *semantics* stay oracle-proven
+    through cube_rollup, whose explicit GROUPING SETS select the full cube
+    lattice over its columns; the .cube() DataFrame API itself is
+    equivalence-tested against SQL GROUP BY CUBE in
+    tests/test_sql_surface.py::test_cube_api_matches_sql."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+
+
+CUBE_AGG_SQL = """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-    tags=("aggregate", "cube"),
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all 4 grouping sets."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+"""
 
 
 # (explicit GROUPING SETS coverage lives in relational.cube_rollup, which

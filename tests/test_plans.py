@@ -222,3 +222,23 @@ def test_load_wide_is_noop_on_multisplit_input(spark, tmp_path_factory):
     # and the fixture path (single split) does widen
     narrow = load_wide(spark, SF_SMOKE, "documents")
     assert narrow.rdd.getNumPartitions() >= par
+
+
+def test_sort_full_is_range_partitioned(spark):
+    """sort_full must compile to sampled range partitioning + local sort
+    (the scalable total-order form), NOT TakeOrdered (that's sort_topn's
+    shape) and NOT a single-partition global sort."""
+    plan = plan_of(spark, "sort_full")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "TakeOrdered" not in plan, plan
+
+
+def test_sort_full_total_order(spark):
+    """Concatenating output partitions in order IS the total order —
+    verified on the collected output (driver hash check alone can't prove
+    ordering since the harness canonicalizes row order)."""
+    rows = registry.get("sort_full").fn(spark, SF_SMOKE).collect()
+    keys = [(-r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"])
+            for r in rows]
+    assert keys == sorted(keys)
+    assert len(keys) == len(set(keys)), "tie-break key not unique"

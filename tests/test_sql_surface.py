@@ -41,3 +41,17 @@ def test_events_view_has_converted_timestamps(spark):
     row = spark.sql("SELECT ts FROM events LIMIT 1").collect()[0]
     import datetime
     assert isinstance(row["ts"], datetime.datetime)
+
+
+def test_cube_api_matches_sql(spark):
+    """.cube() DataFrame API ≡ SQL GROUP BY CUBE — keeps the cube API
+    oracle-equivalent locally after cube_agg left the 50-entry driver gate
+    (its lattice semantics remain driver-checked via cube_rollup)."""
+    from myhadoop_spark.queries.relational2 import CUBE_AGG_SQL, cube_agg
+
+    register_views(spark, SF_SMOKE)
+    # CUBE subtotal rows contain NULLs; sort with a None-safe key
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    api_rows = sorted(map(tuple, cube_agg(spark, SF_SMOKE).collect()), key=key)
+    sql_rows = sorted(map(tuple, spark.sql(CUBE_AGG_SQL).collect()), key=key)
+    assert api_rows == sql_rows and len(api_rows) > 0
