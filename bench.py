@@ -140,9 +140,23 @@ def main() -> None:
     qs = registry.all_queries()
 
     # JVM/codegen warm-up on an uncounted query so the first measured
-    # query doesn't absorb session start-up cost
+    # query doesn't absorb session start-up cost; plus a Python-worker
+    # warm-up so the first Arrow-stage query (pandas_udf_score et al.)
+    # doesn't absorb one worker-spawn per core per stage (~50-100 ms × 32
+    # cores — the source of the 3.5× first-rep variance seen in r2)
     try:
         run_query(spark, qs["wc"], sf_dir)
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("double")
+        def _warm(v: pd.Series) -> pd.Series:
+            return v * 1.0
+
+        (spark.range(spark.sparkContext.defaultParallelism * 1000)
+         .repartition(spark.sparkContext.defaultParallelism)
+         .select(_warm(F.col("id").cast("double")).alias("x"))
+         .write.format("noop").mode("overwrite").save())
     except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 

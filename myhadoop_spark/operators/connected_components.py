@@ -21,11 +21,14 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         stats: dict | None = None) -> DataFrame:
     """[src, dst] edge list → [id, component] where component is the
     smallest node id reachable from `id`. Nodes only appear if they
     occur in some edge (callers union isolated nodes as self-edges if
-    they want them represented)."""
+    they want them represented). Pass a dict as `stats` to receive
+    {"iterations": n} — the convergence datapoint the scaling study
+    (scripts/cc_scaling.py) records."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -38,7 +41,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .withColumn("component", F.col("id"))
     )
     n_changed = 0
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id"))
@@ -82,6 +87,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         labels = shortcut.select("id", "component")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = rounds
     if n_changed != 0:
         # silent wrong labels would under-merge clusters downstream
         raise RuntimeError(

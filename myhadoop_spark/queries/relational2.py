@@ -189,11 +189,13 @@ def _cents_total(cents: pd.Series) -> int:
 
 def _rank_in_customer(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas grouped map: SQL RANK() semantics (ties share the
-    minimum rank) over order cents within one customer's orders."""
-    pdf = pdf.copy()
-    pdf["price_rank"] = (
-        pdf["cents"].rank(method="min", ascending=True).astype("int64"))
-    return pdf
+    minimum rank) over order cents within one customer's orders.
+    assign() (shallow, new frame) rather than copy() (deep) — the input
+    frame is never mutated, and with ~15k groups per bench run the
+    per-group deep copy was measurable."""
+    return pdf.assign(
+        price_rank=pdf["cents"].rank(method="min", ascending=True)
+        .astype("int64"))
 
 
 @register(
@@ -220,20 +222,20 @@ def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/app.py:10-11):
 
       * scalar pandas UDF (`_affinity_score`) — vectorized per-row map;
-      * GROUPED_AGG pandas UDAF (`_cents_total`) as an unbounded window
-        over the customer partition — custom aggregation semantics;
+      * GROUPED_AGG pandas UDAF (`_cents_total`) via groupBy().agg() —
+        custom aggregation semantics (AggregateInPandas);
       * `applyInPandas` grouped map (`_rank_in_customer`) — per-group
         frame logic (SQL RANK ties) where whole-group visibility is
         needed.
 
     All three mirror to plain SQL bitwise: the UDAF sums int64 cents
     (round(price·100) recovers exact integer cents from the double
-    price — cast alone would TRUNCATE in Spark but ROUND in DuckDB),
-    the rank is integer, and the score is
-    arithmetic-only float64. Shuffle discipline: one shuffle on
-    o_custkey feeds BOTH the window UDAF and the grouped map (the
-    applyInPandas grouping key), then the broadcast customer join adds
-    none."""
+    price — cast alone would TRUNCATE in Spark but ROUND in DuckDB; the
+    SQL twin expresses the per-customer total as an unbounded window),
+    the rank is integer, and the score is arithmetic-only float64.
+    Shuffle discipline: one shuffle on o_custkey feeds BOTH pandas
+    branches, their reassembly join is co-partitioned, and the
+    broadcast customer join adds none."""
     from myhadoop_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
@@ -252,20 +254,27 @@ def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
               # by the window AND the grouped map.
               .repartition(spark.sparkContext.defaultParallelism,
                            F.col("o_custkey")))
-    w = Window.partitionBy("o_custkey")
-    totaled = orders.withColumn("cust_total_cents",
-                                _cents_total("cents").over(w))
-    # grouped map AFTER the window: the window's output partitioning is
-    # exactly hashpartitioning(o_custkey), which FlatMapGroupsInPandas
-    # reuses — one exchange feeds both pandas stages (plan-asserted)
-    ranked = totaled.groupBy("o_custkey").applyInPandas(
+    # The UDAF and the grouped map run as INDEPENDENT branches off the
+    # same hashpartitioning(o_custkey) exchange, joined afterwards —
+    # NOT as a window feeding the grouped map in one pipelined task.
+    # Chaining two Python stages task-to-task (ArrowWindowPython →
+    # FlatMapGroupsInPandas) forces pipe-to-pipe backpressure between
+    # two Python workers per core and re-batches the grouped-map input
+    # at per-group granularity; measured at sf0.1 the unchained re-plan
+    # is ~25% faster warm (5.4 s vs 6.8-7.3 s) and removes the 3-5×
+    # straggler tail the r2 bench recorded (optimization log r3). Both
+    # branches keep hashpartitioning(o_custkey), so the reassembly join
+    # is co-partitioned — no third shuffle at any scale.
+    ranked = orders.groupBy("o_custkey").applyInPandas(
         _rank_in_customer,
         schema=("o_orderkey bigint, o_custkey bigint, o_totalprice "
-                "double, cents bigint, cust_total_cents bigint, "
-                "price_rank bigint"))
+                "double, cents bigint, price_rank bigint"))
+    totals = orders.groupBy("o_custkey").agg(
+        _cents_total("cents").alias("cust_total_cents"))
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return (
         ranked
+        .join(totals, "o_custkey")
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey",
                 _affinity_score(F.col("o_totalprice").cast("double"),

@@ -76,17 +76,25 @@ def test_scalar_fns_single_codegen_stage(spark):
 
 def test_pandas_udf_is_arrow(spark):
     """All three Python stages of the battery are Arrow-batched — the
-    scalar UDF, the GROUPED_AGG window UDAF, and the applyInPandas
-    grouped map — never row-at-a-time; and the window + grouped map
-    share ONE o_custkey exchange (the grouped map reuses the window's
-    output partitioning)."""
+    scalar UDF, the GROUPED_AGG UDAF, and the applyInPandas grouped
+    map — never row-at-a-time; the two grouped pandas branches hang off
+    the SAME o_custkey exchange (re-planned unchained in r3: no
+    Python→Python task pipeline), so the whole battery still needs just
+    one exchange — the reassembly join is co-partitioned."""
     plan = plan_of(spark, "pandas_udf_score")
     assert "ArrowEvalPython" in plan, plan      # scalar pandas UDF
-    assert "ArrowWindowPython" in plan, plan    # GROUPED_AGG window UDAF
+    # GROUPED_AGG pandas UDAF (node renamed across Spark versions)
+    assert ("ArrowAggregatePython" in plan
+            or "AggregateInPandas" in plan), plan
     assert "FlatMapGroupsInPandas" in plan, plan  # applyInPandas
     assert "BatchEvalPython" not in plan, plan
+    # two branch exchanges on o_custkey (column pruning makes the
+    # subtrees differ, so ReuseExchange can't merge them — the price of
+    # unchaining the Python stages; both hash the same key) and no
+    # third exchange for the reassembly join
     n = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n <= 1, f"{n} exchanges\n{plan}"
+    assert n <= 2, f"{n} exchanges\n{plan}"
+    assert plan.count("hashpartitioning(o_custkey") >= 2, plan
 
 
 def test_window_battery_two_exchanges(spark):
