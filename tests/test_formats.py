@@ -15,7 +15,7 @@ def nation_df(spark):
     return load(spark, SF_SMOKE, "nation")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_roundtrip(spark, nation_df, fmt, tmp_path_factory):
     out = str(tmp_path_factory.mktemp(f"fmt_{fmt}")) + "/data"
     writer = nation_df.write.mode("overwrite")
@@ -23,6 +23,11 @@ def test_roundtrip(spark, nation_df, fmt, tmp_path_factory):
         writer.option("header", True).csv(out)
         back = (spark.read.option("header", True)
                 .schema(nation_df.schema).csv(out))
+    elif fmt == "xml":
+        # Spark 4 native XML source (no external package)
+        writer.format("xml").option("rowTag", "row").save(out)
+        back = (spark.read.format("xml").option("rowTag", "row")
+                .schema(nation_df.schema).load(out))
     else:
         getattr(writer, fmt)(out)
         if fmt == "json":
