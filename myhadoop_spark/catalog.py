@@ -37,6 +37,9 @@ def tune(spark: SparkSession) -> SparkSession:
     encoding; _normalize_events_ts branches on what actually arrives)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Arrow-optimized Python UDTFs (runtime-settable): keeps the UDTF
+    # path vectorized even under a driver-built vanilla session
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     return spark
 
 

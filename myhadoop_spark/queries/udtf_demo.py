@@ -13,11 +13,18 @@ from myhadoop_spark.catalog import load
 from myhadoop_spark.registry import register
 
 
-@udtf(returnType="token STRING, pos INT, token_len INT")
+@udtf(returnType="token STRING, pos INT, token_len INT", useArrow=True)
 class TokenizeUdtf:
     """One output row per whitespace token: (token, position, length) —
     reference tokenization (str.split, /root/reference/datanode.py:600)
-    as a lateral table function."""
+    as a lateral table function.
+
+    useArrow=True is explicit (not left to the
+    spark.sql.execution.pythonUDTF.arrow.enabled conf) because the
+    decorator resolves the eval type at DECORATION time — under import
+    orders where no SparkSession exists yet (pytest collection, driver
+    harnesses) the conf fallback silently lands on row-at-a-time
+    BatchEvalPython."""
 
     def eval(self, text: str):  # noqa: D102
         for i, tok in enumerate((text or "").split()):

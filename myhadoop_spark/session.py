@@ -50,6 +50,10 @@ def get_spark(app_name: str = "myhadoop-spark", cpus: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-optimized Python UDTFs (off by default in Spark 4.1):
+        # flips udtf_tokens' BatchEvalPython to ArrowEvalPythonUDTF —
+        # the last row-at-a-time Python node in any declared plan
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read ns as long and convert in catalog.load()

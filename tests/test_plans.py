@@ -250,3 +250,12 @@ def test_sort_full_total_order(spark):
             for r in rows]
     assert keys == sorted(keys)
     assert len(keys) == len(set(keys)), "tie-break key not unique"
+
+
+def test_udtf_is_arrow(spark):
+    """Python UDTF evaluates through Arrow (ArrowEvalPythonUDTF), not
+    row-at-a-time BatchEvalPython — closing the last non-Arrow Python
+    node in the declared plans (r3)."""
+    plan = plan_of(spark, "udtf_tokens")
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
