@@ -53,19 +53,83 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     if len(cols) != 2:
         raise ValueError("zorder_key interleaves exactly 2 columns; "
                          "chain keys or extend the spread table for more")
-    # one tiny driver-side stats action (k mins + k maxes)
+    codes = _rank_codes(df, cols)  # one tiny driver-side stats action
+    zkey = _spread16(codes[0]).bitwiseOR(F.shiftleft(_spread16(codes[1]), 1))
+    return df.withColumn("__zkey", zkey)
+
+
+def _rank_codes(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Min/max-normalized BITS-bit rank codes for each column (shared by
+    the Morton and Hilbert keys). One tiny driver stats action."""
     stats = df.agg(*[f(c) for c in cols for f in (F.min, F.max)]).first()
     lo = {c: stats[2 * i] for i, c in enumerate(cols)}
     hi = {c: stats[2 * i + 1] for i, c in enumerate(cols)}
     codes = []
     for c in cols:
         span = float(hi[c] - lo[c]) or 1.0
-        code = F.floor(
+        codes.append(F.floor(
             (F.col(c).cast("double") - F.lit(float(lo[c])))
-            / F.lit(span) * F.lit((1 << BITS) - 1)).cast("long")
-        codes.append(code)
-    zkey = _spread16(codes[0]).bitwiseOR(F.shiftleft(_spread16(codes[1]), 1))
-    return df.withColumn("__zkey", zkey)
+            / F.lit(span) * F.lit((1 << BITS) - 1)).cast("long"))
+    return codes
+
+
+def hilbert_index(x: Column, y: Column, bits: int = BITS) -> Column:
+    """Hilbert curve distance d for cell (x, y) on a 2^bits × 2^bits
+    grid — the classic xy2d bit walk (quadrant digit + rotate/reflect
+    per level), expressed as ONE JVM-side higher-order fold over the
+    per-level quadrant sizes with a (x, y, d) struct accumulator. No
+    UDF, no Python, no driver loop; per ROADMAP's r2 negative result,
+    a fold stays inside codegen limits where an unrolled 16-level
+    expression tree would not.
+
+    Hilbert vs Morton: both bound per-file extents on every indexed
+    dimension; Hilbert additionally never jumps across the space
+    between consecutive cells (Morton's Z jumps at power-of-two
+    boundaries), so curve-contiguous files get strictly tighter
+    worst-case extents — measurably fewer files read for small box
+    predicates (tests/test_layout.py::test_hilbert_at_least_matches_
+    morton_pruning)."""
+    sizes = F.array(*[F.lit(1 << i).cast("long")
+                      for i in range(bits - 1, -1, -1)])
+    init = F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"),
+                    F.lit(0).cast("long").alias("d"))
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay, ad = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx = F.when(ax.bitwiseAND(s) > 0, F.lit(1).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+        ry = F.when(ay.bitwiseAND(s) > 0, F.lit(1).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+        d2 = ad + s * s * (rx * 3).bitwiseXOR(ry)
+        # rotate/reflect the lower quadrant: only when ry == 0;
+        # reflect (s-1-v) only when additionally rx == 1, then swap
+        fx = F.when(rx == 1, s - 1 - ax).otherwise(ax)
+        fy = F.when(rx == 1, s - 1 - ay).otherwise(ay)
+        nx = F.when(ry == 0, fy).otherwise(ax)
+        ny = F.when(ry == 0, fx).otherwise(ay)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(sizes, init, step).getField("d")
+
+
+def hilbert_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Add ``__hkey``: Hilbert curve distance of the two columns' rank
+    codes — drop-in alternative to zorder_key with better locality."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key indexes exactly 2 columns")
+    cx, cy = _rank_codes(df, cols)
+    return df.withColumn("__hkey", hilbert_index(cx, cy))
+
+
+def write_hilbert(df: DataFrame, path: str, cols: list[str],
+                  n_files: int) -> None:
+    """Cluster ``df`` into ``n_files`` parquet files along the Hilbert
+    curve of ``cols`` (same mechanics as write_zordered)."""
+    (hilbert_key(df, cols)
+     .repartitionByRange(n_files, "__hkey")
+     .sortWithinPartitions("__hkey")
+     .drop("__hkey")
+     .write.mode("overwrite").parquet(path))
 
 
 def write_zordered(df: DataFrame, path: str, cols: list[str],

@@ -78,3 +78,79 @@ def test_zorder_prunes_both_dimensions(spark, grid, tmp_path):
 def test_zorder_requires_two_columns(spark, grid):
     with pytest.raises(ValueError):
         zorder_key(grid, ["x"])
+
+
+def _pure_xy2d(x: int, y: int, bits: int = 16) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_bit_model(spark):
+    """Engine hilbert_index ≡ the textbook xy2d walk, including corners
+    and asymmetric points (the rotate/reflect branches)."""
+    from myhadoop_spark.operators.layout import hilbert_index
+
+    pts = [(0, 0), (0xFFFF, 0), (0, 0xFFFF), (0xFFFF, 0xFFFF),
+           (1, 0), (0, 1), (12345, 54321), (0x8000, 0x7FFF),
+           (0x5555, 0xAAAA), (40000, 1), (2, 65535)]
+    df = spark.createDataFrame(pts, "x LONG, y LONG")
+    got = {(r["x"], r["y"]): r["d"] for r in df.select(
+        "x", "y", hilbert_index(F.col("x"), F.col("y")).alias("d"))
+        .collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _pure_xy2d(x, y), (x, y)
+
+
+def test_hilbert_consecutive_cells_are_adjacent(spark):
+    """The locality property Morton lacks: consecutive curve positions
+    are always grid neighbors (|dx|+|dy| == 1). Checked on a full
+    16x16 grid via a 4-bit walk of the 16-bit index (cells scaled up
+    by 2^12 so the low bits of the full-resolution walk are exercised
+    uniformly)."""
+    from myhadoop_spark.operators.layout import hilbert_index
+
+    side = 16
+    scale = (1 << 16) // side
+    cells = [(x, y) for x in range(side) for y in range(side)]
+    df = spark.createDataFrame(
+        [(x * scale, y * scale) for x, y in cells], "x LONG, y LONG")
+    rows = df.select("x", "y", hilbert_index(F.col("x"), F.col("y"))
+                     .alias("d")).collect()
+    order = sorted(rows, key=lambda r: r["d"])
+    for a, b in zip(order, order[1:]):
+        dx = abs(a["x"] - b["x"]) // scale
+        dy = abs(a["y"] - b["y"]) // scale
+        assert dx + dy == 1, (a, b)
+
+
+def test_hilbert_prunes_both_dimensions_and_matches_morton(spark, grid,
+                                                           tmp_path):
+    from myhadoop_spark.operators.layout import write_hilbert
+
+    hpath = str(tmp_path / "hil")
+    zpath = str(tmp_path / "z2")
+    write_hilbert(grid, hpath, ["x", "y"], N_FILES)
+    write_zordered(grid, zpath, ["x", "y"], N_FILES)
+    hstats = layout_stats(hpath, ["x", "y"])
+    zstats = layout_stats(zpath, ["x", "y"])
+    assert len(hstats) == N_FILES
+    for box in ({"x": (4000, 5000)}, {"y": (4000, 5000)},
+                {"x": (4000, 5000), "y": (4000, 5000)}):
+        hp = files_pruned(hstats, box)
+        zp = files_pruned(zstats, box)
+        # both dimensions must prune, and Hilbert must not lose to
+        # Morton by more than one file on any box (its locality is
+        # equal-or-better; exact counts depend on range boundaries)
+        assert hp > 0, (box, hstats)
+        assert hp >= zp - 1, (box, hp, zp)
