@@ -58,6 +58,45 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.withColumn("__zkey", zkey)
 
 
+def _spread16_3d(x: Column) -> Column:
+    """Insert TWO zero bits between each of the low 16 bits of ``x``
+    (3-way Morton spreading — the canonical 64-bit shift-mask ladder,
+    valid for codes up to 21 bits)."""
+    x = x.bitwiseAND(F.lit(0x1FFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 32)).bitwiseAND(F.lit(0x1F00000000FFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(0x1F0000FF0000FF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x1249249249249249))
+    return x
+
+
+def zorder3_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Add ``__zkey``: the 3-way Morton interleave of three columns'
+    rank codes (48-bit key) — box predicates on ANY of the three
+    dimensions prune files. Beyond 3 columns per-dimension resolution
+    drops fast (64/k bits each); prefer partitioning on the extra
+    column instead."""
+    if len(cols) != 3:
+        raise ValueError("zorder3_key interleaves exactly 3 columns")
+    c0, c1, c2 = _rank_codes(df, cols)
+    zkey = (_spread16_3d(c0)
+            .bitwiseOR(F.shiftleft(_spread16_3d(c1), 1))
+            .bitwiseOR(F.shiftleft(_spread16_3d(c2), 2)))
+    return df.withColumn("__zkey", zkey)
+
+
+def write_zordered3(df: DataFrame, path: str, cols: list[str],
+                    n_files: int) -> None:
+    """Cluster into ``n_files`` parquet files along the 3-column
+    Z-curve (same mechanics as write_zordered)."""
+    (zorder3_key(df, cols)
+     .repartitionByRange(n_files, "__zkey")
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.mode("overwrite").parquet(path))
+
+
 def _rank_codes(df: DataFrame, cols: list[str]) -> list[Column]:
     """Min/max-normalized BITS-bit rank codes for each column (shared by
     the Morton and Hilbert keys). One tiny driver stats action."""

@@ -154,3 +154,45 @@ def test_hilbert_prunes_both_dimensions_and_matches_morton(spark, grid,
         # equal-or-better; exact counts depend on range boundaries)
         assert hp > 0, (box, hstats)
         assert hp >= zp - 1, (box, hp, zp)
+
+
+def _pure_spread3(v: int) -> int:
+    out = 0
+    for i in range(21):
+        out |= ((v >> i) & 1) << (3 * i)
+    return out
+
+
+def test_spread16_3d_matches_bit_model(spark):
+    from myhadoop_spark.operators.layout import _spread16_3d
+
+    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0xFFFF, 12345, 0x1FFFFF]
+    df = spark.createDataFrame([(v,) for v in vals], "v LONG")
+    got = [r.s for r in df.select(_spread16_3d(F.col("v")).alias("s"))
+           .orderBy("v").collect()]
+    assert got == [_pure_spread3(v) for v in sorted(vals)]
+
+
+def test_zorder3_prunes_third_dimension(spark, tmp_path):
+    """The dimension a 2-col layout cannot prune: a box on z must skip
+    files under the 3-way interleave, where linear (x, y, z) sort
+    cannot skip any."""
+    from myhadoop_spark.operators.layout import write_zordered3
+
+    df = (spark.range(N_ROWS)
+          .withColumn("x", (F.col("id") * 7919 % 10_000).cast("long"))
+          .withColumn("y", (F.col("id") * 104_729 % 10_000).cast("long"))
+          .withColumn("z", (F.col("id") * 31_337 % 10_000).cast("long"))
+          .select("id", "x", "y", "z"))
+    zpath = str(tmp_path / "z3")
+    lpath = str(tmp_path / "lin3")
+    write_zordered3(df, zpath, ["x", "y", "z"], N_FILES)
+    write_linear(df, lpath, ["x", "y", "z"], N_FILES)
+    zstats = layout_stats(zpath, ["x", "y", "z"])
+    lstats = layout_stats(lpath, ["x", "y", "z"])
+    box_z = {"z": (4000, 5000)}
+    assert files_pruned(zstats, box_z) > 0, zstats
+    assert files_pruned(lstats, box_z) == 0, lstats
+    # and it still prunes x and y
+    assert files_pruned(zstats, {"x": (4000, 5000)}) > 0
+    assert files_pruned(zstats, {"y": (4000, 5000)}) > 0
