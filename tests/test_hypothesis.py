@@ -111,3 +111,71 @@ def test_winnowing_matches_python_model(spark, texts):
     got = {r["id"]: r["sel"] for r in out.collect()}
     for i, t in enumerate(texts):
         assert got[i] == py_winnow(t), (t, got[i])
+
+
+_doc_words = st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                                       "epsilon", "zeta"]),
+                      min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_doc_words, min_size=2, max_size=8))
+def test_decontam_matches_python_shingle_model(spark, docs):
+    """contamination_pairs ≡ a pure-Python set model of distinct length-n
+    shingle overlap on generated word documents (odd ids = corpus, even
+    ids = benchmark). Hashing cancels out: the operator's 48-bit md5
+    hash is injective in practice at this scale and identical on both
+    sides, so set-of-shingle intersection counts must agree exactly."""
+    from myhadoop_spark.operators.decontam import contamination_pairs
+
+    n = 2
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+    def shingles(words):
+        return {" ".join(words[i:i + n])
+                for i in range(len(words) - n + 1)} if len(words) >= n else set()
+
+    model = {}
+    for ci, cw in enumerate(docs):
+        if ci % 2 == 0:
+            continue
+        for bi, bw in enumerate(docs):
+            if bi % 2 != 0:
+                continue
+            k = len(shingles(cw) & shingles(bw))
+            if k:
+                model[(ci, bi)] = k
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    corpus = df.filter("doc_id % 2 = 1")
+    bench = df.filter("doc_id % 2 = 0")
+    got = {(r["corpus_id"], r["bench_id"]): r["n_shared"]
+           for r in contamination_pairs(corpus, bench, n=n).collect()}
+    assert got == model
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(1, 500)),
+                min_size=3, max_size=30))
+def test_mixture_plan_matches_python_model(spark, rows):
+    """plan_mixture's rates ≡ the closed-form min_s(T_s/w_s) feasible
+    budget on generated inventories (uniform weights over the sources
+    present)."""
+    from myhadoop_spark.operators.mixture import plan_mixture
+
+    inv: dict[str, int] = {}
+    for s, t in rows:
+        inv[s] = inv.get(s, 0) + t
+    weights = {s: 1.0 for s in inv}
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id LONG, source STRING, tokens LONG")
+    plan = plan_mixture(df, weights)
+    share = 1.0 / len(inv)
+    budget = min(inv[s] / share for s in inv)
+    for s, p in plan.items():
+        assert p["tokens"] == inv[s]
+        assert abs(p["rate"] - min(1.0, share * budget / inv[s])) < 1e-9
