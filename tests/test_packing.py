@@ -81,3 +81,54 @@ def test_zero_and_invalid(spark):
     assert pack_documents(df, CAP).count() == 0
     with pytest.raises(ValueError):
         pack_documents(df, 0)
+
+
+def test_source_quota_respected(spark):
+    """With max_source_frac set, no multi-piece pack exceeds the per-
+    source token cap; single-piece packs whose piece itself exceeds the
+    cap are the documented exemption (quotas never drop data). Token
+    conservation and determinism hold unchanged."""
+    from pyspark.sql import functions as F
+
+    from myhadoop_spark.operators.packing import pack_documents
+
+    cap, frac = 1000, 0.6
+    docs = (spark.range(400)
+            .select(F.col("id").alias("doc_id"),
+                    (F.col("id") * 37 % 400 + 20).alias("tokens"),
+                    F.concat(F.lit("src"), (F.col("id") % 3))
+                    .alias("source")))
+    packs = pack_documents(docs, cap, source_col="source",
+                           max_source_frac=frac)
+    total_in = docs.agg(F.sum("tokens")).first()[0]
+    total_out = packs.agg(F.sum("total_tokens")).first()[0]
+    assert total_in == total_out
+    src_of = {r["doc_id"]: r["source"] for r in docs.collect()}
+    for p in packs.collect():
+        if p["n_pieces"] == 1:
+            continue  # exemption: one piece may alone exceed the cap
+        by_src: dict[str, int] = {}
+        for d, t in zip(p["doc_ids"], p["piece_tokens"]):
+            by_src[src_of[d]] = by_src.get(src_of[d], 0) + t
+        assert max(by_src.values()) <= int(frac * cap), p
+    # determinism under repartitioning, quota active
+    again = pack_documents(docs.repartition(7), cap, source_col="source",
+                           max_source_frac=frac)
+    a = sorted(map(tuple, packs.select("pack_id", "total_tokens").collect()))
+    b = sorted(map(tuple, again.select("pack_id", "total_tokens").collect()))
+    assert a == b
+
+
+def test_quota_args_validated(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from myhadoop_spark.operators.packing import pack_documents
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"),
+                                 F.lit(10).alias("tokens"),
+                                 F.lit("s").alias("source"))
+    with _pytest.raises(ValueError, match="go together"):
+        pack_documents(docs, 100, source_col="source")
+    with _pytest.raises(ValueError, match="max_source_frac"):
+        pack_documents(docs, 100, source_col="source", max_source_frac=1.5)
