@@ -124,6 +124,38 @@ def phase_breakdown(stages: list[dict]) -> dict[str, float]:
     return {f"{k}_s": round(v / 1000.0, 4) for k, v in ms.items()}
 
 
+LINE_BUDGET = 4096  # driver tail-capture window; pinned by tests/test_driver_contract.py
+
+
+def format_stdout_line(total: float, reps: int, times: dict[str, float],
+                       errors: dict[str, str], sf: float) -> str:
+    """ONE SHORT stdout line — the driver's tail-capture window truncated
+    r2/r3's line when the full telemetry map was embedded (VERDICT r3
+    item 1); telemetry lives in bench_shuffle.json, phases in
+    bench_records.tsv. If even the compact form would overflow (e.g. all
+    50 queries erroring with long messages), error detail degrades to a
+    name list — full messages are on stderr and failures cost rows, not
+    the artifact."""
+    for err_repr in (
+        {"errors": {k: v[:80] for k, v in errors.items()}} if errors else {},
+        {"errors": {k: v[:30] for k, v in errors.items()}} if errors else {},
+        {"error_queries": sorted(errors)} if errors else {},
+    ):
+        line = json.dumps({
+            "metric": "declared_query_set_wall",
+            "value": total,
+            "unit": "sec",
+            "n": reps,
+            "aggregation": "median_of_warm_reps",
+            "queries": times,
+            **err_repr,
+            "sf": sf,
+        })
+        if len(line) < LINE_BUDGET:
+            return line
+    return line
+
+
 def run_query(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -227,20 +259,7 @@ def main() -> None:
                         f"{ph.get('reduce_s', '')}\t{ph.get('scan_s', '')}\t"
                         f"{ph.get('sched_s', '')}\t{t}\n")
 
-    print(json.dumps({
-        "metric": "declared_query_set_wall",
-        "value": total,
-        "unit": "sec",
-        "n": reps,
-        "aggregation": "median_of_warm_reps",
-        "queries": times,
-        **({"errors": errors} if errors else {}),
-        "telemetry": {name: {"shuffle_write_bytes": t["shuffle_write_bytes"],
-                             "spill_disk_bytes": t["spill_disk_bytes"],
-                             "peak_execution_memory": t["peak_execution_memory"]}
-                      for name, t in telemetry.items()},
-        "sf": sf,
-    }))
+    print(format_stdout_line(total, reps, times, errors, sf))
     spark.stop()
 
 
