@@ -95,13 +95,15 @@ def contaminated_docs(corpus: DataFrame, bench: DataFrame,
     ties on n_shared break toward the smallest bench_id."""
     pairs = contamination_pairs(corpus, bench, id_col, text_col, n,
                                 min_shared, broadcast_bench)
-    # max_by on (n_shared, -bench_id): most shared shingles, ties toward
-    # the smallest bench_id — a deterministic single-pass aggregate
+    # min_by on (-n_shared, bench_id): most shared shingles, ties toward
+    # the smallest bench_id — a deterministic single-pass aggregate.
+    # Only n_shared (a count, always numeric) is negated, so bench_id may
+    # be any orderable type including the string doc ids common in
+    # corpus tables.
     return pairs.groupBy("corpus_id").agg(
         F.count(F.lit(1)).alias("n_bench_docs"),
         F.sum("n_shared").alias("total_shared"),
-        F.max_by("bench_id",
-                 F.struct(F.col("n_shared"),
-                          (-F.col("bench_id")).alias("neg"))).alias(
-            "top_bench_id"),
+        F.min_by("bench_id",
+                 F.struct((-F.col("n_shared")).alias("neg"),
+                          F.col("bench_id"))).alias("top_bench_id"),
     )

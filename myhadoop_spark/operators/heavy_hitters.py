@@ -65,6 +65,17 @@ def _mg_partition(capacity: int):
                 "part_id": [pid] * len(counters),
                 "part_total": [total] * len(counters),
             })
+        elif total:
+            # the final decrement-all can empty the counter table (e.g.
+            # capacity=1 over [a, b]) — the partition's total must STILL
+            # reach the error-bound sum or the documented guarantees
+            # silently break. Emit a term=NULL sentinel carrying it;
+            # consumers filter NULL terms out of estimates but keep the
+            # row for the bound aggregation.
+            yield pd.DataFrame({
+                "term": [None], "est": [0],
+                "part_id": [pid], "part_total": [total],
+            })
 
     return run
 
@@ -72,7 +83,9 @@ def _mg_partition(capacity: int):
 def mg_summaries(df: DataFrame, term_col: str = "term",
                  capacity: int = 256) -> DataFrame:
     """Per-partition Misra-Gries summaries: (term, est, part_total) with
-    ≤ capacity terms per input partition."""
+    ≤ capacity terms per input partition. A non-empty partition whose
+    counters all died in the final decrement emits one term=NULL
+    sentinel row so its part_total still feeds the error bound."""
     from myhadoop_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -88,7 +101,8 @@ def heavy_hitters_topk(df: DataFrame, term_col: str = "term",
     for just the winners can re-scan filtered to these k terms (two
     narrow passes still beat one full-vocabulary shuffle)."""
     s = mg_summaries(df, term_col, capacity)
-    per_term = s.groupBy("term").agg(F.sum("est").alias("est"))
+    per_term = (s.filter(F.col("term").isNotNull())
+                .groupBy("term").agg(F.sum("est").alias("est")))
     # one bound contribution per PARTITION (part_id disambiguates
     # partitions that happen to share a total); the broadcast of this
     # one-row aggregate is the engine's sanctioned tiny crossJoin shape

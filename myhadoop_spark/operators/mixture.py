@@ -69,8 +69,10 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     rate = F.lit(None).cast("double")
     for s, p in plan.items():
         rate = F.when(F.col(source_col) == s, F.lit(p["rate"])).otherwise(rate)
-    u = (F.abs(F.hash(F.col(id_col).cast("string"), F.lit("mixture")))
-         % _DENOM) / _DENOM
+    # pmod, NOT abs-then-%: abs(Integer.MIN_VALUE) overflows negative,
+    # which would make u negative and keep those docs unconditionally
+    u = F.pmod(F.hash(F.col(id_col).cast("string"), F.lit("mixture")),
+               F.lit(_DENOM)) / _DENOM
     return (df.filter(F.col(source_col).isin(list(weights)))
             .withColumn("_rate", rate)
             .filter(u < F.col("_rate"))

@@ -14,8 +14,10 @@ bounds state, and the windowed aggregation state is partitioned by
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from myhadoop_spark.catalog import _normalize_events_ts, tune
@@ -33,9 +35,23 @@ def read_event_stream(spark: SparkSession, source_dir: str,
     hard-coded LongType assumption): instead, take the schema from a
     one-file batch read of the same directory — a driver-side footer read,
     no data scan — then apply the same ts normalization as catalog.load,
-    so stream and batch twins agree under ANY fixture encoding."""
+    so stream and batch twins agree under ANY fixture encoding. If the
+    directory holds no parquet yet (a stream defined before its producer
+    first writes — normal for ingest pipelines), fall back to the pinned
+    default events schema; a drifted fixture will still be re-inferred on
+    any non-empty directory."""
     tune(spark)
-    schema = spark.read.parquet(source_dir).schema
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except AnalysisException:
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ])
     raw = (
         spark.readStream.format("parquet")
         .schema(schema)

@@ -140,3 +140,22 @@ def test_bench_side_is_broadcast(spark, split):
     plan = buf.getvalue()
     assert "BroadcastExchange" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_string_doc_ids_supported(spark, split):
+    """contaminated_docs must work when doc ids are strings (the common
+    corpus shape); tie-break = most shared, then smallest bench_id in
+    string order (r3 advice: the old negation tie-break required numeric
+    ids and failed at analysis time on strings)."""
+    corpus, bench = split
+    c = corpus.withColumn("doc_id", F.concat(F.lit("doc-"), "doc_id"))
+    b = bench.withColumn("doc_id", F.concat(F.lit("doc-"), "doc_id"))
+    pairs = contamination_pairs(c, b, n=N).collect()
+    docs = {r["corpus_id"]: r for r in contaminated_docs(c, b, n=N).collect()}
+    by_corpus: dict[str, list] = {}
+    for r in pairs:
+        by_corpus.setdefault(r["corpus_id"], []).append(r)
+    assert set(docs) == set(by_corpus) and docs
+    for cid, rows in by_corpus.items():
+        best = min(rows, key=lambda r: (-r["n_shared"], r["bench_id"]))
+        assert docs[cid]["top_bench_id"] == best["bench_id"]

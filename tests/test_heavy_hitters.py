@@ -94,3 +94,26 @@ def test_exact_when_capacity_exceeds_vocab(spark):
              df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
     top = heavy_hitters_topk(df, k=7, capacity=1000).collect()
     assert {r["term"]: r["est"] for r in top} == exact
+
+
+def test_emptied_partition_still_feeds_error_bound(spark):
+    """capacity=1 over a perfectly alternating [a, b] stream ends every
+    decrement-all with an empty counter table; the partition must still
+    contribute its total to err_bound (r3 advice: the bound was silently
+    dropping such partitions, breaking est <= true <= est + err)."""
+    df = (spark.range(1_000)
+          .select(F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+                  .alias("term"))
+          .repartition(4))
+    s = mg_summaries(df, capacity=1)
+    rows = s.collect()
+    # every non-empty partition is represented, counters or not
+    assert {r["part_id"] for r in rows} and \
+        sum({r["part_id"]: r["part_total"] for r in rows}.values()) == 1_000
+    exact = {r["term"]: r["n"] for r in
+             df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    top = heavy_hitters_topk(df, k=2, capacity=1).collect()
+    # sentinel NULL terms never surface in the top-k output
+    assert all(r["term"] is not None for r in top)
+    for r in top:
+        assert r["est"] <= exact[r["term"]] <= r["est"] + r["err_bound"], r

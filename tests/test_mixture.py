@@ -79,3 +79,22 @@ def test_unknown_source_rejected(spark, docs):
         plan_mixture(docs, {"no_such_source": 1.0})
     with pytest.raises(ValueError, match="non-positive"):
         plan_mixture(docs, {"x": 0.0})
+
+
+def test_acceptance_hash_nonnegative_at_int_min(spark):
+    """The acceptance uniform must stay in [0, 1) even where hash()
+    lands on Integer.MIN_VALUE, where abs() overflows negative (r3
+    advice) — pinned on the literal plus a sweep of real ids."""
+    from myhadoop_spark.operators.mixture import _DENOM
+
+    row = spark.range(1).select(
+        (F.pmod(F.lit(-2147483648), F.lit(_DENOM)) / _DENOM).alias("u")
+    ).collect()[0]
+    assert 0.0 <= row["u"] < 1.0
+    us = (spark.range(50_000)
+          .select((F.pmod(F.hash(F.col("id").cast("string"),
+                                 F.lit("mixture")), F.lit(_DENOM))
+                   / _DENOM).alias("u"))
+          .agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+          .collect()[0])
+    assert 0.0 <= us["lo"] and us["hi"] < 1.0

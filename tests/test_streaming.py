@@ -124,3 +124,25 @@ def test_state_metrics_bounded_by_watermark(spark, event_source):
         .distinct().count()
     )
     assert max(state_rows) <= n_groups, (max(state_rows), n_groups)
+
+
+def test_stream_definable_on_empty_directory(spark, tmp_path):
+    """A stream defined before its producer writes any file must not
+    throw (r3 advice: schema inference re-introduced a non-empty-dir
+    requirement); it falls back to the pinned default events schema and
+    picks up files that appear later."""
+    from myhadoop_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    empty = tmp_path / "empty_events"
+    empty.mkdir()
+    stream = read_event_stream(spark, str(empty))
+    assert "ts" in stream.columns and stream.isStreaming
+    q = run_to_memory(tumbling_counts(stream), "empty_dir_out", "append")
+    try:
+        assert spark.table("empty_dir_out").count() == 0
+    finally:
+        q.stop()
