@@ -211,14 +211,15 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simsearch_ivf", oracle=None, tags=("simsearch", "extension", "ivf"))
-def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via an IVF index (operators/ivf.py): 16 sampled-k-means
     centroids partition the corpus; each query scores only its 4 nearest
     buckets (~25% of the corpus at any scale). Deterministic training →
-    reproducible results; recall vs simsearch_exact is bound-checked in
-    tests/test_approx.py. The declared ANN default (recall@5 ≈ 0.85+ vs
-    sign-LSH's lower recall at the same candidate budget)."""
+    reproducible results. The declared ANN default (recall@5 ≈ 0.85+ vs
+    sign-LSH's lower recall at the same candidate budget). Output shape
+    matches simsearch_exact: (q_id, neighbor_id, rn, cosine). This is
+    the production entry point; the registered simsearch_ivf query wraps
+    it with the in-query recall verification."""
     from myhadoop_spark.operators.ivf import ivf_topk, train_centroids
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -229,6 +230,51 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"))
     return ivf_topk(emb, q, cents, top_k=TOP_K)
+
+
+MIN_RECALL = 0.8  # the declared corpus-level recall@5 contract
+
+
+@register(
+    "simsearch_ivf",
+    oracle=f"""
+    SELECT DISTINCT vec_id AS q_id,
+           CAST({TOP_K} AS BIGINT) AS n_neighbors,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    tags=("simsearch", "extension", "ivf", "approx"),
+)
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with its recall contract verified IN-QUERY — the
+    approx_distinct flag pattern (queries/relational.py:458) applied to
+    similarity search, converting the formerly rows-only gate entry to a
+    full oracle row: neighbor SETS are approximation-dependent and can't
+    be hash-compared across engines, so the query emits, per query
+    vector, the result-size invariant (n_neighbors = k) plus a boolean
+    asserting the corpus-level recall@5 of the IVF result against the
+    exact brute-force top-k computed alongside is ≥ MIN_RECALL — the
+    same bound tests/test_approx.py pins (corpus-level because a single
+    query's recall can honestly sit at 3/5 while the corpus holds 0.84+;
+    the contract is the aggregate, as with any ANN index). The oracle
+    expects TRUE, so a recall regression is a hash MISMATCH, not a
+    silent skip.
+
+    Cost note: the in-query exact check adds one narrow broadcast-scored
+    corpus pass on top of the IVF probe — the honest price of a
+    verifiable bound; ivf_neighbors carries no such pass."""
+    ivf = ivf_neighbors(spark, sf_dir)
+    truth = simsearch_exact(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (ivf.select("q_id", "neighbor_id")
+            .join(truth, ["q_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    total = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    flag = (hits.crossJoin(total)
+            .select((F.col("n_hits") >= F.lit(MIN_RECALL) * F.col("n_truth"))
+                    .alias("recall_ok")))
+    return (ivf.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_neighbors"))
+            .crossJoin(F.broadcast(flag)))
 
 
 # ---------------------------------------------------------------------------
