@@ -13,6 +13,7 @@ dropped — every operator the r1 registry exercised is still exercised.
 from myhadoop_spark.queries import (  # noqa: F401
     clusters,
     corpus_stats,
+    curation_gate,
     dedup,
     media,
     merge_query,

@@ -432,26 +432,31 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "distinct_agg",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_cust,
-           COUNT(DISTINCT o_orderpriority) AS n_prio,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    tags=("aggregate", "distinct"),
-)
 def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-column distinct counts per order status."""
+    """Exact multi-column distinct counts per order status.
+
+    Deregistered from the 50-entry driver gate in round 4 to make room
+    for the decontam gate slot (VERDICT r3 item 4): exact-countDistinct
+    semantics stay oracle-proven through approx_distinct, whose hashed
+    exact_cust column is the same COUNT(DISTINCT o_custkey) per status;
+    this fuller battery remains differentially tested against
+    DISTINCT_AGG_SQL in tests/test_sql_surface.py."""
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_cust"),
         F.countDistinct("o_orderpriority").alias("n_prio"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+DISTINCT_AGG_SQL = """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+"""
 
 
 @register(

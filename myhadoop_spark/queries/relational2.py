@@ -288,22 +288,16 @@ def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "tpch_q6",
-    oracle=f"""
-    SELECT {sql_dsum_raw(SQL_REVENUE_TERM, 'revenue')},
-           COUNT(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.04 AND 0.06
-      AND l_quantity < 24
-    """,
-    tags=("aggregate", "filter"),
-)
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight filter + global aggregate (no groupBy —
-    partial aggregation collapses to a single row exchange)."""
+    partial aggregation collapses to a single row exchange).
+
+    Deregistered from the 50-entry driver gate in round 4 to make room
+    for the scrub_audit gate slot (VERDICT r3 item 4): the
+    filter+arithmetic-aggregate shape stays oracle-proven through
+    filter_proj (same predicate/projection family over lineitem); this
+    query remains differentially tested against TPCH_Q6_SQL in
+    tests/test_sql_surface.py."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -315,6 +309,17 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue_term()).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+TPCH_Q6_SQL = f"""
+    SELECT {sql_dsum_raw(SQL_REVENUE_TERM, 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+"""
 
 
 @register(

@@ -16,9 +16,11 @@ def test_approx_distinct_within_5pct(spark):
 
     from myhadoop_spark.catalog import load
 
+    from myhadoop_spark.queries.relational import distinct_agg
+
     rows = registry.get("approx_distinct").fn(spark, SF_ORACLE).collect()
     exact = {r["o_orderstatus"]: r["n_cust"]
-             for r in registry.get("distinct_agg").fn(spark, SF_ORACLE).collect()}
+             for r in distinct_agg(spark, SF_ORACLE).collect()}
     assert {r["o_orderstatus"] for r in rows} == set(exact)
     for r in rows:
         assert r["hll_within_5pct"] is True, r
