@@ -38,7 +38,7 @@ _DOUBLED = "(SELECT * FROM documents UNION ALL SELECT * FROM documents)"
 
 
 def _token_sets(spark: SparkSession, sf_dir: str,
-                wide: bool = False) -> DataFrame:
+                wide: bool = False, docs: DataFrame | None = None) -> DataFrame:
     """doc_id → distinct token array (sorted for determinism).
 
     wide=True repartitions the scan to the default parallelism BEFORE
@@ -48,8 +48,13 @@ def _token_sets(spark: SparkSession, sf_dir: str,
     folds) runs on ONE core. Real multi-file data gets this parallelism
     from the scan itself; the repartition moves only the bytes a real
     scan would read per split (measured: minhash signature build 4×
-    faster at sf0.1)."""
-    docs = load(spark, sf_dir, "documents")
+    faster at sf0.1).
+
+    `docs` overrides the fixture scan with any (doc_id, text) frame —
+    the scale-rehearsal path (scripts/dedup_scaling.py feeds the
+    synthetic source through the identical pipeline)."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     if wide:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
@@ -58,13 +63,14 @@ def _token_sets(spark: SparkSession, sf_dir: str,
 
 
 def _hashed_token_sets(spark: SparkSession, sf_dir: str,
-                       wide: bool = False) -> DataFrame:
+                       wide: bool = False,
+                       docs: DataFrame | None = None) -> DataFrame:
     """doc_id → sorted distinct md5-derived 32-bit token hashes. The
     Jaccard verify runs over these int sets instead of string arrays:
     the 6M-pair verify join shuffles ~5× fewer bytes and intersects
     primitive ints. Hash collisions are deterministic and mirrored in
     the oracle, so results stay engine-identical."""
-    sets = _token_sets(spark, sf_dir, wide=wide)
+    sets = _token_sets(spark, sf_dir, wide=wide, docs=docs)
     return sets.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.transform(
@@ -209,7 +215,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+md5 work runs twice — and on ONE core (single-split
     fixture file). Measured r2 at sf0.1: 12.5 s → 3.8 s warm."""
     sets = _hashed_token_sets(spark, sf_dir, wide=True).localCheckpoint()
-    bands = minhash_signatures(spark, sf_dir, sets=sets)
+    return minhash_pairs(spark, sets)
+
+
+def minhash_pairs(spark: SparkSession, sets: DataFrame) -> DataFrame:
+    """The band-join + Jaccard-verify core over prepared hashed token
+    sets — shared by the fixture gate query above and the synthetic
+    scale rehearsal (scripts/dedup_scaling.py). `sets` should already be
+    wide and materialized (both branches consume it)."""
+    bands = minhash_signatures(spark, "", sets=sets)
     left = bands.select(F.col("doc_id").alias("doc1"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc2"), "band", "band_sig")
     cand = (

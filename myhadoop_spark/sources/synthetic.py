@@ -49,6 +49,8 @@ class SyntheticDocsReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 8))
         self.min_tokens = int(options.get("minTokens", 5))
         self.max_tokens = int(options.get("maxTokens", 60))
+        self.vocab_size = int(options.get("vocabSize", 0))
+        self.dup_every = int(options.get("dupEvery", 0))
 
     def partitions(self):
         if self.rows <= 0:
@@ -67,20 +69,38 @@ class SyntheticDocsReader(DataSourceReader):
         # id), independent of partitioning and executor placement
         for doc_id in range(partition.start, partition.end):
             yield (doc_id, _gen_doc(doc_id, self.min_tokens,
-                                    self.max_tokens), partition.index)
+                                    self.max_tokens, self.vocab_size,
+                                    self.dup_every), partition.index)
 
 
-def _gen_doc(doc_id: int, min_tokens: int, max_tokens: int) -> str:
+def _gen_doc(doc_id: int, min_tokens: int, max_tokens: int,
+             vocab_size: int = 0, dup_every: int = 0) -> str:
     """The shared deterministic generator: an LCG seeded by doc id, so
     a document's text depends only on its id — identical between the
-    batch reader, the stream reader, and any executor placement."""
+    batch reader, the stream reader, and any executor placement.
+
+    vocabSize > 0 draws tokens from a synthetic vocabulary `w0..w{V-1}`
+    instead of the tiny default word list — the default's 20 words make
+    any two documents near-identical as TOKEN SETS (fine for wordcount
+    fixtures, degenerate for set-similarity work: minhash at the default
+    vocab declares ~half of ALL pairs near-dups). dupEvery = k plants a
+    controlled near-duplicate structure: every k-th document is the
+    previous document's text plus one trailing token (Jaccard n/(n+1)),
+    everything else near-unique — the dedup-rehearsal corpus shape
+    (scripts/dedup_scaling.py)."""
+    if dup_every and doc_id % dup_every == 0 and doc_id > 0:
+        base = _gen_doc(doc_id - 1, min_tokens, max_tokens, vocab_size, 0)
+        return base + " w" + str(doc_id)
     state = (doc_id * 6364136223846793005 + 1442695040888963407) % (1 << 63)
     n_tokens = min_tokens + state % (max_tokens - min_tokens + 1)
     words = []
     for _ in range(n_tokens):
         state = (state * 6364136223846793005 + 1442695040888963407) \
             % (1 << 63)
-        words.append(VOCAB[state % len(VOCAB)])
+        if vocab_size > 0:
+            words.append("w" + str(state % vocab_size))
+        else:
+            words.append(VOCAB[state % len(VOCAB)])
     return " ".join(words)
 
 
