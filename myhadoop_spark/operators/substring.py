@@ -1,0 +1,145 @@
+"""Exact-substring duplicate detection (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better", the ExactSubstr dedup):
+find document pairs sharing a contiguous run of >= min_overlap tokens.
+
+The paper builds a single suffix array over the whole corpus — a
+fundamentally single-machine index. The distributed re-expression is
+rolling-hash window matching with the classic diagonal trick:
+
+  1. per document, hash every k-token window with a Horner polynomial
+     rolling hash (narrow, no shuffle, no UDF);
+  2. self-join window hashes (banded by the 31-bit hash value — the one
+     shuffle; never all-pairs on documents);
+  3. matched positions (pa, pb) with the same diagonal d = pb - pa and
+     consecutive pa form one contiguous shared run (gaps-and-islands on
+     pa within each (pair, d) group);
+  4. candidate runs long enough to matter are verified EXACTLY by
+     comparing the actual token slices of the two documents — hash
+     collisions cost candidate rows, never correctness.
+
+Scale posture (100 TB): step 2's shuffle carries (doc_id, pos, hash) —
+three ints per token, a fixed small multiple of the tokenized corpus,
+hash-partitioned with no skew by construction (the hash is uniform).
+Boilerplate windows (license headers, nav bars) appearing in thousands
+of documents would quadratically explode the join, so ``max_df`` drops
+window hashes seen in more than that many documents first — the same
+stop-shingle guard the MinHash path uses, and standard practice in
+suffix-array dedup deployments. Verification joins token arrays only
+for documents that appear in a surviving candidate run.
+
+Reference analog: the reference has no substring dedup — this is part
+of the §2.3 training-data extension surface (SURVEY.md §2.3), like
+operators/decontam.py. Constants are shared verbatim with the DuckDB
+oracle (queries/substr.py) so BIGINT Horner arithmetic agrees bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Horner rolling-hash constants. Token hashes are first reduced mod M
+# (31-bit) so the accumulator stays < M and acc*B + t < 2^31 * 1e6 + 2^31
+# ~ 2.1e15 << 2^63: no interim overflow, and list_reduce/F.aggregate
+# agree bitwise across engines.
+K_WINDOW = 8  # tokens per window
+HASH_B = 1_000_003
+HASH_M = 2_147_483_647
+MIN_OVERLAP = 20  # tokens; a surviving run is >= this long
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens, empty-dropped — the corpus-wide convention
+    (queries/dedup.py, queries/text.py)."""
+    return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_hashes_mod(toks: Column) -> Column:
+    """md5-derived 32-bit token hash reduced mod M (so the Horner fold
+    never overflows and the oracle's no-initializer list_reduce — whose
+    first step is the bare first element — matches F.aggregate's
+    zero-init first step exactly)."""
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(HASH_M))
+
+
+def window_hashes(thm: Column, k: int = K_WINDOW) -> Column:
+    """Horner hash of every k-token window of a (materialized) reduced
+    token-hash column: wh[i] = fold(thm[i..i+k-1], (a, x) -> (a*B + x) % M).
+    O(n*k) narrow per-row work, the winnowing discipline
+    (queries/text.py:88): thm MUST be a plain column reference so the
+    lambda does not re-evaluate it per position."""
+    n_windows = F.size(thm) - F.lit(k - 1)
+    return F.when(n_windows < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.aggregate(
+                F.slice(thm, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(HASH_B) + x) % F.lit(HASH_M))))
+
+
+def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
+                    min_overlap: int = MIN_OVERLAP,
+                    max_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, overlap_tokens, n_runs) for every pair of documents
+    sharing at least one EXACT contiguous run of >= min_overlap tokens.
+
+    overlap_tokens is the longest verified shared run; n_runs counts the
+    distinct qualifying runs. Pairs are ordered doc_a < doc_b. ``docs``
+    needs (doc_id, text).
+    """
+    min_run = min_overlap - k + 1  # windows in a qualifying run
+    base = docs.select("doc_id", tokens().alias("toks"))
+    hashed = (base
+              .withColumn("thm", token_hashes_mod(F.col("toks")))
+              .withColumn("wh", window_hashes(F.col("thm"), k)))
+
+    wf = hashed.select(
+        "doc_id", F.posexplode("wh").alias("pos0", "wh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wh")
+
+    if max_df is not None:
+        hot = (wf.groupBy("wh")
+               .agg(F.countDistinct("doc_id").alias("df"))
+               .filter(F.col("df") > max_df)
+               .select("wh"))
+        wf = wf.join(hot, "wh", "left_anti")
+
+    a = wf.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
+                  "wh")
+    b = wf.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+                  "wh")
+    m = (a.join(b, "wh")
+         .filter(F.col("doc_a") < F.col("doc_b"))
+         .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
+
+    # gaps-and-islands: within a (pair, diagonal) group, consecutive pa
+    # values share pa - row_number(), so each island is one contiguous run
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "d", "grp")
+            .agg(F.count(F.lit(1)).alias("run_len"),
+                 F.min("pa").alias("pa_start"))
+            .filter(F.col("run_len") >= min_run))
+
+    # exact verify: compare the actual token slices (hash collisions can
+    # only create candidates, never survive this)
+    ta = base.select(F.col("doc_id").alias("doc_a"),
+                     F.col("toks").alias("toks_a"))
+    tb = base.select(F.col("doc_id").alias("doc_b"),
+                     F.col("toks").alias("toks_b"))
+    run_toks = (F.col("run_len") + F.lit(k - 1)).cast("int")
+    verified = (runs.join(ta, "doc_a").join(tb, "doc_b")
+                .filter(F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
+                                run_toks)
+                        == F.slice(F.col("toks_b"),
+                                   (F.col("pa_start") + F.col("d")).cast("int"),
+                                   run_toks)))
+
+    return (verified.groupBy("doc_a", "doc_b")
+            .agg((F.max("run_len") + F.lit(k - 1)).cast("bigint")
+                 .alias("overlap_tokens"),
+                 F.count(F.lit(1)).alias("n_runs")))

@@ -15,6 +15,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     corpus_stats,
     curation_gate,
     dedup,
+    dedup_ext,
     media,
     merge_query,
     pipeline,

@@ -1,0 +1,162 @@
+"""Dedup extension queries: exact-substring pair detection and
+Bloom-filter incremental membership — §2.3 training-data surface
+(SURVEY.md §2.3), alongside queries/dedup.py's minhash/simhash/jaccard
+family.
+
+These took two former gate slots (sort_topn, join2) whose operator
+coverage is subsumed elsewhere in the 50-row window: sort_topn's
+TakeOrderedAndProject plan is exercised by topk (and plan-asserted for
+both in tests/test_plans.py), sort_full covers the sort semantics, and
+join2's equi-join+agg shape is tpch_q3/join_multi's; both remain
+implemented, plan-asserted, and oracle-checked in pytest
+(tests/test_correctness.py::test_demoted_queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.operators.bloom import (
+    K_HASHES,
+    M_BITS,
+    bloom_build,
+    bloom_probe,
+)
+from myhadoop_spark.operators.substring import (
+    HASH_B,
+    HASH_M,
+    K_WINDOW,
+    MIN_OVERLAP,
+    substring_pairs,
+)
+from myhadoop_spark.registry import register
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (operators/substring.py) — suffix-array-dedup
+# semantics, distributed as rolling-hash windows + diagonal runs + exact
+# token-slice verify.
+# ---------------------------------------------------------------------------
+
+_K1 = K_WINDOW - 1
+_MIN_RUN = MIN_OVERLAP - K_WINDOW + 1
+
+@register(
+    "substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id,
+             list_transform(toks, tok ->
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                 % {HASH_M}) AS thm
+           FROM t),
+    w AS (SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(thm) - {_K1}, 0)),
+              i -> struct_pack(pos := i,
+                     wh := list_reduce(
+                       list_slice(thm, CAST(i AS INT), CAST(i + {_K1} AS INT)),
+                       (a, b) -> (a * {HASH_B} + b) % {HASH_M})))) AS s
+          FROM th),
+    wf AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM w),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos - a.pos AS d
+          FROM wf a JOIN wf b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+    g AS (SELECT doc_a, doc_b, d, pa,
+                 pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, d ORDER BY pa) AS grp
+          FROM m),
+    runs AS (SELECT doc_a, doc_b, d, min(pa) AS pa_start,
+                    count(*) AS run_len
+             FROM g GROUP BY doc_a, doc_b, d, grp
+             HAVING count(*) >= {_MIN_RUN}),
+    ver AS (SELECT r.doc_a, r.doc_b, r.run_len
+            FROM runs r
+              JOIN t ta ON r.doc_a = ta.doc_id
+              JOIN t tb ON r.doc_b = tb.doc_id
+            WHERE list_slice(ta.toks, CAST(r.pa_start AS INT),
+                             CAST(r.pa_start + r.run_len + {_K1} - 1 AS INT))
+                = list_slice(tb.toks, CAST(r.pa_start + r.d AS INT),
+                             CAST(r.pa_start + r.d + r.run_len + {_K1} - 1
+                                  AS INT)))
+    SELECT doc_a, doc_b,
+           CAST(max(run_len) + {_K1} AS BIGINT) AS overlap_tokens,
+           count(*) AS n_runs
+    FROM ver GROUP BY doc_a, doc_b
+    """,
+    tags=("dedup", "extension", "substring"),
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing an exact contiguous run of >= 20 tokens —
+    the distributed form of suffix-array ExactSubstr dedup (Lee et al.
+    2021). See operators/substring.py for the algorithm and the 100 TB
+    posture (banded window-hash join, max_df boilerplate guard, exact
+    verify on candidates only)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (operators/bloom.py).
+# ---------------------------------------------------------------------------
+
+# Deterministic seen/new split: 80% of documents (doc_id % 5 != 0) are
+# the already-ingested corpus; ALL documents are probed. Seen documents
+# MUST hit (a Bloom filter has no false negatives); unseen ones miss
+# unless an (astronomically unlikely at this load factor) false
+# positive fires — either way the answer is deterministic and mirrored
+# bit-for-bit by the oracle. The filter's n_bits_set/filter_xor
+# checksums pin the ENTIRE bitmap, so a single engine-side bit
+# difference anywhere in the filter is a hash mismatch even if every
+# membership verdict happens to agree.
+_SEEN_PRED = "doc_id % 5 <> 0"
+
+_SQL_POSITIONS = f"""list_transform(generate_series(0, {K_HASHES - 1}), i ->
+      ((CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % {M_BITS})
+       + i * ((CAST(concat('0x', substr(md5(text), 17, 15)) AS BIGINT)
+               % {M_BITS}) | 1)) % {M_BITS})"""
+
+
+@register(
+    "bloom_dedup",
+    oracle=f"""
+    WITH pos AS (SELECT unnest({_SQL_POSITIONS}) AS p
+                 FROM documents WHERE {_SEEN_PRED}),
+    words AS (SELECT p // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+              FROM pos GROUP BY p // 32),
+    summary AS (SELECT bit_xor(xor(word, word_idx)) AS filter_xor,
+                       CAST(sum(bit_count(word)) AS BIGINT) AS n_bits_set
+                FROM words),
+    pr AS (SELECT doc_id, unnest({_SQL_POSITIONS}) AS p FROM documents),
+    prw AS (SELECT doc_id, p // 32 AS word_idx,
+                   CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS bit
+            FROM pr),
+    hits AS (SELECT doc_id,
+                    bool_and((COALESCE(word, 0) & bit) <> 0) AS bloom_hit
+             FROM prw LEFT JOIN words USING (word_idx)
+             GROUP BY doc_id)
+    SELECT h.doc_id, h.bloom_hit, s.filter_xor, s.n_bits_set
+    FROM hits h CROSS JOIN summary s
+    """,
+    tags=("dedup", "extension", "bloom"),
+)
+def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest membership: build a Bloom filter over the
+    seen 80% of the corpus, probe every document through it, and attach
+    whole-filter checksums. See operators/bloom.py for sizing math and
+    the broadcast-shard posture at 10^10-document seen-sets."""
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.filter(F.expr(_SEEN_PRED)).select("text")
+    bloom = bloom_build(seen, "text")
+    summary = bloom.agg(
+        F.bit_xor(F.col("word").bitwiseXOR(F.col("word_idx")))
+        .alias("filter_xor"),
+        F.sum(F.bit_count("word")).alias("n_bits_set"))
+    hits = bloom_probe(docs.select("doc_id", "text"), "text", bloom,
+                       id_cols=["doc_id"])
+    return hits.crossJoin(F.broadcast(summary))

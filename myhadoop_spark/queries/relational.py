@@ -41,6 +41,11 @@ from myhadoop_spark.registry import register
 
 @register(
     "sort_topn",
+    gate=False,  # demoted from the 50-row driver window in r4: the
+    # TakeOrderedAndProject plan is exercised by topk (both plan-asserted
+    # in tests/test_plans.py) and the sort semantics by sort_full; the
+    # slot went to substring_dedup (queries/dedup_ext.py). Still
+    # oracle-checked via tests/test_correctness.py.
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
     FROM lineitem
@@ -180,6 +185,9 @@ def agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join2",
+    gate=False,  # demoted in r4: equi-join+agg is tpch_q3/join_multi's
+    # shape; the slot went to bloom_dedup (queries/dedup_ext.py). Still
+    # oracle-checked via tests/test_correctness.py.
     oracle=f"""
     SELECT c_mktsegment, o_orderstatus,
            COUNT(*) AS n_orders,

@@ -24,23 +24,24 @@ class Query:
     fn: QueryFn
     oracle: str | None = None  # DuckDB-runnable ANSI SQL; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
-
-    @property
-    def doc(self) -> str:
-        return (self.fn.__doc__ or "").strip()
+    gate: bool = True  # False → registered (tests, bench-able, plan-asserted)
+    #                    but outside the driver's 50-row correctness window;
+    #                    tests/test_correctness.py oracle-checks these too
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None = None,
-             tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+             tags: tuple[str, ...] = (),
+             gate: bool = True) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags)
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags,
+                                gate=gate)
         return fn
 
     return deco
@@ -56,14 +57,22 @@ def get(name: str) -> Query:
     return _REGISTRY[name]
 
 
-def all_queries() -> dict[str, QueryFn]:
+def all_queries(include_ungated: bool = False) -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {n: q.fn for n, q in sorted(_REGISTRY.items())}
+    return {n: q.fn for n, q in sorted(_REGISTRY.items())
+            if q.gate or include_ungated}
 
 
-def all_oracles() -> dict[str, str]:
+def all_oracles(include_ungated: bool = False) -> dict[str, str]:
     _ensure_loaded()
-    return {n: q.oracle for n, q in sorted(_REGISTRY.items()) if q.oracle is not None}
+    return {n: q.oracle for n, q in sorted(_REGISTRY.items())
+            if q.oracle is not None and (q.gate or include_ungated)}
+
+
+def ungated() -> list[str]:
+    """Queries outside the driver gate window (still tested in pytest)."""
+    _ensure_loaded()
+    return sorted(n for n, q in _REGISTRY.items() if not q.gate)
 
 
 def names() -> list[str]:

@@ -17,8 +17,12 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(registry.all_oracles()))
+@pytest.mark.parametrize(
+    "name", sorted(registry.all_oracles(include_ungated=True)))
 def test_query_matches_oracle(spark, duck, name):
+    """Includes gate-demoted queries (registry.ungated() — sort_topn,
+    join2): outside the driver's 50-row window but still held to the
+    same bitwise oracle contract here."""
     q = registry.get(name)
     sdf = q.fn(spark, SF_SMOKE)
     scols, srows = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
@@ -29,8 +33,9 @@ def test_query_matches_oracle(spark, duck, name):
     assert not notes, f"non-bitwise float match: {notes}"
 
 
-@pytest.mark.parametrize("name", sorted(set(registry.names())
-                                        - set(registry.all_oracles())))
+@pytest.mark.parametrize(
+    "name", sorted(set(registry.names())
+                   - set(registry.all_oracles(include_ungated=True))))
 def test_rows_only_queries_run(spark, name):
     df = registry.get(name).fn(spark, SF_SMOKE)
     assert df.count() >= 0
