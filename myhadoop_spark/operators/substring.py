@@ -6,8 +6,10 @@ The paper builds a single suffix array over the whole corpus — a
 fundamentally single-machine index. The distributed re-expression is
 rolling-hash window matching with the classic diagonal trick:
 
-  1. per document, hash every k-token window with a Horner polynomial
-     rolling hash (narrow, no shuffle, no UDF);
+  1. hash every k-token window with a Horner polynomial rolling hash —
+     row-shaped (posexplode + k-1 LEADs over the per-doc window), one
+     bounded-group shuffle on doc_id, no UDF (see window_hash_rows for
+     why the array formulation is a Catalyst recompute trap);
   2. self-join window hashes (banded by the 31-bit hash value — the one
      shuffle; never all-pairs on documents);
   3. matched positions (pa, pb) with the same diagonal d = pb - pa and
@@ -54,31 +56,41 @@ def tokens(col: str = "text") -> Column:
     return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != F.lit(""))
 
 
-def token_hashes_mod(toks: Column) -> Column:
+def token_hash_mod(tok: Column) -> Column:
     """md5-derived 32-bit token hash reduced mod M (so the Horner fold
     never overflows and the oracle's no-initializer list_reduce — whose
-    first step is the bare first element — matches F.aggregate's
-    zero-init first step exactly)."""
-    return F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        % F.lit(HASH_M))
+    first step is the bare first element — matches the zero-init Horner
+    first step exactly)."""
+    return (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % F.lit(HASH_M))
 
 
-def window_hashes(thm: Column, k: int = K_WINDOW) -> Column:
-    """Horner hash of every k-token window of a (materialized) reduced
-    token-hash column: wh[i] = fold(thm[i..i+k-1], (a, x) -> (a*B + x) % M).
-    O(n*k) narrow per-row work, the winnowing discipline
-    (queries/text.py:88): thm MUST be a plain column reference so the
-    lambda does not re-evaluate it per position."""
-    n_windows = F.size(thm) - F.lit(k - 1)
-    return F.when(n_windows < 1, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.aggregate(
-                F.slice(thm, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * F.lit(HASH_B) + x) % F.lit(HASH_M))))
+def window_hash_rows(docs: DataFrame, k: int = K_WINDOW) -> DataFrame:
+    """(doc_id, pos, wh): the Horner hash of the k-token window starting
+    at each 1-based token position.
+
+    Deliberately ROW-shaped, not array-shaped: an array formulation
+    (transform(sequence, i -> aggregate(slice(thm, i, k), ...)) over a
+    thm column) reads naturally but is a Catalyst trap — CollapseProject
+    inlines single-use column references into the lambda, so the whole
+    token-hash array is re-evaluated per position and the per-doc cost
+    goes O(n²·k) with ~50 md5s recomputed per window (measured: 33 s for
+    236k windows at sf0.1; this form: sub-second). Here each token is
+    md5-hashed exactly once on its own row, and the window hash folds
+    k-1 LEAD()s over the per-document window — one window pass, one
+    shuffle on doc_id (bounded rows per doc), all codegen."""
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"),
+             token_hash_mod(F.col("tok")).alias("th"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.col("th")
+    for j in range(1, k):
+        # null LEAD past the end propagates → incomplete windows drop
+        h = (h * F.lit(HASH_B) + F.lead("th", j).over(w)) % F.lit(HASH_M)
+    return (tok_rows.withColumn("wh", h)
+            .filter(F.col("wh").isNotNull())
+            .select("doc_id", "pos", "wh"))
 
 
 def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
@@ -93,13 +105,7 @@ def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
     """
     min_run = min_overlap - k + 1  # windows in a qualifying run
     base = docs.select("doc_id", tokens().alias("toks"))
-    hashed = (base
-              .withColumn("thm", token_hashes_mod(F.col("toks")))
-              .withColumn("wh", window_hashes(F.col("thm"), k)))
-
-    wf = hashed.select(
-        "doc_id", F.posexplode("wh").alias("pos0", "wh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wh")
+    wf = window_hash_rows(docs, k)
 
     if max_df is not None:
         hot = (wf.groupBy("wh")

@@ -32,8 +32,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from bench import StageMeter
+from myhadoop_spark.operators.bloom import bloom_build, bloom_probe
 from myhadoop_spark.operators.connected_components import connected_components
 from myhadoop_spark.operators.decontam import contamination_pairs
+from myhadoop_spark.operators.substring import substring_pairs
 from myhadoop_spark.queries.dedup import _hashed_token_sets, minhash_pairs
 from myhadoop_spark.session import get_spark
 from myhadoop_spark.sources.synthetic import register as register_source
@@ -113,6 +115,28 @@ def main() -> None:
             return cp, cp.count()
 
         run(n, "decontam", _decontam)
+
+        # r4 additions: the planted dup (previous doc + 1 trailing
+        # token) IS a full-document contiguous run, so substring_pairs
+        # must recover ~n/dup_every pairs; windows grow ∝ tokens, the
+        # banded join ∝ windows + matches — never docs².
+        def _substring():
+            sp = substring_pairs(docs)
+            return sp, sp.count()
+
+        run(n, "substring_pairs", _substring)
+
+        # Bloom: build shuffles ≤ partitions × m/32 words no matter how
+        # many docs; the probe is a broadcast join (shuffle ≈ 0 on the
+        # batch side beyond the final per-doc agg).
+        def _bloom():
+            bl = bloom_build(docs.filter("doc_id % 5 <> 0").select("text"),
+                             "text").localCheckpoint()
+            pr = bloom_probe(docs.select("doc_id", "text"), "text", bl,
+                             id_cols=["doc_id"])
+            return pr, pr.filter("bloom_hit").count()
+
+        run(n, "bloom_build_probe", _bloom)
     spark.stop()
 
 
