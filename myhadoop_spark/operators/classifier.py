@@ -1,0 +1,126 @@
+"""Classifier-based quality filtering — the CCNet/DCLM pipeline shape:
+bootstrap a linear text classifier from cheap labels (a heuristic rule,
+or a reference corpus vs the raw crawl), then score the full corpus at
+scan speed and filter on the score.
+
+The model is a bag-of-tokens linear scorer with INTEGER weights:
+
+    w(t)     = n_pos(t)·SCALE DIV N_pos  −  n_neg(t)·SCALE DIV N_neg
+    score(d) = Σ_{t ∈ d} w(t)            (duplicates count, bag semantics)
+    pred(d)  = score(d) > 0
+
+i.e. the difference of per-class token RATES, fixed-point scaled — a
+Rocchio/naive-Bayes-flavored centroid difference. Integer arithmetic is
+deliberate: log-odds weights would differ in the last ulp between
+engines' ln() implementations, while DIV/×/Σ over BIGINTs are exact
+everywhere, so scores are engine-bitwise and the DuckDB differential
+(tests/test_classifier.py) can assert equality, not tolerance.
+
+Scale shape (100 TB): training is two narrow explode+count aggregations
+over the labeled sample (shuffle ∝ vocabulary, not corpus) plus one
+2-row total; scoring is an explode + BROADCAST join against the weight
+table (vocabularies fit executors; hash-bucket the features if not) +
+one per-doc sum — no all-pairs, no UDF, no driver state. Overflow
+margins: SCALE=1e6 needs class token totals ≤ ~9.2e12 for the
+n·SCALE product to stay in BIGINT; past that, cast the products to
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — documented, not wired, the
+fixture is 11 orders of magnitude away.
+
+Reference analog: none — §2.3 extension surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # fixed-point rate scale
+
+# function words used for the ratio marker feature (the doc_metrics
+# stopword family, queries/text.py::STOPWORDS)
+MARKER_WORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: str = "text") -> Column:
+    """Corpus tokenization convention (queries/text.py::_tokens)."""
+    return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+MARKER_BOOST = 8  # marker multiplicity in the bag (see feature_tokens)
+
+
+def feature_tokens(col: str = "text",
+                   marker_words: tuple[str, ...] = MARKER_WORDS,
+                   marker_boost: int = MARKER_BOOST) -> Column:
+    """Bag-of-features for a document: its tokens plus three binned
+    engineered markers — '#len:<n_tokens DIV 8>',
+    '#stop:<16·marker_hits DIV n_tokens>' and
+    '#div:<16·distinct_tokens DIV n_tokens>'. Token identity alone cannot
+    express length or ratio signals a teacher heuristic (or a reference-
+    vs-crawl contrast) encodes; binned count features are the standard
+    linear-model answer (fastText-style buckets). Integer bins keep
+    engine-exactness; the '#' prefix cannot collide with whitespace
+    tokens that would need to contain '#' + ':' in this corpus family.
+
+    marker_boost repeats the marker features in the bag: with rate-
+    difference weights a feature's influence is its occurrence count,
+    so 3 markers against ~50 content tokens would be diluted 17:1 —
+    the multiplicity is the bag-model analog of a per-feature weight
+    magnitude (held-out accuracy on the fixture teacher: 0.60 at
+    boost 1 → 0.84 at boost 8; markers alone reach 0.84, content
+    tokens alone 0.60)."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    hits = F.size(F.filter(toks,
+                           lambda t: t.isin(*marker_words))).cast("long")
+    # floor-of-double division == exact integer division here: with
+    # numerator/denominator < 2^24 the double quotient's deficit below
+    # the next integer is >= 2^-24, far above ulp — both engines floor
+    # to the same bin
+    len_bin = F.concat(F.lit("#len:"),
+                       F.floor(F.size(toks) / F.lit(8)).cast("string"))
+    stop_bin = F.concat(F.lit("#stop:"),
+                        F.floor((hits * F.lit(16)) / n).cast("string"))
+    distinct = F.size(F.array_distinct(toks)).cast("long")
+    div_bin = F.concat(F.lit("#div:"),
+                       F.floor((distinct * F.lit(16)) / n).cast("string"))
+    markers = F.array(len_bin, stop_bin, div_bin)
+    return F.concat(toks, F.flatten(
+        F.array_repeat(markers, marker_boost)))
+
+
+def train_token_weights(labeled: DataFrame, label_col: str = "label",
+                        text_col: str = "text") -> DataFrame:
+    """(tok, w) integer weight table from (text, label bool) rows.
+
+    One explode, one (tok, label) count aggregation, one 2-row class
+    total, broadcast-combined — weights are a pure function of the
+    labeled sample, independent of partitioning."""
+    tok_rows = labeled.select(F.col(label_col).alias("_lbl"),
+                              F.explode(feature_tokens(text_col)).alias("tok"))
+    counts = (tok_rows.groupBy("tok")
+              .agg(F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).alias("n_pos"),
+                   F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).alias("n_neg")))
+    totals = tok_rows.agg(
+        F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).alias("t_pos"),
+        F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).alias("t_neg"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("tok",
+                    (F.expr(f"n_pos * {SCALE} DIV t_pos")
+                     - F.expr(f"n_neg * {SCALE} DIV t_neg")).alias("w")))
+
+
+def score_documents(docs: DataFrame, weights: DataFrame, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, score, pred): fixed-point linear score per document.
+    Out-of-vocabulary tokens score 0 (left join); empty docs score 0."""
+    tok_rows = docs.select(id_col,
+                           F.explode(feature_tokens(text_col)).alias("tok"))
+    scored = (tok_rows.join(F.broadcast(weights), "tok", "left")
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score")))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("score"), F.lit(0)).alias("score"))
+            .withColumn("pred", F.col("score") > 0))

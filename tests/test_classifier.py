@@ -1,0 +1,147 @@
+"""Quality classifier (operators/classifier.py): bitwise DuckDB
+differential on the integer scores, held-out separation, OOV/empty
+behavior, and the broadcast scoring plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import duckdb
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.operators.classifier import (
+    MARKER_BOOST,
+    SCALE,
+    score_documents,
+    tokens,
+    train_token_weights,
+)
+from tests.conftest import SF_SMOKE
+
+_Q_THRESHOLD = 0.78  # splits the fixture ~239/261
+
+_STOP = ("the", "a", "of", "and", "to", "in")
+
+
+def _labeled(spark, sf_dir):
+    """documents + a heuristic quality label (the doc_metrics formula,
+    queries/text.py — the classifier's bootstrap teacher)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens()
+    n = F.size(toks).cast("double")
+    q = (F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+         + F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n)
+         + F.lit(0.3) * (F.lit(1.0) - F.size(
+             F.filter(toks, lambda t: t.isin(*_STOP))).cast("double") / n))
+    return docs.filter(F.size(toks) > 0).withColumn(
+        "label", q >= F.lit(_Q_THRESHOLD))
+
+
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_SQL_STOP = "('the','a','of','and','to','in')"
+# the feature bag: tokens + binned length/function-word-ratio markers
+# (operators/classifier.py::feature_tokens — integer bins, same values
+# both engines)
+_SQL_MARKERS = (f"'#len:' || CAST(len({_SQL_TOKS}) // 8 AS VARCHAR), "
+                f"'#stop:' || CAST((16 * len(list_filter({_SQL_TOKS}, "
+                f"x -> x IN {_SQL_STOP}))) "
+                f"// greatest(len({_SQL_TOKS}), 1) AS VARCHAR), "
+                f"'#div:' || CAST((16 * len(list_distinct({_SQL_TOKS}))) "
+                f"// greatest(len({_SQL_TOKS}), 1) AS VARCHAR)")
+# markers repeated MARKER_BOOST times — same multiplicity as the bag
+_SQL_FEATS = (f"list_concat({_SQL_TOKS}, "
+              f"[{', '.join([_SQL_MARKERS] * MARKER_BOOST)}])")
+
+
+def _oracle_scores(sf_dir):
+    con = duckdb.connect()
+    sql = f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks
+               FROM '{sf_dir}/documents.parquet'),
+    lab AS (SELECT doc_id, text,
+              (0.4 * least(1.0, CAST(len(toks) AS DOUBLE)/50.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+             + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN {_SQL_STOP}))
+                            AS DOUBLE) / CAST(len(toks) AS DOUBLE)))
+              >= {_Q_THRESHOLD} AS label
+            FROM t WHERE len(toks) > 0),
+    tr AS (SELECT label AS lbl, unnest({_SQL_FEATS}) AS tok
+           FROM lab WHERE doc_id % 2 = 0),
+    counts AS (SELECT tok,
+                 sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+                 sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+               FROM tr GROUP BY tok),
+    totals AS (SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS t_pos,
+                      sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS t_neg
+               FROM tr),
+    w AS (SELECT tok, n_pos * {SCALE} // t_pos
+                    - n_neg * {SCALE} // t_neg AS w
+          FROM counts CROSS JOIN totals),
+    sc AS (SELECT l.doc_id, unnest({_SQL_FEATS}) AS tok
+           FROM lab l),
+    s AS (SELECT sc.doc_id,
+                 sum(COALESCE(w.w, 0)) AS score
+          FROM sc LEFT JOIN w USING (tok) GROUP BY sc.doc_id)
+    SELECT l.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+    FROM lab l LEFT JOIN s ON l.doc_id = s.doc_id
+    ORDER BY l.doc_id
+    """
+    return dict(con.execute(sql).fetchall())
+
+
+def test_scores_match_duckdb_bitwise(spark):
+    labeled = _labeled(spark, SF_SMOKE)
+    weights = train_token_weights(labeled.filter("doc_id % 2 = 0"))
+    got = {r.doc_id: r.score
+           for r in score_documents(labeled, weights).collect()}
+    want = _oracle_scores(SF_SMOKE)
+    assert got == want
+
+
+def test_heldout_separation(spark):
+    """Trained on even ids, the scorer must separate the held-out odd
+    ids: mean score of positive docs above mean score of negatives,
+    and accuracy comfortably over chance."""
+    labeled = _labeled(spark, SF_SMOKE)
+    weights = train_token_weights(labeled.filter("doc_id % 2 = 0"))
+    out = (score_documents(labeled.filter("doc_id % 2 = 1"), weights)
+           .join(labeled.select("doc_id", "label"), "doc_id")
+           .collect())
+    pos = [r.score for r in out if r.label]
+    neg = [r.score for r in out if not r.label]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    acc = sum(1 for r in out if r.pred == r.label) / len(out)
+    assert acc > 0.75, acc
+
+
+def test_oov_tokens_contribute_zero(spark):
+    """Out-of-vocabulary CONTENT tokens score 0: two docs with disjoint
+    unseen vocabularies but identical engineered bins (same length,
+    zero function words) must get identical scores; the empty doc runs
+    and yields a deterministic score (its marker features only)."""
+    labeled = spark.createDataFrame(
+        [(0, "good stuff here", True), (1, "bad junk pile", False)],
+        "doc_id long, text string, label boolean")
+    weights = train_token_weights(labeled)
+    out = {r.doc_id: r for r in score_documents(
+        spark.createDataFrame(
+            [(10, "unseen words only"), (11, "zzz qqq xxx"), (12, "")],
+            "doc_id long, text string"),
+        weights).collect()}
+    assert out[10].score == out[11].score
+    assert out[12].score is not None and isinstance(out[12].pred, bool)
+
+
+def test_scoring_plan_broadcasts_weights(spark):
+    labeled = _labeled(spark, SF_SMOKE)
+    weights = train_token_weights(labeled)
+    plan_io = io.StringIO()
+    with contextlib.redirect_stdout(plan_io):
+        score_documents(labeled, weights).explain("formatted")
+    plan = plan_io.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
