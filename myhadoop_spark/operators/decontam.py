@@ -47,18 +47,33 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     if wide:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # materialize the token array in its own projection: it is referenced
+    # 2(n-1)+1 times below, which blocks CollapseProject from inlining the
+    # regex split into the gram construction (a single-use reference would
+    # be inlined and re-split the text per reference — the r4 substring
+    # lesson, operators/substring.py::window_hash_rows)
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    tk = F.col("_toks")
+    # grams by zipping the token array with its own shifted copies: each
+    # slice is evaluated ONCE per row (the zip_with lambda never touches
+    # the outer array, unlike a transform(sequence, i -> slice(tk, i, n))
+    # formulation, whose per-position slice re-evaluates its single-use
+    # inlined input per POSITION — measured 3.7 s warm vs 0.9 s for this
+    # shape on the sf0.1 gate query). F.concat propagates the null
+    # padding zip_with adds past the shorter array, so incomplete tail
+    # grams become null and one filter drops them — short docs (< n
+    # tokens) degrade to an all-null, then empty, gram list for free.
+    g = tk
+    for j in range(2, n + 1):
+        shifted = F.slice(tk, j, F.greatest(F.size(tk) - (j - 1), F.lit(0)))
+        g = F.zip_with(g, shifted,
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(g, lambda x: x.isNotNull())
     sh = F.array_distinct(F.transform(
         grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     ))
-    return (df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("sh"))
+    return (base.select("_id", F.explode(sh).alias("sh"))
             .select(F.col("_id").alias(id_col), "sh"))
 
 

@@ -147,28 +147,28 @@ def minhash_signatures(spark: SparkSession, sf_dir: str,
     if sets is None:
         sets = _hashed_token_sets(spark, sf_dir)
     sets = sets.filter(F.size("toks") > 0)
-    fam_a = F.array(*[F.lit(a).cast("long") for _, a, _ in MINHASH_FAM])
-    fam_b = F.array(*[F.lit(b).cast("long") for _, _, b in MINHASH_FAM])
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(len(MINHASH_FAM) - 1)),
-        lambda i: F.aggregate(
+    # each minhash fold appears EXACTLY ONCE, unrolled into its band's
+    # array_join — the previous form built a sigs array and sliced it
+    # per band, and since sigs was a single-use expression,
+    # CollapseProject inlined it into the per-band lambda: the whole
+    # 16-fold signature computation re-evaluated once PER BAND (4x the
+    # minhash work; the r4 recompute-trap family, see
+    # operators/substring.py::window_hash_rows)
+    def _mh_fold(i: int):
+        _, a, b = MINHASH_FAM[i]
+        return F.aggregate(
             F.col("toks"),
             F.lit(MINHASH_P).cast("long"),
             lambda acc, th: F.least(
-                acc,
-                (F.element_at(fam_a, i + 1) * th + F.element_at(fam_b, i + 1))
-                % MINHASH_P),
-        ),
-    )
+                acc, (F.lit(a) * th + F.lit(b)) % MINHASH_P))
+
     n_bands = len(MINHASH_FAM) // MINHASH_BAND_ROWS
-    band_sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.array_join(
-            F.transform(
-                F.slice(sigs, b * MINHASH_BAND_ROWS + 1, MINHASH_BAND_ROWS),
-                lambda v: v.cast("string")),
-            ","),
-    )
+    band_sigs = F.array(*[
+        F.array_join(
+            F.array(*[_mh_fold(b * MINHASH_BAND_ROWS + r).cast("string")
+                      for r in range(MINHASH_BAND_ROWS)]),
+            ",")
+        for b in range(n_bands)])
     return sets.select(
         "doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
 

@@ -27,24 +27,34 @@ def minhash_signature_col(text_col: str = "text") -> Column:
     """Full 16-minhash signature of a text column as a single string —
     the same hash family as the batch operator (dedup.py), computed as
     one narrow expression so it is legal inside a streaming query."""
+    hashed = _hashed_tokens_col(text_col)
+    return F.array_join(
+        F.array(*[_mh_fold(hashed, i).cast("string")
+                  for i in range(len(MINHASH_FAM))]), ",")
+
+
+def _hashed_tokens_col(text_col: str) -> Column:
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")))
-    hashed = F.transform(
+    return F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    fam_a = F.array(*[F.lit(a).cast("long") for _, a, _ in MINHASH_FAM])
-    fam_b = F.array(*[F.lit(b).cast("long") for _, _, b in MINHASH_FAM])
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(len(MINHASH_FAM) - 1)),
-        lambda i: F.aggregate(
-            hashed,
-            F.lit(MINHASH_P).cast("long"),
-            lambda acc, th: F.least(
-                acc,
-                (F.element_at(fam_a, i + 1) * th + F.element_at(fam_b, i + 1))
-                % MINHASH_P),
-        ),
-    )
-    return F.array_join(F.transform(sigs, lambda v: v.cast("string")), ",")
+
+
+def _mh_fold(hashed: Column, i: int) -> Column:
+    """One minhash fold, UNROLLED per hash function: the previous form
+    iterated transform(sequence(0, 15), i -> aggregate(hashed, ...)),
+    which placed `hashed` (tokenize + md5) inside the per-i lambda —
+    higher-order-function lambdas are re-evaluated per element with no
+    loop-invariant hoisting, so the tokenize+hash ran 16x per row (the
+    r4 recompute-trap family, operators/substring.py). Unrolled, the 16
+    aggregate expressions share `hashed` as a common subexpression in
+    ONE projection, which codegen subexpression elimination evaluates
+    once."""
+    _, a, b = MINHASH_FAM[i]
+    return F.aggregate(
+        hashed,
+        F.lit(MINHASH_P).cast("long"),
+        lambda acc, th: F.least(acc, (F.lit(a) * th + F.lit(b)) % MINHASH_P))
 
 
 def near_dedup_stream(docs: DataFrame, ts_col: str = "ts",
@@ -73,16 +83,19 @@ BAND_ROWS = 4  # bands of 4 minhashes each, matching dedup.py
 
 
 def band_keys_col(text_col: str = "text") -> Column:
-    """Array of 4 band keys ('band_index:sig') for a text column."""
-    sig = minhash_signature_col(text_col)  # "m0,m1,...,m15"
-    parts = F.split(sig, ",")
+    """Array of 4 band keys ('band_index:sig') for a text column —
+    bands built directly from the unrolled folds (each fold appears
+    once; `hashed` is CSE'd across all 16), not by re-parsing the full
+    signature string per band."""
+    hashed = _hashed_tokens_col(text_col)
     n_bands = len(MINHASH_FAM) // BAND_ROWS
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.concat(
-            b.cast("string"), F.lit(":"),
-            F.array_join(F.slice(parts, b * BAND_ROWS + 1, BAND_ROWS), ",")),
-    )
+    return F.array(*[
+        F.concat(
+            F.lit(f"{b}:"),
+            F.array_join(
+                F.array(*[_mh_fold(hashed, b * BAND_ROWS + r).cast("string")
+                          for r in range(BAND_ROWS)]), ","))
+        for b in range(n_bands)])
 
 
 BAND_TTL_MS = 6 * 3600 * 1000  # band ownership expires 6h of event time
