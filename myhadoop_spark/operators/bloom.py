@@ -54,9 +54,11 @@ def bloom_positions(col: Column, m_bits: int = M_BITS,
     h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
     h2 = (F.conv(F.substring(md5, 17, 15), 16, 10).cast("long")
           % F.lit(m_bits)).bitwiseOR(F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: (h1 + i.cast("long") * h2) % F.lit(m_bits))
+    # unrolled (k is a compile-time constant): inside a transform lambda
+    # h1/h2 would re-derive the md5 per probe; as plain array-constructor
+    # children they are common subexpressions, evaluated once per row
+    return F.array(*[(h1 + F.lit(i).cast("long") * h2) % F.lit(m_bits)
+                     for i in range(k)])
 
 
 def _word_layout(pos_col: str) -> list[Column]:
