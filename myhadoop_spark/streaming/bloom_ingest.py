@@ -1,0 +1,106 @@
+"""Streaming Bloom-filter dedup: drop already-seen documents at ingest
+time, maintaining the filter incrementally across micro-batches.
+
+The production shape: a crawl stream re-delivers documents (re-crawls,
+mirror duplicates, at-least-once sources). An exact seen-set join grows
+with the corpus; the Bloom filter stays m bits forever and broadcasts,
+so per-batch dedup cost is flat no matter how much history has been
+ingested — at the price of a bounded false-positive rate (a "seen"
+verdict can wrongly drop a genuinely new document; sized so that rate
+is negligible, and NO new duplicate ever gets through, since the filter
+has no false negatives).
+
+Mechanics (foreachBatch — the filter is cross-batch state, which
+Structured Streaming's stateless operators can't hold):
+
+  per micro-batch:
+    1. probe the batch against the CURRENT filter table (broadcast);
+    2. rows that miss are emitted to the sink and their bit positions
+       are OR-merged into the filter table (bloom words are mergeable —
+       tests/test_bloom.py::test_filter_is_mergeable);
+    3. both writes are idempotent under batch replay: re-probing a
+       replayed batch finds the bits already set (duplicates drop,
+       at-least-once replay cannot double-emit ONLY if the sink is
+       keyed/MERGE — pair with streaming/ingest.py's upsert sink for
+       end-to-end exactly-once) and re-OR-ing the same bits is a no-op.
+
+Within-batch duplicates are handled by an exact dropDuplicates on the
+hash column first (the filter only answers "seen in a PRIOR batch").
+
+The filter lives as a parquet table of (word_idx, word) — restart-safe:
+a new query reloads it and continues; replaying the last batch after a
+crash converges to the same filter (idempotent OR).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.operators.bloom import (
+    K_HASHES,
+    M_BITS,
+    bloom_build,
+    bloom_probe,
+)
+
+_FILTER_SCHEMA = "word_idx bigint, word bigint"
+
+
+def load_filter(spark: SparkSession, path: str) -> DataFrame:
+    """The current filter table; empty on first start."""
+    if os.path.exists(path):
+        return spark.read.schema(_FILTER_SCHEMA).parquet(path)
+    return spark.createDataFrame([], _FILTER_SCHEMA)
+
+
+def merge_filter(current: DataFrame, batch_docs: DataFrame, col: str,
+                 m_bits: int = M_BITS, k: int = K_HASHES) -> DataFrame:
+    """current OR bloom(batch): the mergeability property makes
+    incremental maintenance exact — equal to rebuilding from scratch."""
+    return (current.unionByName(bloom_build(batch_docs, col, m_bits, k))
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word")))
+
+
+def dedup_batch(batch: DataFrame, bloom: DataFrame, *, text_col: str,
+                id_cols: list[str], m_bits: int = M_BITS,
+                k: int = K_HASHES) -> DataFrame:
+    """Rows of `batch` NOT (probably) seen before: exact within-batch
+    dedup on content first, then the cross-batch Bloom probe."""
+    fresh = batch.dropDuplicates([text_col])
+    hits = bloom_probe(fresh, text_col, bloom, id_cols=id_cols,
+                       m_bits=m_bits, k=k)
+    return (fresh.join(hits.filter(~F.col("bloom_hit")).select(*id_cols),
+                       id_cols))
+
+
+def start_bloom_dedup_stream(stream_df: DataFrame, *, filter_path: str,
+                             out_path: str, checkpoint: str,
+                             text_col: str = "text",
+                             id_cols: list[str] | None = None,
+                             m_bits: int = M_BITS, k: int = K_HASHES):
+    """Start the stream: novel rows append to `out_path`, the filter
+    table at `filter_path` absorbs their bits each batch."""
+    ids = id_cols or ["doc_id"]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bloom = load_filter(spark, filter_path)
+        novel = dedup_batch(batch, bloom, text_col=text_col,
+                            id_cols=ids, m_bits=m_bits, k=k)
+        # materialize novel rows BEFORE touching the filter table: both
+        # writes below must see the same snapshot
+        novel = novel.localCheckpoint()
+        novel.write.mode("append").parquet(out_path)
+        updated = merge_filter(bloom, novel.select(text_col), text_col,
+                               m_bits, k).localCheckpoint()
+        updated.write.mode("overwrite").parquet(filter_path)
+
+    return (stream_df.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
