@@ -93,6 +93,44 @@ def window_hash_rows(docs: DataFrame, k: int = K_WINDOW) -> DataFrame:
             .select("doc_id", "pos", "wh"))
 
 
+def _verified_overlaps(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
+                       k: int, min_run: int) -> DataFrame:
+    """Matched window positions → verified per-pair overlap aggregates.
+    ``m`` carries (doc_a, doc_b, pa, d); ``base_*`` carry the token
+    arrays keyed doc_a / doc_b."""
+    # gaps-and-islands: within a (pair, diagonal) group, consecutive pa
+    # values share pa - row_number(), so each island is one contiguous run
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "d", "grp")
+            .agg(F.count(F.lit(1)).alias("run_len"),
+                 F.min("pa").alias("pa_start"))
+            .filter(F.col("run_len") >= min_run))
+
+    # exact verify: compare the actual token slices (hash collisions can
+    # only create candidates, never survive this)
+    run_toks = (F.col("run_len") + F.lit(k - 1)).cast("int")
+    verified = (runs.join(base_a, "doc_a").join(base_b, "doc_b")
+                .filter(F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
+                                run_toks)
+                        == F.slice(F.col("toks_b"),
+                                   (F.col("pa_start") + F.col("d")).cast("int"),
+                                   run_toks)))
+
+    return (verified.groupBy("doc_a", "doc_b")
+            .agg((F.max("run_len") + F.lit(k - 1)).cast("bigint")
+                 .alias("overlap_tokens"),
+                 F.count(F.lit(1)).alias("n_runs")))
+
+
+def _drop_hot_windows(wf: DataFrame, max_df: int) -> DataFrame:
+    hot = (wf.groupBy("wh")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") > max_df)
+           .select("wh"))
+    return wf.join(hot, "wh", "left_anti")
+
+
 def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
                     min_overlap: int = MIN_OVERLAP,
                     max_df: int | None = None) -> DataFrame:
@@ -106,13 +144,8 @@ def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
     min_run = min_overlap - k + 1  # windows in a qualifying run
     base = docs.select("doc_id", tokens().alias("toks"))
     wf = window_hash_rows(docs, k)
-
     if max_df is not None:
-        hot = (wf.groupBy("wh")
-               .agg(F.countDistinct("doc_id").alias("df"))
-               .filter(F.col("df") > max_df)
-               .select("wh"))
-        wf = wf.join(hot, "wh", "left_anti")
+        wf = _drop_hot_windows(wf, max_df)
 
     a = wf.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
                   "wh")
@@ -122,30 +155,50 @@ def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
          .filter(F.col("doc_a") < F.col("doc_b"))
          .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
 
-    # gaps-and-islands: within a (pair, diagonal) group, consecutive pa
-    # values share pa - row_number(), so each island is one contiguous run
-    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
-    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-            .groupBy("doc_a", "doc_b", "d", "grp")
-            .agg(F.count(F.lit(1)).alias("run_len"),
-                 F.min("pa").alias("pa_start"))
-            .filter(F.col("run_len") >= min_run))
-
-    # exact verify: compare the actual token slices (hash collisions can
-    # only create candidates, never survive this)
     ta = base.select(F.col("doc_id").alias("doc_a"),
                      F.col("toks").alias("toks_a"))
     tb = base.select(F.col("doc_id").alias("doc_b"),
                      F.col("toks").alias("toks_b"))
-    run_toks = (F.col("run_len") + F.lit(k - 1)).cast("int")
-    verified = (runs.join(ta, "doc_a").join(tb, "doc_b")
-                .filter(F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
-                                run_toks)
-                        == F.slice(F.col("toks_b"),
-                                   (F.col("pa_start") + F.col("d")).cast("int"),
-                                   run_toks)))
+    return _verified_overlaps(m, ta, tb, k, min_run)
 
-    return (verified.groupBy("doc_a", "doc_b")
-            .agg((F.max("run_len") + F.lit(k - 1)).cast("bigint")
-                 .alias("overlap_tokens"),
-                 F.count(F.lit(1)).alias("n_runs")))
+
+def substring_decontam(corpus: DataFrame, bench: DataFrame, *,
+                       k: int = K_WINDOW, min_overlap: int = MIN_OVERLAP,
+                       max_df: int | None = None,
+                       broadcast_bench: bool = True) -> DataFrame:
+    """(corpus_id, bench_id, overlap_tokens, n_runs): corpus documents
+    containing a VERBATIM run of >= min_overlap tokens from a benchmark
+    document — the exact-substring decontamination criterion (Lee et
+    al. 2021 run suffix-array ExactSubstr for this; the shingle-count
+    operator operators/decontam.py flags n-gram OVERLAP SETS, this one
+    proves contiguous copying, the stronger evidence).
+
+    Scale shape: the window table of the benchmark side is tiny (eval
+    sets vs a 100 TB corpus) and broadcasts, so the corpus-side window
+    stream joins with NO shuffle of corpus windows in the broadcast
+    regime; `broadcast_bench=False` falls back to a hash join for
+    corpus-vs-corpus audits. max_df prunes boilerplate windows on the
+    CORPUS side before the join."""
+    min_run = min_overlap - k + 1
+    cw = window_hash_rows(corpus, k)
+    if max_df is not None:
+        cw = _drop_hot_windows(cw, max_df)
+    bw = window_hash_rows(bench, k)
+
+    a = cw.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
+                  "wh")
+    b = bw.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+                  "wh")
+    if broadcast_bench:
+        b = F.broadcast(b)
+    m = (a.join(b, "wh")
+         .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
+
+    ta = corpus.select(F.col("doc_id").alias("doc_a"),
+                       tokens().alias("toks_a"))
+    tb = bench.select(F.col("doc_id").alias("doc_b"),
+                      tokens().alias("toks_b"))
+    return (_verified_overlaps(m, ta, tb, k, min_run)
+            .select(F.col("doc_a").alias("corpus_id"),
+                    F.col("doc_b").alias("bench_id"),
+                    "overlap_tokens", "n_runs"))

@@ -120,3 +120,56 @@ def test_fixture_pairs_reasonable(spark):
     assert len(rows) > 0
     assert all(r.overlap_tokens >= MIN_OVERLAP for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_decontam_matches_lcs_model(spark):
+    """Two-sided verbatim-overlap decontamination: every (corpus, bench)
+    pair with an LCS >= threshold is reported with the exact length."""
+    from myhadoop_spark.operators.substring import substring_decontam
+
+    rng = random.Random(23)
+    corpus_docs = {i: [f"c{rng.randrange(300)}" for _ in range(50)]
+                   for i in range(12)}
+    bench_docs = {i: [f"b{rng.randrange(300)}" for _ in range(40)]
+                  for i in range(4)}
+    # plant verbatim bench chunks into some corpus docs (one below
+    # threshold)
+    for c, b, run in [(0, 0, 30), (1, 1, MIN_OVERLAP), (2, 2, MIN_OVERLAP - 1),
+                      (3, 0, 25)]:
+        chunk = bench_docs[b][5:5 + run]
+        corpus_docs[c] = corpus_docs[c][:10] + chunk + corpus_docs[c][10:]
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus_docs.items()],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in bench_docs.items()],
+        "doc_id long, text string")
+    got = {(r.corpus_id, r.bench_id): r.overlap_tokens
+           for r in substring_decontam(corpus, bench).collect()}
+    for c, ct in corpus_docs.items():
+        for b, bt in bench_docs.items():
+            true_lcs = _lcs_tokens(ct, bt)
+            if true_lcs >= MIN_OVERLAP:
+                assert got.get((c, b)) == true_lcs, (c, b, true_lcs)
+            else:
+                assert (c, b) not in got, (c, b, true_lcs)
+
+
+def test_decontam_plan_broadcasts_bench(spark):
+    import contextlib
+    import io
+
+    from myhadoop_spark.operators.substring import substring_decontam
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"x{i}_{j}" for j in range(30))) for i in range(6)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, " ".join(f"y{j}" for j in range(30)))],
+        "doc_id long, text string")
+    plan_io = io.StringIO()
+    with contextlib.redirect_stdout(plan_io):
+        substring_decontam(corpus, bench).explain("formatted")
+    plan = plan_io.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
