@@ -104,6 +104,14 @@ def train_token_weights(labeled: DataFrame, label_col: str = "label",
     totals = tok_rows.agg(
         F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).alias("t_pos"),
         F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).alias("t_neg"))
+    # single-class training is a caller bug, not a silent model: Spark's
+    # integer DIV 0 yields NULL (all-null weights) while DuckDB's //
+    # raises — fail loudly and identically here instead
+    totals = totals.select(
+        F.assert_true((F.col("t_pos") > 0) & (F.col("t_neg") > 0),
+                      F.lit("train_token_weights: both label classes "
+                            "must be present")).alias("_chk"),
+        "t_pos", "t_neg").drop("_chk")
     return (counts.crossJoin(F.broadcast(totals))
             .select("tok",
                     (F.expr(f"n_pos * {SCALE} DIV t_pos")

@@ -145,3 +145,14 @@ def test_scoring_plan_broadcasts_weights(spark):
     plan = plan_io.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_single_class_training_raises(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    labeled = spark.createDataFrame(
+        [(0, "all positive docs", True), (1, "more positive", True)],
+        "doc_id long, text string, label boolean")
+    with pytest.raises(PySparkException):
+        train_token_weights(labeled).collect()

@@ -173,3 +173,17 @@ def test_decontam_plan_broadcasts_bench(spark):
     plan = plan_io.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_token_docs(spark):
+    """Pathological self-similarity: docs that are one token repeated.
+    Every window matches every window, so diagonals blanket the match
+    matrix — the run logic must still report overlap = min length, and
+    the pair below threshold must not appear."""
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 40)), (1, " ".join(["w"] * 25)),
+         (2, " ".join(["v"] * 10))],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.overlap_tokens
+           for r in substring_pairs(df).collect()}
+    assert got == {(0, 1): 25}  # min(40, 25); doc 2 is < MIN_OVERLAP
