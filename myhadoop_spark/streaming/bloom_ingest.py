@@ -18,11 +18,13 @@ Structured Streaming's stateless operators can't hold):
     2. rows that miss are emitted to the sink and their bit positions
        are OR-merged into the filter table (bloom words are mergeable —
        tests/test_bloom.py::test_filter_is_mergeable);
-    3. both writes are idempotent under batch replay: re-probing a
-       replayed batch finds the bits already set (duplicates drop,
-       at-least-once replay cannot double-emit ONLY if the sink is
-       keyed/MERGE — pair with streaming/ingest.py's upsert sink for
-       end-to-end exactly-once) and re-OR-ing the same bits is a no-op.
+    3. both writes are idempotent under batch replay: novel rows land
+       in an OVERWRITTEN per-batch directory (batch_id=<id> — replay
+       rewrites the same files instead of double-appending), and
+       re-OR-ing the same bits into the filter is a no-op. The emit
+       happens BEFORE the filter update: the reverse order would lose
+       rows on replay (an already-updated filter classifies the
+       batch's novel rows as seen).
 
 Within-batch duplicates are handled by an exact dropDuplicates on the
 hash column first (the filter only answers "seen in a PRIOR batch").
@@ -94,7 +96,13 @@ def start_bloom_dedup_stream(stream_df: DataFrame, *, filter_path: str,
         # materialize novel rows BEFORE touching the filter table: both
         # writes below must see the same snapshot
         novel = novel.localCheckpoint()
-        novel.write.mode("append").parquet(out_path)
+        # per-batch OVERWRITTEN directory, not a bare append: foreachBatch
+        # replays a batch after a crash, and replaying an append would
+        # double-emit. Overwriting batch_id=<id> makes the emit
+        # idempotent; write order matters too — emit BEFORE updating the
+        # filter, because replaying with an already-updated filter would
+        # classify the batch's novel rows as seen and LOSE them.
+        novel.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         updated = merge_filter(bloom, novel.select(text_col), text_col,
                                m_bits, k).localCheckpoint()
         updated.write.mode("overwrite").parquet(filter_path)
