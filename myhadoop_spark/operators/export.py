@@ -1,0 +1,111 @@
+"""Verifiable sharded dataset export — the last step of a curation
+pipeline: ship the corpus as N deterministic shards plus a manifest a
+downstream trainer (or a later audit) can re-verify without trusting
+the transport.
+
+Design:
+
+  * shard assignment is CONTENT-DETERMINISTIC — pmod(xxhash64(key), n)
+    — not partition-index-based, so the same corpus exports the same
+    shard membership on any cluster layout, any partition count, any
+    retry (the sampling/dedup reproducibility discipline applied to
+    output);
+  * each shard is one partition directory (shard=<i>/...), written via
+    partitionBy so a re-export overwrites shard-atomically;
+  * the manifest records per shard: row count and an order-independent
+    content checksum (bit_xor of xxhash64 over the full row struct) —
+    XOR-aggregation is commutative/associative, so the checksum is
+    partitioning-independent and cheap to recompute;
+  * verify_export() recomputes counts + checksums from the files and
+    diffs them against the manifest — detecting lost rows, duplicated
+    rows, and any single-bit corruption of a value (xor of row hashes
+    changes unless collisions conspire at ~2^-64).
+
+Scale: assignment is a narrow projection; the export is one
+partitionBy-shard shuffle (the same shuffle any sharded write pays);
+manifest + verify are one aggregation each, shuffle cardinality = the
+shard count.
+
+Reference analog: the reference's job-output directory tree
+(/root/reference/datanode.py job_fs_path layout) with the integrity
+story a 100 TB pipeline actually needs — §2.3 extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SHARDS = 16
+
+
+def with_shard(df: DataFrame, key: str, n_shards: int = N_SHARDS) -> DataFrame:
+    """Append the deterministic shard id (content-hash of the key)."""
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)))
+
+
+def _summary(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(shard, n_rows, checksum): order-independent per-shard digest
+    over exactly the exported columns, in a fixed column order."""
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in sorted(cols)]))
+    return (df.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.bit_xor(row_hash).alias("checksum")))
+
+
+def export_shards(df: DataFrame, path: str, *, key: str = "doc_id",
+                  n_shards: int = N_SHARDS) -> dict:
+    """Write df as `path/shard=<i>/*.parquet` + `path/_manifest.json`.
+    Returns the manifest dict."""
+    cols = df.columns
+    sharded = with_shard(df, key, n_shards)
+    (sharded.repartition("shard")
+     .write.partitionBy("shard").mode("overwrite").parquet(path))
+    rows = _summary(sharded, cols).collect()  # bounded: one row per shard
+    manifest = {
+        "n_shards": n_shards,
+        "key": key,
+        "columns": sorted(cols),
+        "total_rows": int(sum(r.n_rows for r in rows)),
+        # string keys: the manifest must roundtrip through JSON unchanged
+        "shards": {str(int(r.shard)): {"n_rows": int(r.n_rows),
+                                       "checksum": int(r.checksum)}
+                   for r in rows},
+    }
+    spark = df.sparkSession
+    (spark.createDataFrame([(json.dumps(manifest, sort_keys=True),)], "v string")
+     .coalesce(1).write.mode("overwrite").text(f"{path}/_manifest"))
+    return manifest
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    return json.loads(
+        spark.read.text(f"{path}/_manifest").collect()[0].value)
+
+
+def verify_export(spark: SparkSession, path: str) -> DataFrame:
+    """(shard, status, manifest_rows, actual_rows): per-shard diff of
+    the manifest against a recompute from the exported files. status is
+    'ok' | 'mismatch' | 'missing' (in manifest, not on disk) |
+    'unexpected' (on disk, not in manifest)."""
+    manifest = read_manifest(spark, path)
+    actual = _summary(
+        spark.read.parquet(path).select(*manifest["columns"], "shard"),
+        manifest["columns"])
+    expected = spark.createDataFrame(
+        [(int(s), v["n_rows"], v["checksum"])
+         for s, v in manifest["shards"].items()],
+        "shard int, m_rows long, m_checksum long")
+    joined = expected.join(actual, "shard", "full")
+    return joined.select(
+        "shard",
+        F.when(F.col("m_rows").isNull(), "unexpected")
+        .when(F.col("n_rows").isNull(), "missing")
+        .when((F.col("m_rows") == F.col("n_rows"))
+              & (F.col("m_checksum") == F.col("checksum")), "ok")
+        .otherwise("mismatch").alias("status"),
+        F.col("m_rows").alias("manifest_rows"),
+        F.col("n_rows").alias("actual_rows"))
