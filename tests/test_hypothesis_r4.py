@@ -1,0 +1,126 @@
+"""Property-based tests for the r4 curation operators: engine semantics
+vs independent Python models on GENERATED inputs — substring overlap vs
+an LCS DP, Bloom membership laws, classifier scoring vs a Counter
+model."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from myhadoop_spark.operators.bloom import bloom_build, bloom_probe
+from myhadoop_spark.operators.classifier import (
+    MARKER_BOOST,
+    MARKER_WORDS,
+    SCALE,
+    score_documents,
+    train_token_weights,
+)
+from myhadoop_spark.operators.substring import (
+    K_WINDOW,
+    substring_pairs,
+)
+
+# small token alphabet → collisions and repeats are LIKELY, which is
+# exactly where run/diagonal logic can break
+_doc = st.lists(st.sampled_from(["a", "b", "c", "dd"]),
+                min_size=0, max_size=30).map(" ".join)
+
+
+def _lcs(a: list[str], b: list[str]) -> int:
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_doc, min_size=2, max_size=5))
+def test_substring_overlap_equals_lcs(spark, texts):
+    """With min_overlap == K_WINDOW (every matched window qualifies),
+    reported overlap must equal the DP longest-common-run exactly, on
+    highly repetitive random docs."""
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.overlap_tokens
+           for r in substring_pairs(df, min_overlap=K_WINDOW).collect()}
+    toks = [t.split() for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            lcs = _lcs(toks[i], toks[j])
+            if lcs >= K_WINDOW:
+                assert got.get((i, j)) == lcs, (i, j, lcs)
+            else:
+                assert (i, j) not in got
+
+
+_val = st.text(alphabet="xyz0", min_size=0, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_val, min_size=1, max_size=20, unique=True))
+def test_bloom_never_false_negative(spark, vals):
+    """Membership law on arbitrary strings (including empty and
+    colliding prefixes): everything inserted must hit."""
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    bloom = bloom_build(df, "val")
+    hits = bloom_probe(df, "val", bloom, id_cols=["val"]).collect()
+    assert len(hits) == len(vals)
+    assert all(r.bloom_hit for r in hits)
+
+
+_ltext = st.lists(st.sampled_from(["the", "of", "zebra", "quartz", "w1"]),
+                  min_size=1, max_size=12).map(" ".join)
+
+
+def _model_score(text: str, train: list[tuple[str, bool]]) -> int:
+    def feats(t: str) -> list[str]:
+        toks = [w for w in t.split() if w]
+        n = max(len(toks), 1)
+        hits = sum(1 for w in toks if w in MARKER_WORDS)
+        markers = [f"#len:{len(toks) // 8}", f"#stop:{16 * hits // n}",
+                   f"#div:{16 * len(set(toks)) // n}"]
+        return toks + markers * MARKER_BOOST
+
+    cpos: Counter = Counter()
+    cneg: Counter = Counter()
+    tp = tn = 0
+    for t, lbl in train:
+        for f in feats(t):
+            if lbl:
+                cpos[f] += 1
+                tp += 1
+            else:
+                cneg[f] += 1
+                tn += 1
+    return sum(cpos[f] * SCALE // tp - cneg[f] * SCALE // tn
+               for f in feats(text))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(_ltext, st.booleans()), min_size=2, max_size=8)
+       .filter(lambda rows: len({l for _, l in rows}) == 2))
+def test_classifier_matches_counter_model(spark, rows):
+    """Integer weights + bag scoring ≡ a pure-Python Counter model on
+    arbitrary small corpora (both classes present)."""
+    labeled = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(rows)],
+        "doc_id long, text string, label boolean")
+    weights = train_token_weights(labeled)
+    got = {r.doc_id: r.score
+           for r in score_documents(labeled, weights).collect()}
+    for i, (t, _) in enumerate(rows):
+        assert got[i] == _model_score(t, rows), (i, t)
+    _ = hashlib
