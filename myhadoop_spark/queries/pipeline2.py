@@ -1,0 +1,83 @@
+"""End-to-end curation pipeline v2 — the r4 operator family composed
+into the modern training-data flow:
+
+    scrub PII → bootstrap + apply the quality classifier → drop
+    exact-substring duplicates (keep the smaller doc_id) → verifiable
+    sharded export.
+
+This is the "a user of the reference could run their whole curation
+flow here" demonstration piece: each stage is the operator the repo
+ships (operators/scrub.py, classifier.py, substring.py, export.py),
+chained as one lazy plan until the export materializes it. The plan
+stays Spark-shaped end to end: scrub is a narrow regexp chain,
+classifier scoring is a broadcast join, substring dedup is the banded
+window-hash join, and the export is one partitionBy-shard shuffle.
+
+corpus_prep (queries/pipeline.py) remains the oracle-gated composed
+query; this v2 face is pytest-verified (tests/test_pipeline2.py) since
+the classifier/k-means stages have no SQL twin in the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.operators.classifier import (
+    score_documents,
+    tokens,
+    train_token_weights,
+)
+from myhadoop_spark.operators.export import export_shards
+from myhadoop_spark.operators.scrub import scrub_text
+from myhadoop_spark.operators.substring import substring_pairs
+
+
+def _quality_label(docs: DataFrame) -> DataFrame:
+    """The doc_metrics heuristic (queries/text.py) as the classifier's
+    bootstrap teacher, same constants."""
+    toks = tokens()
+    n = F.size(toks).cast("double")
+    stop = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "and", "to", "in")))
+    q = (F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+         + F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n)
+         + F.lit(0.3) * (F.lit(1.0) - stop.cast("double") / n))
+    return docs.filter(F.size(toks) > 0).withColumn("label", q >= F.lit(0.78))
+
+
+def curate(spark: SparkSession, sf_dir: str, out_path: str,
+           *, train_frac_mod: int = 2, n_shards: int = 8) -> dict:
+    """Run the full flow; returns {stage: row_count} + the export
+    manifest under 'manifest'. Deterministic end to end: hash-based
+    classifier split, content-hash shards, id-ordered dedup keeps."""
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    stats = {"raw": raw.count()}
+
+    # 1. PII scrub — narrow codegen regexp chain
+    clean = raw.withColumn("text", scrub_text("text"))
+
+    # 2. classifier-filtered quality: train on the deterministic even
+    #    split of the scrubbed corpus, keep pred-positive docs
+    labeled = _quality_label(clean)
+    weights = train_token_weights(
+        labeled.filter(F.col("doc_id") % train_frac_mod == 0))
+    kept = (score_documents(labeled, weights)
+            .filter("pred").select("doc_id")
+            .join(clean, "doc_id"))
+    stats["after_quality"] = kept.count()
+
+    # 3. exact-substring dedup: drop the LARGER doc_id of each verified
+    #    pair (transitively safe: every dropped doc has a kept or
+    #    earlier-dropped twin with the shared run)
+    drop = (substring_pairs(kept.select("doc_id", "text"))
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    deduped = kept.join(drop, "doc_id", "left_anti")
+    stats["after_dedup"] = deduped.count()
+
+    # 4. verifiable sharded export
+    stats["manifest"] = export_shards(deduped, out_path, key="doc_id",
+                                      n_shards=n_shards)
+    return stats
