@@ -93,11 +93,12 @@ def window_hash_rows(docs: DataFrame, k: int = K_WINDOW) -> DataFrame:
             .select("doc_id", "pos", "wh"))
 
 
-def _verified_overlaps(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
-                       k: int, min_run: int) -> DataFrame:
-    """Matched window positions → verified per-pair overlap aggregates.
-    ``m`` carries (doc_a, doc_b, pa, d); ``base_*`` carry the token
-    arrays keyed doc_a / doc_b."""
+def _verified_runs(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
+                   k: int, min_run: int) -> DataFrame:
+    """Matched window positions → EXACTLY-VERIFIED contiguous runs:
+    (doc_a, doc_b, d, pa_start, run_len). ``m`` carries
+    (doc_a, doc_b, pa, d); ``base_*`` carry the token arrays keyed
+    doc_a / doc_b."""
     # gaps-and-islands: within a (pair, diagonal) group, consecutive pa
     # values share pa - row_number(), so each island is one contiguous run
     w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
@@ -110,14 +111,21 @@ def _verified_overlaps(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
     # exact verify: compare the actual token slices (hash collisions can
     # only create candidates, never survive this)
     run_toks = (F.col("run_len") + F.lit(k - 1)).cast("int")
-    verified = (runs.join(base_a, "doc_a").join(base_b, "doc_b")
-                .filter(F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
-                                run_toks)
-                        == F.slice(F.col("toks_b"),
-                                   (F.col("pa_start") + F.col("d")).cast("int"),
-                                   run_toks)))
+    return (runs.join(base_a, "doc_a").join(base_b, "doc_b")
+            .filter(F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
+                            run_toks)
+                    == F.slice(F.col("toks_b"),
+                               (F.col("pa_start") + F.col("d")).cast("int"),
+                               run_toks))
+            .select("doc_a", "doc_b", "d", "pa_start", "run_len"))
 
-    return (verified.groupBy("doc_a", "doc_b")
+
+def _verified_overlaps(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
+                       k: int, min_run: int) -> DataFrame:
+    """Verified runs aggregated per pair: (doc_a, doc_b,
+    overlap_tokens, n_runs)."""
+    return (_verified_runs(m, base_a, base_b, k, min_run)
+            .groupBy("doc_a", "doc_b")
             .agg((F.max("run_len") + F.lit(k - 1)).cast("bigint")
                  .alias("overlap_tokens"),
                  F.count(F.lit(1)).alias("n_runs")))
@@ -202,3 +210,81 @@ def substring_decontam(corpus: DataFrame, bench: DataFrame, *,
             .select(F.col("doc_a").alias("corpus_id"),
                     F.col("doc_b").alias("bench_id"),
                     "overlap_tokens", "n_runs"))
+
+
+def remove_overlap_spans(corpus: DataFrame, bench: DataFrame, *,
+                         k: int = K_WINDOW, min_overlap: int = MIN_OVERLAP,
+                         max_df: int | None = None,
+                         broadcast_bench: bool = True) -> DataFrame:
+    """Span-level decontamination surgery: instead of DROPPING a
+    contaminated document, cut the verbatim benchmark runs out of it
+    (the remedy Lee et al. 2021 apply with their suffix array) —
+    (doc_id, text, n_tokens_removed), every corpus document present,
+    clean ones byte-identical with n_tokens_removed = 0.
+
+    Mechanics: verified runs (the substring_decontam machinery) expand
+    to the exact token positions they cover; the corpus re-tokenizes to
+    (doc, pos, tok) rows, drops flagged positions with one anti-join,
+    and re-assembles per document with an order-preserving sorted
+    collect. Overlapping spans from several benchmark documents union
+    cleanly (positions are DISTINCT before the anti-join).
+
+    Declared one-pass semantics: removal can butt two previously-
+    separated fragments against each other, and the SEAM could itself
+    form a new >= min_overlap run with the benchmark; a second
+    detect+remove pass converges if that matters (standard practice —
+    the seam case needs adversarial construction to occur).
+
+    Scale: positions explode is bounded by (runs x span length) —
+    contaminated text only; the anti-join and rebuild shuffle the
+    tokenized corpus once on doc_id, the same cardinality the window
+    hashing already shuffles."""
+    min_run = min_overlap - k + 1
+    cw = window_hash_rows(corpus, k)
+    if max_df is not None:
+        cw = _drop_hot_windows(cw, max_df)
+    bw = window_hash_rows(bench, k)
+
+    a = cw.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
+                  "wh")
+    b = bw.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+                  "wh")
+    if broadcast_bench:
+        b = F.broadcast(b)
+    m = (a.join(b, "wh")
+         .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
+
+    ta = corpus.select(F.col("doc_id").alias("doc_a"),
+                       tokens().alias("toks_a"))
+    tb = bench.select(F.col("doc_id").alias("doc_b"),
+                      tokens().alias("toks_b"))
+    runs = _verified_runs(m, ta, tb, k, min_run)
+
+    drop_pos = (runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.explode(F.sequence(
+            F.col("pa_start"),
+            F.col("pa_start") + F.col("run_len") + F.lit(k - 2))).alias("pos"))
+        .distinct())
+
+    tok_rows = corpus.select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(drop_pos, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                       lambda s: s["tok"]),
+                   " ").alias("_clean"),
+                   F.count(F.lit(1)).alias("_n_kept")))
+
+    n_toks = F.size(tokens())
+    return (corpus.withColumn("_n_toks", n_toks)
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("_clean"),
+                               F.lit("")).alias("text"),
+                    (F.col("_n_toks")
+                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("bigint").alias("n_tokens_removed")))

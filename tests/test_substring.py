@@ -187,3 +187,58 @@ def test_repeated_token_docs(spark):
     got = {(r.doc_a, r.doc_b): r.overlap_tokens
            for r in substring_pairs(df).collect()}
     assert got == {(0, 1): 25}  # min(40, 25); doc 2 is < MIN_OVERLAP
+
+
+def _span_model(ct, bt, L):
+    """Independent model: corpus token positions (0-based) covered by a
+    common contiguous run of >= L tokens with the bench doc, found by
+    walking every diagonal."""
+    drop = set()
+    for d in range(-len(ct), len(bt) + 1):
+        run = 0
+        for i in range(len(ct) + 1):
+            j = i + d
+            if i < len(ct) and 0 <= j < len(bt) and ct[i] == bt[j]:
+                run += 1
+            else:
+                if run >= L:
+                    drop.update(range(i - run, i))
+                run = 0
+    return drop
+
+
+def test_remove_overlap_spans_matches_model(spark):
+    from myhadoop_spark.operators.substring import remove_overlap_spans
+
+    rng = random.Random(31)
+    corpus_docs = {i: [f"c{rng.randrange(400)}" for _ in range(45)]
+                   for i in range(10)}
+    bench_docs = {i: [f"b{rng.randrange(400)}" for _ in range(40)]
+                  for i in range(3)}
+    # plant: mid-doc chunk, chunk at doc start, chunk from TWO bench
+    # docs into one corpus doc, one below threshold, one doc that IS a
+    # bench doc verbatim (fully removed)
+    corpus_docs[0] = corpus_docs[0][:8] + bench_docs[0][3:3 + 28] + corpus_docs[0][8:]
+    corpus_docs[1] = bench_docs[1][:MIN_OVERLAP] + corpus_docs[1]
+    corpus_docs[2] = (corpus_docs[2][:5] + bench_docs[0][0:22]
+                      + corpus_docs[2][5:15] + bench_docs[2][10:34]
+                      + corpus_docs[2][15:])
+    corpus_docs[3] = corpus_docs[3][:20] + bench_docs[2][:MIN_OVERLAP - 1] + corpus_docs[3][20:]
+    corpus_docs[4] = list(bench_docs[0])
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus_docs.items()],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in bench_docs.items()],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_overlap_spans(corpus, bench).collect()}
+    assert set(got) == set(corpus_docs)
+    for c, ct in corpus_docs.items():
+        drop = set()
+        for bt in bench_docs.values():
+            drop |= _span_model(ct, bt, MIN_OVERLAP)
+        want = " ".join(t for i, t in enumerate(ct) if i not in drop)
+        assert got[c].text == want, (c, got[c].text, want)
+        assert got[c].n_tokens_removed == len(drop), c
+    assert got[4].text == "" and got[4].n_tokens_removed == len(corpus_docs[4])
+    assert got[3].n_tokens_removed == 0
