@@ -74,7 +74,13 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
             _dot(F.col(vec_col), F.col("_cent"))
             / (F.col("_nrm")
                * F.sqrt(_dot(F.col("_cent"), F.col("_cent")))))
-        .drop("_cent"))
+        .drop("_cent")
+        # materialize once: the assignment subtree (K dot-product folds
+        # per vector) feeds BOTH self-join sides and the final keep join,
+        # and Catalyst has no cross-join subtree sharing — without the
+        # checkpoint it evaluates 3x (the dedup_minhash precedent,
+        # queries/dedup.py; at k=64 assignment dominates the rehearsal)
+        .localCheckpoint())
 
     x = assigned.select(F.col(id_col).alias("x_id"), "cluster",
                         F.col(vec_col).alias("xv"),
