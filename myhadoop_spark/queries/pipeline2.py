@@ -2,7 +2,8 @@
 into the modern training-data flow:
 
     scrub PII → bootstrap + apply the quality classifier → drop
-    exact-substring duplicates (keep the smaller doc_id) → verifiable
+    exact-substring duplicates (keep the smaller doc_id) → excise
+    verbatim benchmark spans (decontamination surgery) → verifiable
     sharded export.
 
 This is the "a user of the reference could run their whole curation
@@ -31,7 +32,10 @@ from myhadoop_spark.operators.classifier import (
 )
 from myhadoop_spark.operators.export import export_shards
 from myhadoop_spark.operators.scrub import scrub_text
-from myhadoop_spark.operators.substring import substring_pairs
+from myhadoop_spark.operators.substring import (
+    remove_overlap_spans,
+    substring_pairs,
+)
 
 
 def _quality_label(docs: DataFrame) -> DataFrame:
@@ -77,7 +81,22 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     deduped = kept.join(drop, "doc_id", "left_anti")
     stats["after_dedup"] = deduped.count()
 
-    # 4. verifiable sharded export
-    stats["manifest"] = export_shards(deduped, out_path, key="doc_id",
+    # 4. benchmark decontamination SURGERY: cut verbatim eval-set runs
+    #    out of surviving documents (span removal, not doc drops) —
+    #    benchmark = the deterministic doc_id%20 split, the
+    #    curation_gate decontam convention; docs emptied by the cut
+    #    (pure benchmark copies) drop out of the export
+    bench = raw.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    surgically = remove_overlap_spans(
+        deduped.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
+        bench)
+    stats["tokens_excised"] = (
+        surgically.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
+    final = (surgically.filter(F.length("text") > 0)
+             .join(deduped.select("doc_id", "lang", "source"), "doc_id"))
+    stats["after_decontam"] = final.count()
+
+    # 5. verifiable sharded export
+    stats["manifest"] = export_shards(final, out_path, key="doc_id",
                                       n_shards=n_shards)
     return stats

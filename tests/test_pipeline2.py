@@ -18,8 +18,10 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert stats["raw"] == 500
     assert 0 < stats["after_quality"] <= stats["raw"]
     assert 0 < stats["after_dedup"] <= stats["after_quality"]
+    assert 0 < stats["after_decontam"] <= stats["after_dedup"]
+    assert stats["tokens_excised"] >= 0
     # the exported table matches the manifest bit for bit
-    assert stats["manifest"]["total_rows"] == stats["after_dedup"]
+    assert stats["manifest"]["total_rows"] == stats["after_decontam"]
     statuses = {r.status for r in verify_export(spark, out).collect()}
     assert statuses == {"ok"}
     # no PII markers survive the scrub (the audit regexes fire on raw)
