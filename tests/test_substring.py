@@ -242,3 +242,75 @@ def test_remove_overlap_spans_matches_model(spark):
         assert got[c].n_tokens_removed == len(drop), c
     assert got[4].text == "" and got[4].n_tokens_removed == len(corpus_docs[4])
     assert got[3].n_tokens_removed == 0
+
+
+def test_decontam_matches_duckdb_on_fixture(spark):
+    """Bitwise DuckDB differential for the two-sided face on the real
+    fixture (corpus/bench = the doc_id%20 gate decontam split) — the
+    same CTE machinery as the substring_dedup gate oracle, with the
+    self-join replaced by the corpus-vs-bench join."""
+    import duckdb
+
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.operators.substring import (
+        HASH_B,
+        HASH_M,
+        K_WINDOW,
+        MIN_OVERLAP,
+        substring_decontam,
+    )
+    from tests.conftest import SF_SMOKE
+
+    k1 = K_WINDOW - 1
+    min_run = MIN_OVERLAP - K_WINDOW + 1
+    toks = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+    con = duckdb.connect()
+    sql = f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks
+               FROM '{SF_SMOKE}/documents.parquet'),
+    th AS (SELECT doc_id,
+             list_transform(toks, tok ->
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                 % {HASH_M}) AS thm
+           FROM t),
+    w AS (SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(thm) - {k1}, 0)),
+              i -> struct_pack(pos := i,
+                     wh := list_reduce(
+                       list_slice(thm, CAST(i AS INT), CAST(i + {k1} AS INT)),
+                       (a, b) -> (a * {HASH_B} + b) % {HASH_M})))) AS s
+          FROM th),
+    wf AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM w),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos - a.pos AS d
+          FROM wf a JOIN wf b ON a.wh = b.wh
+          WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+    g AS (SELECT doc_a, doc_b, d, pa,
+                 pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, d ORDER BY pa) AS grp
+          FROM m),
+    runs AS (SELECT doc_a, doc_b, d, min(pa) AS pa_start,
+                    count(*) AS run_len
+             FROM g GROUP BY doc_a, doc_b, d, grp
+             HAVING count(*) >= {min_run}),
+    ver AS (SELECT r.doc_a, r.doc_b, r.run_len
+            FROM runs r
+              JOIN t ta ON r.doc_a = ta.doc_id
+              JOIN t tb ON r.doc_b = tb.doc_id
+            WHERE list_slice(ta.toks, CAST(r.pa_start AS INT),
+                             CAST(r.pa_start + r.run_len + {k1} - 1 AS INT))
+                = list_slice(tb.toks, CAST(r.pa_start + r.d AS INT),
+                             CAST(r.pa_start + r.d + r.run_len + {k1} - 1
+                                  AS INT)))
+    SELECT doc_a, doc_b, CAST(max(run_len) + {k1} AS BIGINT), count(*)
+    FROM ver GROUP BY doc_a, doc_b
+    """
+    want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()}
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    got = {(r.corpus_id, r.bench_id): (r.overlap_tokens, r.n_runs)
+           for r in substring_decontam(
+               docs.filter("doc_id % 20 <> 0"),
+               docs.filter("doc_id % 20 = 0")).collect()}
+    assert got == want and got  # non-trivial on the fixture
