@@ -169,7 +169,19 @@ def main() -> None:
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
-    qs = registry.all_queries()
+    # default: the 50 gated queries (the driver/baseline contract).
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c benches just those names, drawing
+    # from the FULL registry so demoted (gate=False) queries stay
+    # bench-able as dedup_ext.py documents.
+    only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", ""
+                                      ).split(",") if n}
+    qs = registry.all_queries(include_ungated=bool(only))
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"bench: unknown queries {sorted(unknown)}",
+                  file=sys.stderr)
+        qs = {n: f for n, f in qs.items() if n in only}
 
     # JVM/codegen warm-up on an uncounted query so the first measured
     # query doesn't absorb session start-up cost; plus a Python-worker
@@ -177,7 +189,7 @@ def main() -> None:
     # doesn't absorb one worker-spawn per core per stage (~50-100 ms × 32
     # cores — the source of the 3.5× first-rep variance seen in r2)
     try:
-        run_query(spark, qs["wc"], sf_dir)
+        run_query(spark, registry.get("wc").fn, sf_dir)
         import pandas as pd
         from pyspark.sql import functions as F
 

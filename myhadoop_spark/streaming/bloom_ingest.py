@@ -36,8 +36,7 @@ crash converges to the same filter (idempotent OR).
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,10 +51,22 @@ _FILTER_SCHEMA = "word_idx bigint, word bigint"
 
 
 def load_filter(spark: SparkSession, path: str) -> DataFrame:
-    """The current filter table; empty on first start."""
-    if os.path.exists(path):
+    """The current filter table; empty on first start.
+
+    Existence is resolved by ATTEMPTING the read, not a local
+    os.path.exists probe: the filter table may live on any Hadoop
+    filesystem (hdfs://, s3a://), where a local path check is always
+    False and would silently reset dedup history, re-emitting every
+    previously-seen document. PATH_NOT_FOUND is the one expected
+    first-start condition; anything else propagates."""
+    try:
+        # file listing happens here (InMemoryFileIndex), so a missing
+        # path raises NOW, even with the explicit schema
         return spark.read.schema(_FILTER_SCHEMA).parquet(path)
-    return spark.createDataFrame([], _FILTER_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], _FILTER_SCHEMA)
+        raise
 
 
 def merge_filter(current: DataFrame, batch_docs: DataFrame, col: str,

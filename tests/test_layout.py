@@ -14,6 +14,26 @@ N_FILES = 16
 N_ROWS = 40_000
 
 
+@pytest.fixture(scope="module", autouse=True)
+def exact_range_boundaries(spark):
+    """Pin row→file packing: repartitionByRange picks boundaries by
+    RESERVOIR SAMPLING (seeded per RDD id), so file contents — and the
+    file-count pruning assertions below — varied run to run. Raising
+    the per-partition sample size above the fixture row count makes the
+    'sample' the whole input, so boundaries are exact quantiles and the
+    layouts are deterministic. Production writers keep the default
+    sampling (boundary jitter is harmless at scale); the pruning
+    comparison needs determinism."""
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(N_ROWS))
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
 @pytest.fixture(scope="module")
 def grid(spark):
     # two independent uniform dimensions — the shape where linear
