@@ -22,9 +22,12 @@ Design:
     changes unless collisions conspire at ~2^-64).
 
 Scale: assignment is a narrow projection; the export is one
-partitionBy-shard shuffle (the same shuffle any sharded write pays);
-manifest + verify are one aggregation each, shuffle cardinality = the
-shard count.
+partitionBy-shard shuffle (the same shuffle any sharded write pays),
+partitioned on (shard, key-hash) so write parallelism scales with the
+cluster rather than capping at n_shards tasks — each shard directory
+then holds several files, which the order-independent checksums don't
+care about; manifest + verify are one aggregation each, shuffle
+cardinality = the shard count.
 
 Reference analog: the reference's job-output directory tree
 (/root/reference/datanode.py job_fs_path layout) with the integrity
@@ -62,7 +65,15 @@ def export_shards(df: DataFrame, path: str, *, key: str = "doc_id",
     Returns the manifest dict."""
     cols = df.columns
     sharded = with_shard(df, key, n_shards)
-    (sharded.repartition("shard")
+    # partition on (shard, key-hash), not shard alone: hashing on the
+    # shard column caps write parallelism at n_shards non-empty tasks
+    # regardless of cluster size. The extra key-hash term spreads each
+    # shard across tasks; partitionBy still lands every row in its
+    # shard=<i>/ directory (several files per shard), and the manifest
+    # checksums are order/layout-independent by design.
+    parallelism = max(n_shards, df.sparkSession.sparkContext.defaultParallelism)
+    (sharded.repartition(parallelism, F.col("shard"),
+                         F.xxhash64(F.col(key)))
      .write.partitionBy("shard").mode("overwrite").parquet(path))
     rows = _summary(sharded, cols).collect()  # bounded: one row per shard
     manifest = {

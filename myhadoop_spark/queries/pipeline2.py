@@ -8,11 +8,23 @@ into the modern training-data flow:
 
 This is the "a user of the reference could run their whole curation
 flow here" demonstration piece: each stage is the operator the repo
-ships (operators/scrub.py, classifier.py, substring.py, export.py),
-chained as one lazy plan until the export materializes it. The plan
-stays Spark-shaped end to end: scrub is a narrow regexp chain,
-classifier scoring is a broadcast join, substring dedup is the banded
-window-hash join, and the export is one partitionBy-shard shuffle.
+ships (operators/scrub.py, classifier.py, substring.py, export.py).
+The plan stays Spark-shaped end to end: scrub is a narrow regexp
+chain, classifier scoring is a broadcast join, substring dedup is the
+banded window-hash join, and the export is one partitionBy-shard
+shuffle.
+
+Materialization discipline (r5): the per-stage funnel counts are
+actions, and Catalyst shares no work across actions — the r4 shape ran
+classifier training and the substring join up to five times on one
+uncached lazy chain. The four expensive frontiers (post-scrub,
+post-classifier, post-dedup, post-surgery) are persisted MEMORY_AND_DISK and
+unpersisted after the export, so each stage executes exactly once;
+tests/test_pipeline2.py pins the source-scan multiplicity with a
+counting wrapper. (The zero-cache alternative — collecting counts via
+observe() metrics on the single export action — drops the funnel
+detail on failure paths; explicit persists are the 100 TB-honest
+trade, spilling to disk where the corpus outgrows executor memory.)
 
 corpus_prep (queries/pipeline.py) remains the oracle-gated composed
 query; this v2 face is pytest-verified (tests/test_pipeline2.py) since
@@ -21,6 +33,7 @@ the classifier/k-means stages have no SQL twin in the gate.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,17 +73,25 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
         "doc_id", "text", "lang", "source")
     stats = {"raw": raw.count()}
 
-    # 1. PII scrub — narrow codegen regexp chain
-    clean = raw.withColumn("text", scrub_text("text"))
+    # 1. PII scrub — narrow codegen regexp chain. Persisted too: clean
+    #    is referenced ~7x downstream (training's two aggregations,
+    #    scoring's two passes, the kept join, the bench side twice) —
+    #    caching it makes the source scan once instead of per-reference
+    clean = (raw.withColumn("text", scrub_text("text"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
 
     # 2. classifier-filtered quality: train on the deterministic even
-    #    split of the scrubbed corpus, keep pred-positive docs
+    #    split of the scrubbed corpus, keep pred-positive docs.
+    #    PERSIST the frontier: the count below materializes it, so
+    #    training runs exactly once and every later stage reads the
+    #    cached rows instead of re-running the classifier
     labeled = _quality_label(clean)
     weights = train_token_weights(
         labeled.filter(F.col("doc_id") % train_frac_mod == 0))
     kept = (score_documents(labeled, weights)
             .filter("pred").select("doc_id")
-            .join(clean, "doc_id"))
+            .join(clean, "doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     stats["after_quality"] = kept.count()
 
     # 3. exact-substring dedup: drop the LARGER doc_id of each verified
@@ -78,18 +99,23 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     #    earlier-dropped twin with the shared run)
     drop = (substring_pairs(kept.select("doc_id", "text"))
             .select(F.col("doc_b").alias("doc_id")).distinct())
-    deduped = kept.join(drop, "doc_id", "left_anti")
+    deduped = (kept.join(drop, "doc_id", "left_anti")
+               .persist(StorageLevel.MEMORY_AND_DISK))
     stats["after_dedup"] = deduped.count()
 
     # 4. benchmark decontamination SURGERY: cut verbatim eval-set runs
     #    out of surviving documents (span removal, not doc drops) —
-    #    benchmark = the deterministic doc_id%20 split, the
-    #    curation_gate decontam convention; docs emptied by the cut
-    #    (pure benchmark copies) drop out of the export
-    bench = raw.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    #    benchmark = the deterministic doc_id%20 split of the SCRUBBED
+    #    corpus (the curation_gate decontam convention): both sides of
+    #    the window join must see identical token streams, or a
+    #    verbatim benchmark copy whose span contained a scrubbed
+    #    pattern (email/phone) would no longer match the bench windows
+    #    and that contamination would be missed. Docs emptied by the
+    #    cut (pure benchmark copies) drop out of the export
+    bench = clean.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     surgically = remove_overlap_spans(
         deduped.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
-        bench)
+        bench).persist(StorageLevel.MEMORY_AND_DISK)
     stats["tokens_excised"] = (
         surgically.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
     final = (surgically.filter(F.length("text") > 0)
@@ -99,4 +125,6 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     # 5. verifiable sharded export
     stats["manifest"] = export_shards(final, out_path, key="doc_id",
                                       n_shards=n_shards)
+    for frontier in (clean, kept, deduped, surgically):
+        frontier.unpersist()
     return stats
