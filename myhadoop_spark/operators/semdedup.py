@@ -22,12 +22,32 @@ ivf.py:28):
      vec_id) — each near-dup group keeps its most central member, a
      deterministic representative.
 
-Skew note: a pathological cluster holding most of the corpus re-creates
-the quadratic blow-up. Production guard: re-cluster oversized clusters
-with a second k-means level (hierarchical IVF) or split them on a
-hash-salt; at fixture scale the balanced-k-means assumption holds and
-the guard is not wired in (documented, not silent — cluster sizes are
-part of the operator's output).
+Skew guards (r5 — a pathological cluster holding most of the corpus
+re-creates the quadratic blow-up the operator exists to avoid):
+
+  * **Exact-duplicate collapse, always on and OUTPUT-PRESERVING**: one
+    window over (cluster, vector) keeps the min-id representative of
+    every identical-vector group out of the pair join; non-reps are
+    dropped by their own rep (same csim, lower id, cos(x, rep) =
+    dot(v,v)/nrm² computed with the operator's exact arithmetic), and
+    any drop a non-rep y could cause is also caused by rep(y) — same
+    vector, same cosine, strictly higher priority — so restricting the
+    join to reps changes nothing. The degenerate blob of n identical
+    vectors costs n window rows instead of n² join rows, a case NO
+    re-clustering can split (identical vectors argmax the same
+    centroid at every level).
+  * **Second-level k-means sub-scope, opt-in via max_cluster_size**:
+    clusters whose REPRESENTATIVE count exceeds the cap get a second
+    sampled-k-means assignment (one shared k_sub-centroid set trained
+    on the oversized subset — hierarchical IVF), and the pair join
+    scopes on (cluster, sub) instead of (cluster). This bounds
+    sum(scope²) by cap·|corpus| at the declared cost of missing
+    cross-sub pairs — near-identical vectors co-locate under any
+    centroid set, so recall on real near-dups survives
+    (tests/test_semdedup.py plants a 90 %-mass cluster and checks
+    both the bound and the recall). The size probe is one
+    k_clusters-row aggregate; default None keeps single-level
+    semantics.
 
 Reference analog: none — §2.3 extension surface (SURVEY.md §2.3),
 complementing embed_neardup (sign-LSH near-dup pairs) with
@@ -36,7 +56,7 @@ representative-keeping dedup semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from myhadoop_spark.operators.ivf import (
@@ -55,10 +75,21 @@ K_CLUSTERS = 16
 
 def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
                    iterations: int = 5, tau: float = TAU,
-                   vec_col: str = "v", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "v", id_col: str = "vec_id",
+                   max_cluster_size: int | None = None,
+                   k_sub: int | None = None) -> DataFrame:
     """(vec_id, cluster, csim, keep): cluster assignment, cosine to the
     assigned centroid, and whether the vector survives dedup. ``emb``
     needs (vec_id, v: array<double>); vectors are compared by cosine.
+
+    ``max_cluster_size`` arms the oversized-cluster guard: clusters
+    with more than that many distinct-vector representatives are
+    sub-scoped by a second k-means level so the intra-scope pair join
+    stays bounded; ``k_sub`` defaults to ceil(largest oversized
+    cluster / cap), capped at 64, so the sub-centroid count tracks the
+    skew mass instead of letting scopes regrow with n. The
+    exact-duplicate collapse is always on (output-preserving for
+    tau ≤ 1 — see module docstring).
     """
     cents = train_centroids(emb, vec_col=vec_col, id_col=id_col,
                             k=k_clusters, iterations=iterations)
@@ -82,23 +113,75 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
         # queries/dedup.py; at k=64 assignment dominates the rehearsal)
         .localCheckpoint())
 
-    x = assigned.select(F.col(id_col).alias("x_id"), "cluster",
-                        F.col(vec_col).alias("xv"),
-                        F.col("_nrm").alias("xn"), F.col("csim").alias("xs"))
-    y = assigned.select(F.col(id_col).alias("y_id"), "cluster",
-                        F.col(vec_col).alias("yv"),
-                        F.col("_nrm").alias("yn"), F.col("csim").alias("ys"))
+    # exact-duplicate collapse: min-id representative per identical
+    # vector group (identical vectors always share a cluster — same
+    # argmax — so partitioning by (cluster, v) is (v) with a cheaper
+    # shuffle key prefix)
+    rep_w = Window.partitionBy("cluster", vec_col)
+    collapsed = assigned.withColumn("_rep_id", F.min(id_col).over(rep_w))
+    # non-reps: dropped by their own representative (same vector,
+    # same csim, lower id => higher priority) iff cos(x, rep) =
+    # dot(v, v)/nrm² clears tau — the identical arithmetic the pair
+    # join would have used
+    dropped_nonrep = (
+        collapsed.filter(F.col(id_col) != F.col("_rep_id"))
+        .filter(_dot(F.col(vec_col), F.col(vec_col))
+                / (F.col("_nrm") * F.col("_nrm")) >= tau)
+        .select(id_col))
+    reps = collapsed.filter(F.col(id_col) == F.col("_rep_id")).drop("_rep_id")
+
+    # oversized-cluster guard: sub-scope clusters whose rep count
+    # exceeds the cap with a second k-means level. The size probe is a
+    # k_clusters-row aggregate (bounded driver read, like the centroid
+    # sample).
+    scope = ["cluster"]
+    if max_cluster_size is not None:
+        sizes = {r["cluster"]: r["n"] for r in
+                 (reps.groupBy("cluster")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())}
+        over = sorted(c for c, n in sizes.items()
+                      if n > max_cluster_size)
+        if over:
+            if k_sub is None:
+                # 4x the mass ratio: k-means sub-splits are not
+                # balanced, so splitting at exactly mass/cap pieces
+                # routinely leaves scopes above cap (measured on the
+                # skew rehearsal: 4 sub-centroids over 8 planted blobs
+                # recovered nothing); oversplitting is cheap — each
+                # oversized-cluster member pays k_sub extra dot folds
+                biggest = max(sizes[c] for c in over)
+                k_sub = min(64, max(2, -(-4 * biggest // max_cluster_size)))
+            sub_cents = train_centroids(
+                reps.filter(F.col("cluster").isin(over)),
+                vec_col=vec_col, id_col=id_col, k=k_sub,
+                iterations=iterations)
+            reps = (assign_buckets(reps, sub_cents, vec_col=vec_col)
+                    .withColumn("sub",
+                                F.when(F.col("cluster").isin(over),
+                                       F.col("bucket"))
+                                .otherwise(F.lit(0)))
+                    .drop("bucket")
+                    .localCheckpoint())  # k_sub folds feed both join sides
+            scope = ["cluster", "sub"]
+
+    x = reps.select(F.col(id_col).alias("x_id"), *scope,
+                    F.col(vec_col).alias("xv"),
+                    F.col("_nrm").alias("xn"), F.col("csim").alias("xs"))
+    y = reps.select(F.col(id_col).alias("y_id"), *scope,
+                    F.col(vec_col).alias("yv"),
+                    F.col("_nrm").alias("yn"), F.col("csim").alias("ys"))
     # y outranks x when (ys, -y_id) > (xs, -x_id): the most-central
     # member (lowest id on ties) of every near-dup group outranks the
     # rest and is the one kept
     dropped = (
-        x.join(y, "cluster")
+        x.join(y, scope)
         .filter((F.col("ys") > F.col("xs"))
                 | ((F.col("ys") == F.col("xs"))
                    & (F.col("y_id") < F.col("x_id"))))
         .filter(_dot(F.col("xv"), F.col("yv"))
                 / (F.col("xn") * F.col("yn")) >= tau)
         .select(F.col("x_id").alias(id_col))
+        .unionByName(dropped_nonrep)
         .distinct())
 
     return (assigned.join(dropped.withColumn("_drop", F.lit(True)),

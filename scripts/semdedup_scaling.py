@@ -66,6 +66,32 @@ def synthetic_vectors(spark, n: int):
             .repartition(spark.sparkContext.defaultParallelism))
 
 
+def skewed_vectors(spark, n: int):
+    """The pathological shape the oversized-cluster guard exists for:
+    90 % of vectors share one dominant axis (one macro k-means cluster)
+    but spread across 8 sub-blobs (hash-assigned direction + small
+    jitter). Intra-sub cosine ~1, inter-sub ~0.92 — at tau 0.95 only
+    intra-sub pairs are dups, exactly what the sub-scope preserves."""
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    is_cold = F.col("vec_id") % 10 == 0
+    subdir = F.pmod(F.hash(F.col("vec_id").cast("string")), F.lit(8))
+    cold = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: (F.pmod(F.hash(F.col("vec_id").cast("string"),
+                                 d.cast("string")), F.lit(1000)).cast("double")
+                   - F.lit(499.5)) / F.lit(500.0))
+    hot = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: (F.when(d == 0, 10.0).otherwise(0.0)
+                   + F.when(d == subdir + 1, 3.0).otherwise(0.0)
+                   + (F.pmod(F.hash(F.col("vec_id").cast("string"),
+                                    d.cast("string")), F.lit(100))
+                      .cast("double") - F.lit(49.5)) / F.lit(5000.0)))
+    return (base.select(
+        "vec_id", F.when(is_cold, cold).otherwise(hot).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism))
+
+
 def main() -> None:
     counts = [int(a) for a in sys.argv[1:]] or [2_000, 20_000]
     spark = get_spark("semdedup_scaling")
@@ -91,6 +117,21 @@ def main() -> None:
             dropped = semantic_dedup(vecs, k_clusters=k, tau=0.9) \
                 .filter("NOT keep").count()
             record("semdedup", n, k, time.time() - t0, dropped)
+
+    # skew rehearsal (r5): the oversized-cluster guard under a planted
+    # 90%-mass macro cluster. k_clusters=4 so the macro level CANNOT
+    # dedicate a centroid per sub-blob (the production shape: K is
+    # fixed, mass concentrates) — unguarded pays sum(cluster²) ~
+    # (0.9n)², guarded sub-scopes it (k column = max_cluster_size)
+    for n in (4_000, 8_000):
+        vecs = skewed_vectors(spark, n).localCheckpoint()
+        for cap, tag in ((None, "semdedup_skew_unguarded"),
+                         (1_000, "semdedup_skew_guarded")):
+            t0 = time.time()
+            dropped = (semantic_dedup(vecs, k_clusters=4, tau=0.95,
+                                      max_cluster_size=cap)
+                       .filter("NOT keep").count())
+            record(tag, n, cap or 0, time.time() - t0, dropped)
 
     # classifier: synthetic docs; label = token-count heuristic
     for n in counts:

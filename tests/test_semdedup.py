@@ -95,6 +95,133 @@ def test_dedup_quality_vs_exact_all_pairs(spark):
     assert has_dup_partner and dropped
 
 
+def _guard_fixture(spark):
+    """90 % of the corpus in ONE macro region (four sub-blobs sharing a
+    dominant axis, near-identical within a blob), 10 % scattered far —
+    the pathological shape where single-level k-means hands one cluster
+    the quadratic pair join. Plus exact duplicates (every 10th hot
+    vector repeated under a higher id) to exercise the collapse."""
+    rows = []
+    dim = 8
+    vid = 0
+    hot = []
+    # blob membership interleaved across ids so the deterministic
+    # first-k-ids k-means init sees one vector from each sub-blob
+    for i in range(90):
+        for j in range(4):
+            v = [0.0] * dim
+            v[0] = 10.0
+            v[1 + j] = 3.0
+            v[5] = 0.001 * i
+            rows.append((vid, v))
+            hot.append(vid)
+            vid += 1
+    for i in range(40):
+        v = [0.0] * dim
+        v[6] = 5.0 + i
+        v[7] = -3.0 * (i % 7)
+        rows.append((vid, v))
+        vid += 1
+    dups = [(1000 + k, list(rows[h][1])) for k, h in
+            enumerate(hot[::10])]  # exact copies, higher ids
+    return (spark.createDataFrame(rows + dups, "vec_id long, v array<double>"),
+            set(hot), {i for i, _ in dups})
+
+
+def test_oversized_cluster_guard_matches_two_level_model(spark):
+    """max_cluster_size armed: keep/drop must equal a pure-Python
+    two-level model (collapse → size probe → shared sub-k-means →
+    (cluster, sub)-scoped pair rule), the hot cluster must actually
+    split, and every planted exact duplicate must fall to the
+    collapse."""
+    K, KSUB, CAP = 4, 4, 50
+    emb, hot_ids, dup_ids = _guard_fixture(spark)
+    vecs = {r.vec_id: list(r.v) for r in emb.collect()}
+    ids = sorted(vecs)
+    cents = train_centroids(emb, k=K)
+
+    # ---- model: level 1 (assignment identical to _model) ----
+    nrm = {i: math.sqrt(_seq_dot(v, v)) for i, v in vecs.items()}
+    cnrm = [math.sqrt(_seq_dot(c, c)) for c in cents]
+    cluster, csim = {}, {}
+    for i, v in vecs.items():
+        scores = [_seq_dot(v, c) for c in cents]
+        b = max(range(K), key=lambda j: (scores[j], j))
+        cluster[i] = b
+        csim[i] = _seq_dot(v, cents[b]) / (nrm[i] * cnrm[b])
+
+    # ---- collapse: min-id rep per identical vector ----
+    rep: dict[int, int] = {}
+    groups: dict[tuple, list[int]] = {}
+    for i in ids:
+        groups.setdefault((cluster[i], tuple(vecs[i])), []).append(i)
+    for g in groups.values():
+        r0 = min(g)
+        for i in g:
+            rep[i] = r0
+    dropped = {i for i in ids if rep[i] != i
+               and _seq_dot(vecs[i], vecs[i]) / (nrm[i] * nrm[i]) >= TAU}
+    reps_ids = [i for i in ids if rep[i] == i]
+
+    # ---- size probe + shared sub-k-means over the oversized subset ----
+    from collections import Counter
+    sizes = Counter(cluster[i] for i in reps_ids)
+    over = sorted(c for c, s in sizes.items() if s > CAP)
+    assert over, "fixture must produce an oversized cluster"
+    over_rows = [(i, vecs[i]) for i in reps_ids if cluster[i] in over]
+    sub_cents = train_centroids(
+        spark.createDataFrame(over_rows, "vec_id long, v array<double>"),
+        k=KSUB)
+    sub = {i: 0 for i in reps_ids}
+    for i, v in over_rows:
+        scores = [_seq_dot(v, c) for c in sub_cents]
+        sub[i] = max(range(KSUB), key=lambda j: (scores[j], j))
+
+    # the guard must bite: the hot cluster splits into >= 2 sub-scopes,
+    # and the dominant scope shrinks well below the unguarded cluster
+    hot_cluster = max(sizes, key=lambda c: sizes[c])
+    hot_scopes = Counter(sub[i] for i in reps_ids
+                         if cluster[i] == hot_cluster)
+    assert len(hot_scopes) >= 2, hot_scopes
+    assert max(hot_scopes.values()) < sizes[hot_cluster]
+
+    # ---- (cluster, sub)-scoped pair rule among reps ----
+    for x in reps_ids:
+        for y in reps_ids:
+            if x == y or cluster[x] != cluster[y] or sub[x] != sub[y]:
+                continue
+            if not ((csim[y], -y) > (csim[x], -x)):
+                continue
+            if (_seq_dot(vecs[x], vecs[y]) / (nrm[x] * nrm[y])) >= TAU:
+                dropped.add(x)
+                break
+
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, k_clusters=K, max_cluster_size=CAP,
+                          k_sub=KSUB).collect()}
+    assert set(out) == set(ids)
+    for i in ids:
+        assert out[i].cluster == cluster[i], i
+        assert out[i].keep == (i not in dropped), i
+    # every planted exact duplicate dies in the collapse
+    assert dup_ids <= {i for i in ids if not out[i].keep}
+
+
+def test_guard_off_is_single_level(spark):
+    """Without max_cluster_size the output must equal the original
+    single-level semantics on the skewed fixture too (the collapse is
+    output-preserving)."""
+    emb, _, _ = _guard_fixture(spark)
+    vecs = {r.vec_id: list(r.v) for r in emb.collect()}
+    cents = train_centroids(emb, k=4)
+    cluster, dropped = _model(vecs, cents, TAU)
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, k_clusters=4).collect()}
+    for i in vecs:
+        assert out[i].cluster == cluster[i], i
+        assert out[i].keep == (i not in dropped), i
+
+
 def test_plan_is_cluster_banded(spark):
     emb = _fixture_emb(spark)
     plan_io = io.StringIO()
