@@ -27,11 +27,20 @@ the DuckDB oracle and membership answers are exactly reproducible.
 Sizing (document before deploying): for n items and target FP rate p,
 m = -n ln p / (ln 2)^2 and k = (m/n) ln 2. The defaults (m = 2^20,
 k = 5) are fixture-scale; at n = 10^10 seen documents and p = 1%,
-m ~ 9.6e10 bits = 12 GB — too big for one broadcast, so shard the
-filter on a hash prefix into ~32 broadcastable pieces and probe each
-batch partition against its shard (the word_idx layout already supports
-range-sharding). All arithmetic stays JVM-side codegen: no UDF, no
-driver state, no collect.
+m ~ 9.6e10 bits = 12 GB — too big for one broadcast. `bloom_probe_
+sharded` (r5) is that case's code path: the filter range-shards on
+word_idx into B broadcastable pieces; each shard pass probes ONLY the
+positions whose word_idx falls in its range against that shard's
+broadcast, reduces to a per-id partial verdict ("every probed bit in
+THIS shard is set"), and materializes it so exactly one shard
+broadcast is live at a time (peak executor memory = filter/B); the
+final verdict is the AND of the partials — grouping the k bit tests
+by shard is associative, so the sharded answer is bit-identical to
+the single-filter one (tests/test_bloom.py proves it on the fixture).
+Word-idx range sharding also means a parquet-stored filter reads each
+shard via predicate pushdown — no full-filter scan per pass. All
+arithmetic stays JVM-side codegen: no UDF, no driver state, no
+collect.
 
 Reference analog: none — §2.3 extension surface (SURVEY.md §2.3).
 """
@@ -99,3 +108,51 @@ def bloom_probe(df: DataFrame, col: str, bloom: DataFrame, *,
                          .bitwiseAND(F.col("bit")) != 0))
             .groupBy(*ids)
             .agg(F.every("_set").alias(hit_col)))
+
+
+def bloom_probe_sharded(df: DataFrame, col: str, bloom: DataFrame, *,
+                        n_shards: int, id_cols: list[str] | None = None,
+                        m_bits: int = M_BITS, k: int = K_HASHES,
+                        hit_col: str = "bloom_hit") -> DataFrame:
+    """`bloom_probe` for filters too large to broadcast whole: B range
+    shards of the word table, one broadcast alive at a time, verdicts
+    AND-combined — bit-identical to the single-filter probe.
+
+    Mechanics: the per-row bit positions are computed once
+    (localCheckpoint — the probe table feeds every shard pass), each
+    pass handles the ~1/B of positions in its word_idx range, and the
+    per-id partial ("every probed bit in this shard set") is
+    materialized so the shard broadcast can be released before the
+    next pass starts. An id with no position in a shard is simply
+    absent from that partial — vacuously true under the final AND.
+    The driver loop is B iterations of bounded work (B ~ 32 for the
+    12 GB case in the module docstring)."""
+    ids = id_cols if id_cols is not None else [c for c in df.columns]
+    n_words = m_bits // 32
+    per_shard = -(-n_words // n_shards)  # ceil: last shard may be short
+    probes = (df.select(*ids,
+                        F.explode(bloom_positions(F.col(col), m_bits, k))
+                        .alias("pos"))
+              .select(*ids, *_word_layout("pos"))
+              .localCheckpoint())
+    parts = []
+    for s in range(n_shards):
+        lo, hi = s * per_shard, (s + 1) * per_shard
+        in_range = (F.col("word_idx") >= lo) & (F.col("word_idx") < hi)
+        part = (probes.filter(in_range)
+                .join(F.broadcast(bloom.filter(in_range)), "word_idx",
+                      "left")
+                .withColumn("_set",
+                            (F.coalesce(F.col("word"), F.lit(0))
+                             .bitwiseAND(F.col("bit")) != 0))
+                .groupBy(*ids)
+                .agg(F.every("_set").alias("_part_hit"))
+                # eager: run this shard's pass NOW so its broadcast is
+                # droppable before the next shard's starts — the whole
+                # point of sharding
+                .localCheckpoint())
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*ids).agg(F.every("_part_hit").alias(hit_col))

@@ -45,6 +45,7 @@ from myhadoop_spark.operators.bloom import (
     M_BITS,
     bloom_build,
     bloom_probe,
+    bloom_probe_sharded,
 )
 
 _FILTER_SCHEMA = "word_idx bigint, word bigint"
@@ -80,12 +81,20 @@ def merge_filter(current: DataFrame, batch_docs: DataFrame, col: str,
 
 def dedup_batch(batch: DataFrame, bloom: DataFrame, *, text_col: str,
                 id_cols: list[str], m_bits: int = M_BITS,
-                k: int = K_HASHES) -> DataFrame:
+                k: int = K_HASHES, n_filter_shards: int = 1) -> DataFrame:
     """Rows of `batch` NOT (probably) seen before: exact within-batch
-    dedup on content first, then the cross-batch Bloom probe."""
+    dedup on content first, then the cross-batch Bloom probe.
+    ``n_filter_shards > 1`` probes through the range-sharded path
+    (operators/bloom.py::bloom_probe_sharded) for filters too large to
+    broadcast whole — same verdicts bit for bit."""
     fresh = batch.dropDuplicates([text_col])
-    hits = bloom_probe(fresh, text_col, bloom, id_cols=id_cols,
-                       m_bits=m_bits, k=k)
+    if n_filter_shards > 1:
+        hits = bloom_probe_sharded(fresh, text_col, bloom,
+                                   n_shards=n_filter_shards,
+                                   id_cols=id_cols, m_bits=m_bits, k=k)
+    else:
+        hits = bloom_probe(fresh, text_col, bloom, id_cols=id_cols,
+                           m_bits=m_bits, k=k)
     return (fresh.join(hits.filter(~F.col("bloom_hit")).select(*id_cols),
                        id_cols))
 
@@ -94,16 +103,22 @@ def start_bloom_dedup_stream(stream_df: DataFrame, *, filter_path: str,
                              out_path: str, checkpoint: str,
                              text_col: str = "text",
                              id_cols: list[str] | None = None,
-                             m_bits: int = M_BITS, k: int = K_HASHES):
+                             m_bits: int = M_BITS, k: int = K_HASHES,
+                             n_filter_shards: int = 1):
     """Start the stream: novel rows append to `out_path`, the filter
-    table at `filter_path` absorbs their bits each batch."""
+    table at `filter_path` absorbs their bits each batch.
+    ``n_filter_shards`` sizes the probe for filters beyond one
+    broadcast (the maintained table is shard-agnostic — sharding is a
+    probe-time view over word_idx ranges, so the same filter serves
+    both paths)."""
     ids = id_cols or ["doc_id"]
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         bloom = load_filter(spark, filter_path)
         novel = dedup_batch(batch, bloom, text_col=text_col,
-                            id_cols=ids, m_bits=m_bits, k=k)
+                            id_cols=ids, m_bits=m_bits, k=k,
+                            n_filter_shards=n_filter_shards)
         # materialize novel rows BEFORE touching the filter table: both
         # writes below must see the same snapshot
         novel = novel.localCheckpoint()

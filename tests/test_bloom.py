@@ -9,7 +9,11 @@ import io
 
 from pyspark.sql import functions as F
 
-from myhadoop_spark.operators.bloom import bloom_build, bloom_probe
+from myhadoop_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+    bloom_probe_sharded,
+)
 
 
 def _items(spark, lo: int, hi: int):
@@ -62,6 +66,34 @@ def test_probe_plan_broadcasts_filter(spark):
     plan = plan_io.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sharded_probe_equals_single_filter(spark):
+    """The 12 GB-filter code path: range-sharding the word table and
+    AND-combining per-shard verdicts must answer EXACTLY like the
+    whole-filter broadcast — same ids, same hit booleans — on a probe
+    mix of seen, novel, and boundary values, for several shard counts
+    (including one that doesn't divide the word count)."""
+    bloom = bloom_build(_items(spark, 0, 1000), "val")
+    mixed = (_items(spark, 500, 1500)  # 500 seen + 500 novel
+             .unionByName(_items(spark, 0, 3)))
+    single = {r.val: r.bloom_hit
+              for r in bloom_probe(mixed, "val", bloom,
+                                   id_cols=["val"]).collect()}
+    for n_shards in (2, 7, 32):
+        sharded = {r.val: r.bloom_hit
+                   for r in bloom_probe_sharded(
+                       mixed, "val", bloom, n_shards=n_shards,
+                       id_cols=["val"]).collect()}
+        assert sharded == single, n_shards
+
+
+def test_sharded_probe_no_false_negatives(spark):
+    seen = _items(spark, 0, 1000)
+    bloom = bloom_build(seen, "val")
+    probed = bloom_probe_sharded(seen, "val", bloom, n_shards=4,
+                                 id_cols=["val"])
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
 
 
 def test_gate_query_semantics(spark):

@@ -23,7 +23,7 @@ def _write_batch(spark, path, rows):
         path, mode="overwrite")
 
 
-def _run(spark, tmp_path, batches, subdir="run"):
+def _run(spark, tmp_path, batches, subdir="run", n_filter_shards=1):
     base = tmp_path / subdir
     src = base / "src"
     for i, rows in enumerate(batches):
@@ -34,7 +34,8 @@ def _run(spark, tmp_path, batches, subdir="run"):
               .parquet(f"{src}/*"))
     q = start_bloom_dedup_stream(
         stream, filter_path=str(base / "bloom"),
-        out_path=str(base / "out"), checkpoint=str(base / "ckpt"))
+        out_path=str(base / "out"), checkpoint=str(base / "ckpt"),
+        n_filter_shards=n_filter_shards)
     try:
         q.processAllAvailable()
     finally:
@@ -73,6 +74,32 @@ def test_filter_converges_to_batch_built(spark, tmp_path):
     direct = {(r.word_idx, r.word)
               for r in bloom_build(emitted, "text").collect()}
     assert maintained == direct
+
+
+def test_sharded_stream_matches_single_filter_stream(spark, tmp_path):
+    """The same batch sequence run through the sharded probe path must
+    emit the same rows AND leave the same filter table bit-for-bit —
+    the maintained table is shard-agnostic, sharding is a probe-time
+    view."""
+    batches = [
+        [(1, "alpha doc"), (2, "beta doc")],
+        [(3, "alpha doc"), (4, "gamma doc"), (5, "delta doc"),
+         (6, "delta doc")],
+        [(7, "beta doc"), (8, "gamma doc")],
+    ]
+    plain = _run(spark, tmp_path, batches, subdir="plain")
+    shard = _run(spark, tmp_path, batches, subdir="shard",
+                 n_filter_shards=4)
+    out_p = {(r.doc_id, r.text)
+             for r in spark.read.parquet(str(plain / "out")).collect()}
+    out_s = {(r.doc_id, r.text)
+             for r in spark.read.parquet(str(shard / "out")).collect()}
+    assert out_p == out_s
+    f_p = {(r.word_idx, r.word)
+           for r in load_filter(spark, str(plain / "bloom")).collect()}
+    f_s = {(r.word_idx, r.word)
+           for r in load_filter(spark, str(shard / "bloom")).collect()}
+    assert f_p == f_s
 
 
 def test_restart_resumes_and_still_dedups(spark, tmp_path):
