@@ -56,18 +56,33 @@ def tokens(col: str = "text") -> Column:
     return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != F.lit(""))
 
 
-def token_hash_mod(tok: Column) -> Column:
+def token_hash_mod(tok: Column, hash_m: int = HASH_M) -> Column:
     """md5-derived 32-bit token hash reduced mod M (so the Horner fold
     never overflows and the oracle's no-initializer list_reduce — whose
     first step is the bare first element — matches the zero-init Horner
     first step exactly)."""
     return (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
-            % F.lit(HASH_M))
+            % F.lit(hash_m))
 
 
-def window_hash_rows(docs: DataFrame, k: int = K_WINDOW) -> DataFrame:
-    """(doc_id, pos, wh): the Horner hash of the k-token window starting
-    at each 1-based token position.
+def token_hash_mod2(tok: Column, hash_m: int = HASH_M) -> Column:
+    """Second independent token hash (disjoint md5 hex range) for the
+    wide-hash banding variant."""
+    return (F.conv(F.substring(F.md5(tok), 17, 8), 16, 10).cast("long")
+            % F.lit(hash_m))
+
+
+def window_hash_rows(docs: DataFrame, k: int = K_WINDOW, *,
+                     hash_m: int = HASH_M,
+                     wide: bool = False) -> DataFrame:
+    """(doc_id, pos, wh[, wh2]): the Horner hash of the k-token window
+    starting at each 1-based token position. ``wide=True`` adds a
+    second independent Horner hash (wh2) so the banded join can key on
+    the pair — an effective ~62-bit space for the large-corpus posture
+    where 31 bits saturate (~n²/2³¹ collision candidate rows at
+    corpus-scale window counts); both folds stay inside the documented
+    BIGINT overflow margin. Collisions cost candidate rows only —
+    correctness is the verify step's job either way.
 
     Deliberately ROW-shaped, not array-shaped: an array formulation
     (transform(sequence, i -> aggregate(slice(thm, i, k), ...)) over a
@@ -79,18 +94,28 @@ def window_hash_rows(docs: DataFrame, k: int = K_WINDOW) -> DataFrame:
     md5-hashed exactly once on its own row, and the window hash folds
     k-1 LEAD()s over the per-document window — one window pass, one
     shuffle on doc_id (bounded rows per doc), all codegen."""
+    cols = ["doc_id", (F.col("pos0") + 1).alias("pos"),
+            token_hash_mod(F.col("tok"), hash_m).alias("th")]
+    if wide:
+        cols.append(token_hash_mod2(F.col("tok"), hash_m).alias("th2"))
     tok_rows = docs.select(
         "doc_id", F.posexplode(tokens()).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"),
-             token_hash_mod(F.col("tok")).alias("th"))
+    ).select(*cols)
     w = Window.partitionBy("doc_id").orderBy("pos")
     h = F.col("th")
     for j in range(1, k):
         # null LEAD past the end propagates → incomplete windows drop
-        h = (h * F.lit(HASH_B) + F.lead("th", j).over(w)) % F.lit(HASH_M)
-    return (tok_rows.withColumn("wh", h)
-            .filter(F.col("wh").isNotNull())
-            .select("doc_id", "pos", "wh"))
+        h = (h * F.lit(HASH_B) + F.lead("th", j).over(w)) % F.lit(hash_m)
+    out = tok_rows.withColumn("wh", h)
+    keep = ["doc_id", "pos", "wh"]
+    if wide:
+        h2 = F.col("th2")
+        for j in range(1, k):
+            h2 = (h2 * F.lit(HASH_B) + F.lead("th2", j).over(w)) \
+                % F.lit(hash_m)
+        out = out.withColumn("wh2", h2)
+        keep.append("wh2")
+    return out.filter(F.col("wh").isNotNull()).select(*keep)
 
 
 def _verified_runs(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
@@ -98,7 +123,17 @@ def _verified_runs(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
     """Matched window positions → EXACTLY-VERIFIED contiguous runs:
     (doc_a, doc_b, d, pa_start, run_len). ``m`` carries
     (doc_a, doc_b, pa, d); ``base_*`` carry the token arrays keyed
-    doc_a / doc_b."""
+    doc_a / doc_b.
+
+    Verification is two-tier: one slice compare per candidate island
+    (the cheap common case), and islands whose compare FAILS — only
+    possible when a hash-colliding window lands adjacent on the same
+    diagonal as a genuine run — are RE-SPLIT by per-window token
+    equality and re-aggregated, so genuine >= min_run sub-runs inside
+    a polluted island survive instead of being dropped with it.
+    Correctness is therefore independent of hash width; hash quality
+    only buys fewer candidate rows (and the re-split path stays near
+    empty — it processes failed islands only)."""
     # gaps-and-islands: within a (pair, diagonal) group, consecutive pa
     # values share pa - row_number(), so each island is one contiguous run
     w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
@@ -111,13 +146,38 @@ def _verified_runs(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
     # exact verify: compare the actual token slices (hash collisions can
     # only create candidates, never survive this)
     run_toks = (F.col("run_len") + F.lit(k - 1)).cast("int")
-    return (runs.join(base_a, "doc_a").join(base_b, "doc_b")
-            .filter(F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
-                            run_toks)
-                    == F.slice(F.col("toks_b"),
-                               (F.col("pa_start") + F.col("d")).cast("int"),
-                               run_toks))
+    checked = (runs.join(base_a, "doc_a").join(base_b, "doc_b")
+               .withColumn(
+                   "_ok",
+                   F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
+                           run_toks)
+                   == F.slice(F.col("toks_b"),
+                              (F.col("pa_start") + F.col("d")).cast("int"),
+                              run_toks)))
+    good = (checked.filter(F.col("_ok"))
             .select("doc_a", "doc_b", "d", "pa_start", "run_len"))
+
+    # polluted islands: verify each window individually, re-island the
+    # survivors. Consecutive verified k-windows overlap by k-1 tokens,
+    # so a re-split run is exact by construction — no second slice pass
+    rewin = (checked.filter(~F.col("_ok"))
+             .select("doc_a", "doc_b", "d",
+                     F.explode(F.sequence(
+                         F.col("pa_start"),
+                         F.col("pa_start") + F.col("run_len") - 1))
+                     .alias("pa"),
+                     "toks_a", "toks_b")
+             .filter(F.slice(F.col("toks_a"), F.col("pa").cast("int"), k)
+                     == F.slice(F.col("toks_b"),
+                                (F.col("pa") + F.col("d")).cast("int"), k)))
+    w2 = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    resplit = (rewin.withColumn("grp", F.col("pa") - F.row_number().over(w2))
+               .groupBy("doc_a", "doc_b", "d", "grp")
+               .agg(F.count(F.lit(1)).alias("run_len"),
+                    F.min("pa").alias("pa_start"))
+               .filter(F.col("run_len") >= min_run)
+               .select("doc_a", "doc_b", "d", "pa_start", "run_len"))
+    return good.unionByName(resplit)
 
 
 def _verified_overlaps(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
@@ -141,25 +201,32 @@ def _drop_hot_windows(wf: DataFrame, max_df: int) -> DataFrame:
 
 def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
                     min_overlap: int = MIN_OVERLAP,
-                    max_df: int | None = None) -> DataFrame:
+                    max_df: int | None = None,
+                    hash_m: int = HASH_M,
+                    wide_hash: bool = False) -> DataFrame:
     """(doc_a, doc_b, overlap_tokens, n_runs) for every pair of documents
     sharing at least one EXACT contiguous run of >= min_overlap tokens.
 
     overlap_tokens is the longest verified shared run; n_runs counts the
     distinct qualifying runs. Pairs are ordered doc_a < doc_b. ``docs``
-    needs (doc_id, text).
+    needs (doc_id, text). ``wide_hash=True`` bands on two independent
+    window hashes (~62-bit) — the large-corpus posture where a 31-bit
+    space would saturate with collision candidates; results are
+    identical either way (verification is exact), only the candidate
+    volume changes.
     """
     min_run = min_overlap - k + 1  # windows in a qualifying run
     base = docs.select("doc_id", tokens().alias("toks"))
-    wf = window_hash_rows(docs, k)
+    wf = window_hash_rows(docs, k, hash_m=hash_m, wide=wide_hash)
     if max_df is not None:
         wf = _drop_hot_windows(wf, max_df)
 
+    keys = ["wh", "wh2"] if wide_hash else ["wh"]
     a = wf.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
-                  "wh")
+                  *keys)
     b = wf.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
-                  "wh")
-    m = (a.join(b, "wh")
+                  *keys)
+    m = (a.join(b, keys)
          .filter(F.col("doc_a") < F.col("doc_b"))
          .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
 
@@ -173,7 +240,9 @@ def substring_pairs(docs: DataFrame, *, k: int = K_WINDOW,
 def substring_decontam(corpus: DataFrame, bench: DataFrame, *,
                        k: int = K_WINDOW, min_overlap: int = MIN_OVERLAP,
                        max_df: int | None = None,
-                       broadcast_bench: bool = True) -> DataFrame:
+                       broadcast_bench: bool = True,
+                       hash_m: int = HASH_M,
+                       wide_hash: bool = False) -> DataFrame:
     """(corpus_id, bench_id, overlap_tokens, n_runs): corpus documents
     containing a VERBATIM run of >= min_overlap tokens from a benchmark
     document — the exact-substring decontamination criterion (Lee et
@@ -186,21 +255,11 @@ def substring_decontam(corpus: DataFrame, bench: DataFrame, *,
     stream joins with NO shuffle of corpus windows in the broadcast
     regime; `broadcast_bench=False` falls back to a hash join for
     corpus-vs-corpus audits. max_df prunes boilerplate windows on the
-    CORPUS side before the join."""
+    CORPUS side before the join. wide_hash doubles the banding key
+    width for the large-corpus posture (see substring_pairs)."""
     min_run = min_overlap - k + 1
-    cw = window_hash_rows(corpus, k)
-    if max_df is not None:
-        cw = _drop_hot_windows(cw, max_df)
-    bw = window_hash_rows(bench, k)
-
-    a = cw.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
-                  "wh")
-    b = bw.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
-                  "wh")
-    if broadcast_bench:
-        b = F.broadcast(b)
-    m = (a.join(b, "wh")
-         .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
+    m = _bench_matches(corpus, bench, k, max_df, broadcast_bench,
+                       hash_m, wide_hash)
 
     ta = corpus.select(F.col("doc_id").alias("doc_a"),
                        tokens().alias("toks_a"))
@@ -212,48 +271,103 @@ def substring_decontam(corpus: DataFrame, bench: DataFrame, *,
                     "overlap_tokens", "n_runs"))
 
 
+def _bench_matches(corpus: DataFrame, bench: DataFrame, k: int,
+                   max_df: int | None, broadcast_bench: bool,
+                   hash_m: int, wide_hash: bool) -> DataFrame:
+    """Shared corpus-vs-bench window-hash match table:
+    (doc_a=corpus, doc_b=bench, pa, d)."""
+    cw = window_hash_rows(corpus, k, hash_m=hash_m, wide=wide_hash)
+    if max_df is not None:
+        cw = _drop_hot_windows(cw, max_df)
+    bw = window_hash_rows(bench, k, hash_m=hash_m, wide=wide_hash)
+
+    keys = ["wh", "wh2"] if wide_hash else ["wh"]
+    a = cw.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
+                  *keys)
+    b = bw.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+                  *keys)
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (a.join(b, keys)
+            .select("doc_a", "doc_b", "pa",
+                    (F.col("pb") - F.col("pa")).alias("d")))
+
+
 def remove_overlap_spans(corpus: DataFrame, bench: DataFrame, *,
                          k: int = K_WINDOW, min_overlap: int = MIN_OVERLAP,
                          max_df: int | None = None,
-                         broadcast_bench: bool = True) -> DataFrame:
+                         broadcast_bench: bool = True,
+                         passes: int = 1,
+                         hash_m: int = HASH_M,
+                         wide_hash: bool = False) -> DataFrame:
     """Span-level decontamination surgery: instead of DROPPING a
     contaminated document, cut the verbatim benchmark runs out of it
     (the remedy Lee et al. 2021 apply with their suffix array) —
-    (doc_id, text, n_tokens_removed), every corpus document present,
-    clean ones byte-identical with n_tokens_removed = 0.
+    (doc_id, text, n_tokens_removed), every corpus document present.
+    Documents with NOTHING to remove pass through BYTE-IDENTICAL
+    (original whitespace included — the rebuild is restricted to
+    contaminated documents via a semi-join on the flagged positions);
+    contaminated documents are re-assembled from their kept token
+    stream with single spaces (token-stream, not byte, preservation —
+    the tokenizer is the corpus-wide whitespace convention).
 
     Mechanics: verified runs (the substring_decontam machinery) expand
-    to the exact token positions they cover; the corpus re-tokenizes to
-    (doc, pos, tok) rows, drops flagged positions with one anti-join,
-    and re-assembles per document with an order-preserving sorted
-    collect. Overlapping spans from several benchmark documents union
-    cleanly (positions are DISTINCT before the anti-join).
+    to the exact token positions they cover; contaminated documents
+    re-tokenize to (doc, pos, tok) rows, drop flagged positions with
+    one anti-join, and re-assemble per document with an
+    order-preserving sorted collect. Overlapping spans from several
+    benchmark documents union cleanly (positions are DISTINCT before
+    the anti-join).
 
-    Declared one-pass semantics: removal can butt two previously-
-    separated fragments against each other, and the SEAM could itself
-    form a new >= min_overlap run with the benchmark; a second
-    detect+remove pass converges if that matters (standard practice —
-    the seam case needs adversarial construction to occur).
+    ``passes``: removal can butt two previously-separated fragments
+    against each other, and the SEAM can itself form a new
+    >= min_overlap run with the benchmark. Each pass re-detects on the
+    previous pass's output; n_tokens_removed accumulates. passes=2
+    closes the adversarial seam construction
+    (tests/test_substring.py::test_seam_second_pass_converges);
+    removal shrinks documents monotonically, so the iteration
+    converges in at most len/min_overlap passes in the worst case.
 
     Scale: positions explode is bounded by (runs x span length) —
-    contaminated text only; the anti-join and rebuild shuffle the
-    tokenized corpus once on doc_id, the same cardinality the window
-    hashing already shuffles."""
+    contaminated text only; the anti-join and rebuild shuffle only the
+    CONTAMINATED documents' tokens on doc_id, a subset of what the
+    window hashing already shuffles."""
+    out = _remove_pass(corpus, bench, k=k, min_overlap=min_overlap,
+                       max_df=max_df, broadcast_bench=broadcast_bench,
+                       hash_m=hash_m, wide_hash=wide_hash)
+    for _ in range(1, passes):
+        # materialize between passes: pass N's detect would otherwise
+        # re-execute every prior pass's join tree
+        prev = out.localCheckpoint()
+        # only documents a prior pass CUT can have grown a new seam —
+        # untouched text was already fully processed against this very
+        # benchmark, so later passes re-detect on the (tiny)
+        # contaminated subset only
+        changed = prev.filter(F.col("n_tokens_removed") > 0)
+        nxt = _remove_pass(changed.select("doc_id", "text"), bench, k=k,
+                           min_overlap=min_overlap, max_df=max_df,
+                           broadcast_bench=broadcast_bench,
+                           hash_m=hash_m, wide_hash=wide_hash)
+        out = (nxt.withColumnRenamed("n_tokens_removed", "_new")
+               .join(changed.select("doc_id",
+                                    F.col("n_tokens_removed")
+                                    .alias("_prev")),
+                     "doc_id")
+               .select("doc_id", "text",
+                       (F.col("_new") + F.col("_prev"))
+                       .alias("n_tokens_removed"))
+               .unionByName(prev.filter(F.col("n_tokens_removed") == 0)))
+    return out
+
+
+def _remove_pass(corpus: DataFrame, bench: DataFrame, *, k: int,
+                 min_overlap: int, max_df: int | None,
+                 broadcast_bench: bool, hash_m: int,
+                 wide_hash: bool) -> DataFrame:
+    """One detect+remove pass of remove_overlap_spans."""
     min_run = min_overlap - k + 1
-    cw = window_hash_rows(corpus, k)
-    if max_df is not None:
-        cw = _drop_hot_windows(cw, max_df)
-    bw = window_hash_rows(bench, k)
-
-    a = cw.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
-                  "wh")
-    b = bw.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
-                  "wh")
-    if broadcast_bench:
-        b = F.broadcast(b)
-    m = (a.join(b, "wh")
-         .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("d")))
-
+    m = _bench_matches(corpus, bench, k, max_df, broadcast_bench,
+                       hash_m, wide_hash)
     ta = corpus.select(F.col("doc_id").alias("doc_a"),
                        tokens().alias("toks_a"))
     tb = bench.select(F.col("doc_id").alias("doc_b"),
@@ -266,10 +380,13 @@ def remove_overlap_spans(corpus: DataFrame, bench: DataFrame, *,
             F.col("pa_start"),
             F.col("pa_start") + F.col("run_len") + F.lit(k - 2))).alias("pos"))
         .distinct())
+    affected = drop_pos.select("doc_id").distinct()
 
-    tok_rows = corpus.select(
-        "doc_id", F.posexplode(tokens()).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # rebuild ONLY the contaminated documents; everything else passes
+    # through byte-identical below
+    tok_rows = (corpus.join(affected, "doc_id")
+                .select("doc_id", F.posexplode(tokens()).alias("pos0", "tok"))
+                .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"))
     kept = tok_rows.join(drop_pos, ["doc_id", "pos"], "left_anti")
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(
@@ -279,12 +396,18 @@ def remove_overlap_spans(corpus: DataFrame, bench: DataFrame, *,
                    " ").alias("_clean"),
                    F.count(F.lit(1)).alias("_n_kept")))
 
-    n_toks = F.size(tokens())
-    return (corpus.withColumn("_n_toks", n_toks)
+    # a fully-excised document has no kept rows → no rebuilt row → the
+    # affected flag (not rebuilt presence) decides between "" and the
+    # original text
+    return (corpus
+            .join(affected.withColumn("_aff", F.lit(True)), "doc_id", "left")
             .join(rebuilt, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce(F.col("_clean"),
-                               F.lit("")).alias("text"),
-                    (F.col("_n_toks")
-                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    F.when(F.col("_aff"),
+                           F.coalesce(F.col("_clean"), F.lit("")))
+                    .otherwise(F.col("text")).alias("text"),
+                    F.when(F.col("_aff"),
+                           F.size(tokens())
+                           - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .otherwise(F.lit(0))
                     .cast("bigint").alias("n_tokens_removed")))

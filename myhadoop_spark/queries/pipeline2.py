@@ -115,7 +115,10 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     bench = clean.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     surgically = remove_overlap_spans(
         deduped.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
-        bench).persist(StorageLevel.MEMORY_AND_DISK)
+        bench,
+        # passes=2 closes the seam case: cutting a middle run can butt
+        # two fragments into a NEW verbatim benchmark run
+        passes=2).persist(StorageLevel.MEMORY_AND_DISK)
     stats["tokens_excised"] = (
         surgically.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
     final = (surgically.filter(F.length("text") > 0)

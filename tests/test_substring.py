@@ -314,3 +314,89 @@ def test_decontam_matches_duckdb_on_fixture(spark):
                docs.filter("doc_id % 20 <> 0"),
                docs.filter("doc_id % 20 = 0")).collect()}
     assert got == want and got  # non-trivial on the fixture
+
+
+def test_untouched_docs_pass_through_byte_identical(spark):
+    """A document with NO benchmark overlap must come back with its
+    original bytes — newlines, tabs, and space runs included (the r4
+    implementation rebuilt every doc with single spaces); a
+    contaminated doc is rebuilt from its kept token stream."""
+    from myhadoop_spark.operators.substring import remove_overlap_spans
+
+    bench_toks = [f"b{j}" for j in range(30)]
+    messy = "hello\tworld\n\nthis  has   odd\twhitespace\n"
+    contaminated = " ".join(["pre0", "pre1"] + bench_toks + ["post0"])
+    corpus = spark.createDataFrame(
+        [(0, messy), (1, contaminated)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, " ".join(bench_toks))], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_overlap_spans(corpus, bench).collect()}
+    assert out[0].text == messy  # byte-identical, not token-normalized
+    assert out[0].n_tokens_removed == 0
+    assert out[1].text == "pre0 pre1 post0"
+    assert out[1].n_tokens_removed == 30
+
+
+def test_seam_second_pass_converges(spark):
+    """Adversarial seam: removing a middle run butts two fragments
+    (11 + 11 bench tokens, each alone under min_overlap) into a new
+    22-token verbatim run. Pass 1 provably leaves it; pass 2 removes
+    it; pass 3 changes nothing more (convergence)."""
+    from myhadoop_spark.operators.substring import remove_overlap_spans
+
+    b = [f"b{j}" for j in range(100)]
+    bench = spark.createDataFrame(
+        [(100, " ".join(b))], "doc_id long, text string")
+    # doc = b50..b60 | b0..b24 | b61..b71 : the middle 25-token run is
+    # removed in pass 1, leaving b50..b71 = 22 contiguous bench tokens
+    doc = b[50:61] + b[0:25] + b[61:72]
+    corpus = spark.createDataFrame(
+        [(0, " ".join(doc))], "doc_id long, text string")
+
+    one = remove_overlap_spans(corpus, bench, passes=1).collect()[0]
+    assert one.text == " ".join(b[50:61] + b[61:72])  # the seam leak
+    assert one.n_tokens_removed == 25
+
+    two = remove_overlap_spans(corpus, bench, passes=2).collect()[0]
+    assert two.text == ""
+    assert two.n_tokens_removed == len(doc)
+
+    three = remove_overlap_spans(corpus, bench, passes=3).collect()[0]
+    assert (three.text, three.n_tokens_removed) == (two.text,
+                                                    two.n_tokens_removed)
+
+
+def test_degenerate_hash_space_still_exact(spark):
+    """hash_m=1: EVERY window hashes to 0, so each (pair, diagonal)
+    becomes ONE polluted island whose whole-slice compare fails
+    whenever the diagonal isn't verbatim end to end — the adversarial
+    case where the r4 all-or-nothing verify dropped every genuine
+    sub-run. The island re-split must recover output identical to the
+    full-width hash."""
+    rng = random.Random(11)
+    docs = _mk_docs(rng, n=12)  # smallest n the injected pairs allow
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    wide = {(r.doc_a, r.doc_b): (r.overlap_tokens, r.n_runs)
+            for r in substring_pairs(df).collect()}
+    degenerate = {(r.doc_a, r.doc_b): (r.overlap_tokens, r.n_runs)
+                  for r in substring_pairs(df, hash_m=1).collect()}
+    assert degenerate == wide
+    assert wide  # the fixture must actually contain qualifying pairs
+
+
+def test_wide_hash_same_results(spark):
+    """The ~62-bit two-hash banding (large-corpus posture) must return
+    identical verified pairs — only the candidate volume differs."""
+    rng = random.Random(13)
+    docs = _mk_docs(rng)
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    narrow = {(r.doc_a, r.doc_b): (r.overlap_tokens, r.n_runs)
+              for r in substring_pairs(df).collect()}
+    wide = {(r.doc_a, r.doc_b): (r.overlap_tokens, r.n_runs)
+            for r in substring_pairs(df, wide_hash=True).collect()}
+    assert narrow == wide
