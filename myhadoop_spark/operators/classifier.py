@@ -21,10 +21,14 @@ over the labeled sample (shuffle ∝ vocabulary, not corpus) plus one
 2-row total; scoring is an explode + BROADCAST join against the weight
 table (vocabularies fit executors; hash-bucket the features if not) +
 one per-doc sum — no all-pairs, no UDF, no driver state. Overflow
-margins: SCALE=1e6 needs class token totals ≤ ~9.2e12 for the
-n·SCALE product to stay in BIGINT; past that, cast the products to
-DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — documented, not wired, the
-fixture is 11 orders of magnitude away.
+margins (r5, wired): SCALE=1e6 needs class token totals ≤ ~9.2e12 for
+the n·SCALE product to stay in BIGINT; the weight expression branches
+per row on the joined class totals — above the threshold the products
+run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), whose integral DIV
+both engines return as exact BIGINT, so weights stay engine-bitwise on
+BOTH sides of the boundary (hypothesis-tested around 2^63/SCALE in
+tests/test_classifier.py). The quotient itself is ≤ SCALE (n ≤ total),
+so the OUTPUT type never widens.
 
 Reference analog: none — §2.3 extension surface (SURVEY.md §2.3).
 """
@@ -113,9 +117,27 @@ def train_token_weights(labeled: DataFrame, label_col: str = "label",
                             "must be present")).alias("_chk"),
         "t_pos", "t_neg").drop("_chk")
     return (counts.crossJoin(F.broadcast(totals))
-            .select("tok",
-                    (F.expr(f"n_pos * {SCALE} DIV t_pos")
-                     - F.expr(f"n_neg * {SCALE} DIV t_neg")).alias("w")))
+            .select("tok", weight_expr().alias("w")))
+
+
+# largest class total for which n*SCALE is safe in BIGINT (n <= total)
+BIGINT_SAFE_TOTAL = (1 << 63) // SCALE - 1
+
+
+def weight_expr() -> Column:
+    """The integer rate-difference weight over columns (n_pos, n_neg,
+    t_pos, t_neg), branching per row into DECIMAL(38,0) arithmetic
+    when a class total is big enough for n*SCALE to overflow BIGINT.
+    Spark's integral DIV on decimals returns an exact BIGINT (and
+    DuckDB's HUGEINT // agrees), so both branches are engine-bitwise
+    and the branch point changes representation, never values."""
+    narrow = (F.expr(f"n_pos * {SCALE} DIV t_pos")
+              - F.expr(f"n_neg * {SCALE} DIV t_neg"))
+    wide = (F.expr(f"CAST(n_pos AS DECIMAL(38,0)) * {SCALE} DIV t_pos")
+            - F.expr(f"CAST(n_neg AS DECIMAL(38,0)) * {SCALE} DIV t_neg"))
+    return F.when((F.col("t_pos") > BIGINT_SAFE_TOTAL)
+                  | (F.col("t_neg") > BIGINT_SAFE_TOTAL),
+                  wide).otherwise(narrow)
 
 
 def score_documents(docs: DataFrame, weights: DataFrame, *,

@@ -156,3 +156,59 @@ def test_single_class_training_raises(spark):
         "doc_id long, text string, label boolean")
     with pytest.raises(PySparkException):
         train_token_weights(labeled).collect()
+
+
+def test_weight_expr_bitwise_across_bigint_boundary(spark):
+    """The DECIMAL(38,0) overflow branch: weights must match DuckDB
+    bit for bit on BOTH sides of the n*SCALE BIGINT boundary
+    (hypothesis-generated class totals straddling 2^63/SCALE, where
+    the narrow branch would overflow)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from myhadoop_spark.operators.classifier import (
+        BIGINT_SAFE_TOTAL,
+        weight_expr,
+    )
+
+    TH = BIGINT_SAFE_TOTAL
+    total = st.one_of(st.integers(1, 10**6),
+                      st.integers(TH - 2, TH + 10**6))
+
+    @st.composite
+    def rows(draw):
+        out = []
+        for i in range(12):
+            t_pos = draw(total)
+            t_neg = draw(total)
+            out.append((f"t{i}",
+                        draw(st.integers(0, t_pos)),
+                        draw(st.integers(0, t_neg)),
+                        t_pos, t_neg))
+        # pin the exact boundary rows into every example
+        out.append(("edge_lo", TH, 1, TH, TH))
+        out.append(("edge_hi", TH + 1, 1, TH + 1, TH + 1))
+        return out
+
+    @given(rows())
+    @settings(max_examples=8, deadline=None)
+    def check(data):
+        sdf = spark.createDataFrame(
+            data, "tok string, n_pos long, n_neg long, "
+                  "t_pos long, t_neg long")
+        got = {r.tok: r.w
+               for r in sdf.select("tok", weight_expr().alias("w"))
+               .collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (tok VARCHAR, n_pos BIGINT, "
+                    "n_neg BIGINT, t_pos BIGINT, t_neg BIGINT)")
+        con.executemany("INSERT INTO c VALUES (?,?,?,?,?)", data)
+        want = dict(con.execute(f"""
+            SELECT tok, CASE WHEN t_pos > {TH} OR t_neg > {TH}
+              THEN CAST(CAST(n_pos AS HUGEINT)*{SCALE}//t_pos
+                        - CAST(n_neg AS HUGEINT)*{SCALE}//t_neg AS BIGINT)
+              ELSE n_pos*{SCALE}//t_pos - n_neg*{SCALE}//t_neg END
+            FROM c""").fetchall())
+        assert got == want
+
+    check()
