@@ -51,6 +51,7 @@ class SyntheticDocsReader(DataSourceReader):
         self.max_tokens = int(options.get("maxTokens", 60))
         self.vocab_size = int(options.get("vocabSize", 0))
         self.dup_every = int(options.get("dupEvery", 0))
+        self.zipf = str(options.get("zipf", "false")).lower() == "true"
 
     def partitions(self):
         if self.rows <= 0:
@@ -70,11 +71,13 @@ class SyntheticDocsReader(DataSourceReader):
         for doc_id in range(partition.start, partition.end):
             yield (doc_id, _gen_doc(doc_id, self.min_tokens,
                                     self.max_tokens, self.vocab_size,
-                                    self.dup_every), partition.index)
+                                    self.dup_every, self.zipf),
+                   partition.index)
 
 
 def _gen_doc(doc_id: int, min_tokens: int, max_tokens: int,
-             vocab_size: int = 0, dup_every: int = 0) -> str:
+             vocab_size: int = 0, dup_every: int = 0,
+             zipf: bool = False) -> str:
     """The shared deterministic generator: an LCG seeded by doc id, so
     a document's text depends only on its id — identical between the
     batch reader, the stream reader, and any executor placement.
@@ -87,9 +90,18 @@ def _gen_doc(doc_id: int, min_tokens: int, max_tokens: int,
     controlled near-duplicate structure: every k-th document is the
     previous document's text plus one trailing token (Jaccard n/(n+1)),
     everything else near-unique — the dedup-rehearsal corpus shape
-    (scripts/dedup_scaling.py)."""
+    (scripts/dedup_scaling.py).
+
+    zipf=true (requires vocabSize) draws ranks log-uniformly —
+    rank = floor((V+1)^u), P(rank r) ∝ log((r+1)/r) ≈ 1/r, the classic
+    Zipf(s≈1) approximation — so the corpus has a realistic heavy-head
+    vocabulary (the uniform draw gives every token frequency ~1/V,
+    which no natural language does; max_df, heavy-hitter bounds, and
+    candidate-volume rehearsals all behave differently under the
+    head)."""
     if dup_every and doc_id % dup_every == 0 and doc_id > 0:
-        base = _gen_doc(doc_id - 1, min_tokens, max_tokens, vocab_size, 0)
+        base = _gen_doc(doc_id - 1, min_tokens, max_tokens, vocab_size,
+                        0, zipf)
         return base + " w" + str(doc_id)
     state = (doc_id * 6364136223846793005 + 1442695040888963407) % (1 << 63)
     n_tokens = min_tokens + state % (max_tokens - min_tokens + 1)
@@ -97,7 +109,11 @@ def _gen_doc(doc_id: int, min_tokens: int, max_tokens: int,
     for _ in range(n_tokens):
         state = (state * 6364136223846793005 + 1442695040888963407) \
             % (1 << 63)
-        if vocab_size > 0:
+        if vocab_size > 0 and zipf:
+            u = state / (1 << 63)
+            rank = int((vocab_size + 1) ** u)  # 1..V, log-uniform
+            words.append("w" + str(rank - 1))
+        elif vocab_size > 0:
             words.append("w" + str(state % vocab_size))
         else:
             words.append(VOCAB[state % len(VOCAB)])

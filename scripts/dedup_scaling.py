@@ -18,7 +18,12 @@ What the curve must show (and why it holds by construction):
   * decontam — the bench side broadcasts; the corpus streams narrow, so
     shuffle bytes stay ~flat while docs grow 10×.
 
-Run: python scripts/dedup_scaling.py [doc_counts...]  (default 5000 50000)
+Run: python scripts/dedup_scaling.py [--zipf] [doc_counts...]
+(default 5000 50000; --zipf draws the vocabulary log-uniformly —
+Zipf s≈1 — and suffixes the op names "_zipf": the distribution-honest
+re-capture, since uniform token draws give every term frequency 1/V
+and understate candidate volumes, max_df pressure, and head-term
+shuffle skew)
 """
 
 from __future__ import annotations
@@ -41,16 +46,19 @@ from myhadoop_spark.session import get_spark
 from myhadoop_spark.sources.synthetic import register as register_source
 
 
-def synthetic_docs(spark, n: int):
+def synthetic_docs(spark, n: int, zipf: bool = False):
     """Rehearsal corpus: 20k-token vocabulary (docs near-unique as
     token sets) with a planted near-dup every 10th document — without
     vocabSize the source's default 20-word list makes minhash declare
     ~half of ALL pairs near-dups (6.2M pairs from 5k docs), a
-    degenerate all-pairs workload no banding can save."""
+    degenerate all-pairs workload no banding can save. zipf=True draws
+    the same vocabulary with a realistic heavy head instead of
+    uniformly."""
     return (spark.read.format("synthetic_docs")
             .option("rows", n)
             .option("vocabSize", 20_000)
             .option("dupEvery", 10)
+            .option("zipf", str(zipf).lower())
             .option("numPartitions", spark.sparkContext.defaultParallelism)
             .load()
             .select("doc_id", "text"))
@@ -60,7 +68,10 @@ def main() -> None:
     import os
 
     os.environ.setdefault("SPARK_GRAFT_UI", "1")  # REST telemetry
-    counts = [int(a) for a in sys.argv[1:]] or [5_000, 50_000]
+    args = sys.argv[1:]
+    zipf = "--zipf" in args
+    counts = [int(a) for a in args if a != "--zipf"] or [5_000, 50_000]
+    suffix = "_zipf" if zipf else ""
     spark = get_spark("dedup_scaling")
     register_source(spark)
     meter = StageMeter(spark)
@@ -91,7 +102,7 @@ def main() -> None:
     minhash_pairs(spark, warm.localCheckpoint()).count()
 
     for n in counts:
-        docs = synthetic_docs(spark, n)
+        docs = synthetic_docs(spark, n, zipf)
 
         def _minhash():
             sets = _hashed_token_sets(spark, "", docs=docs,
@@ -99,7 +110,7 @@ def main() -> None:
             pairs = minhash_pairs(spark, sets).localCheckpoint()
             return pairs, pairs.count()
 
-        pairs = run(n, "minhash_pairs", _minhash)
+        pairs = run(n, "minhash_pairs" + suffix, _minhash)
 
         def _clusters():
             cc = connected_components(
@@ -107,14 +118,14 @@ def main() -> None:
                              F.col("doc2").alias("dst")))
             return cc, cc.count()
 
-        run(n, "clusters", _clusters)
+        run(n, "clusters" + suffix, _clusters)
 
         def _decontam():
             cp = contamination_pairs(docs.filter("doc_id % 20 <> 0"),
                                      docs.filter("doc_id % 20 = 0"), n=4)
             return cp, cp.count()
 
-        run(n, "decontam", _decontam)
+        run(n, "decontam" + suffix, _decontam)
 
         # r4 additions: the planted dup (previous doc + 1 trailing
         # token) IS a full-document contiguous run, so substring_pairs
@@ -124,7 +135,7 @@ def main() -> None:
             sp = substring_pairs(docs)
             return sp, sp.count()
 
-        run(n, "substring_pairs", _substring)
+        run(n, "substring_pairs" + suffix, _substring)
 
         # Bloom: build shuffles ≤ partitions × m/32 words no matter how
         # many docs; the probe is a broadcast join (shuffle ≈ 0 on the
@@ -136,7 +147,7 @@ def main() -> None:
                              id_cols=["doc_id"])
             return pr, pr.filter("bloom_hit").count()
 
-        run(n, "bloom_build_probe", _bloom)
+        run(n, "bloom_build_probe" + suffix, _bloom)
     spark.stop()
 
 

@@ -111,3 +111,33 @@ def test_stream_reader_replay_is_identical(spark):
     assert len(list(rows)) == 5 and nxt == {"next": 5}
     rows, nxt = b.read({"next": 5})
     assert list(rows) == [] and nxt == {"next": 5}
+
+
+def test_zipf_vocabulary_is_skewed_and_deterministic(spark):
+    """zipf=true must produce a heavy-head token distribution (top rank
+    ~1/H(V) of all tokens, orders above the uniform 1/V) while staying
+    a pure function of doc_id."""
+    from pyspark.sql import functions as F
+
+    def read():
+        return (spark.read.format("synthetic_docs")
+                .option("rows", 2000).option("vocabSize", 20_000)
+                .option("zipf", "true")
+                .option("numPartitions", 8).load()
+                .select("doc_id", "text"))
+
+    a = {r.doc_id: r.text for r in read().collect()}
+    b = {r.doc_id: r.text for r in read().collect()}
+    assert a == b  # deterministic
+
+    freq = {r.tok: r.n for r in
+            (read().select(F.explode(F.split("text", " ")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .collect())}
+    total = sum(freq.values())
+    # Zipf(s=1) head: P(w0) ≈ 1/H(20000) ≈ 9%; uniform would be 0.005%
+    assert freq["w0"] / total > 0.05
+    # monotone-ish head: the top rank beats rank 10 beats rank 100
+    assert freq["w0"] > freq.get("w9", 0) > freq.get("w99", 0)
+    # the tail exists: far more distinct tokens than the head alone
+    assert len(freq) > 1000
