@@ -244,9 +244,14 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
 
+    # a SPARK_GRAFT_BENCH_ONLY run is a spot measurement — route its
+    # artifacts to *_partial files so it can never clobber the
+    # committed full-run TSV/JSON that BENCH_NOTES.md regenerates from
+    suffix = "_partial" if only else ""
+
     # telemetry detail to a side file (stdout stays the one-line
     # driver contract, plus a compact telemetry map)
-    with open("bench_shuffle.json", "w") as f:
+    with open(f"bench_shuffle{suffix}.json", "w") as f:
         json.dump({"sf": sf, "reps": all_reps, "queries": telemetry}, f, indent=1)
 
     # TSV record mirroring the reference's export shape
@@ -260,7 +265,7 @@ def main() -> None:
     # wall_s as the namenode_job-equivalent end-to-end time.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    with open("bench_records.tsv", "w") as f:
+    with open(f"bench_records{suffix}.tsv", "w") as f:
         f.write("engine\tschedule_plan\tcpus\tnodes\tpartition_number\tsf\t"
                 "query\trep\tmap_s\treduce_s\tscan_s\tsched_s\twall_s\n")
         for name, rts in all_reps.items():
