@@ -351,15 +351,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
     The blocked pair join itself moves only (doc_id, size) columns.
 
-    NEGATIVE RESULT (r2, measured at sf0.1): a PPJoin-style prefix
-    filter (grams ordered by global frequency; candidates = pairs
-    sharing ≥1 of their |x|−⌈τ|x|⌉+1 rarest grams — exact recall) pruned
-    only 0.5% of candidates here (316,217 vs 317,870) while adding the
-    freq-join + per-doc window cost (~+4 s): same-source synthetic docs
-    share even their rarest 3-grams, so prefix selectivity collapses.
-    On a real crawl corpus (Zipfian gram rarity) the prefix filter is
-    the right next layer; on this fixture it is pure overhead, so the
-    size-ratio filter remains the candidate generator. See ROADMAP.
+    CANDIDATE-GENERATOR CHOICE (r2 negative result, RESOLVED r5): a
+    PPJoin-style prefix filter (grams ordered by global frequency;
+    candidates = pairs sharing ≥1 of their |x|−⌈τ|x|⌉+1 rarest grams —
+    exact recall) pruned only 0.5% on THIS uniform fixture (316,217 vs
+    317,870; +4 s overhead) because uniformly-drawn docs share even
+    their rarest 3-grams — but on the r5 Zipfian corpus it prunes 47%
+    of candidates at identical verified output (ppjoin_study.tsv). The
+    operator ships as operators/ppjoin.py for realistic corpora; this
+    gate query keeps size-ratio because the fixture is uniform.
 
     r2 parallelism fixes (23 s → 2.6 s warm at sf0.1): (a) the gram build is
     repartitioned wide and materialized once (single-split fixture file
