@@ -117,3 +117,33 @@ def test_emptied_partition_still_feeds_error_bound(spark):
     assert all(r["term"] is not None for r in top)
     for r in top:
         assert r["est"] <= exact[r["term"]] <= r["est"] + r["err_bound"], r
+
+
+def test_bounds_and_head_on_zipf_corpus(spark):
+    """The same guarantees over a REALISTIC token stream: the r5
+    Zipfian synthetic corpus (log-uniform rank draw — an actual
+    heavy-head vocabulary, not the arithmetic mod pattern above).
+    Bounds must hold per term and the recovered head must be the true
+    head (w0 leads; the top-5 estimates clear err_bound)."""
+    from myhadoop_spark.sources.synthetic import register
+
+    register(spark)
+    toks = (spark.read.format("synthetic_docs")
+            .option("rows", 4000).option("vocabSize", 20_000)
+            .option("zipf", "true").option("numPartitions", 8)
+            .load()
+            .select(F.explode(F.split("text", " ")).alias("term")))
+    exact = {r["term"]: r["n"] for r in
+             toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    top = heavy_hitters_topk(toks, k=10, capacity=CAPACITY).collect()
+    err = top[0]["err_bound"]
+    for r in top:
+        t = exact[r["term"]]
+        assert r["est"] <= t <= r["est"] + err, (r, t)
+    # the true head is recovered in order
+    assert top[0]["term"] == "w0"
+    true_top = sorted(exact, key=lambda t: (-exact[t], t))[:3]
+    assert [r["term"] for r in top[:3]] == true_top
+    # the head is a genuine heavy hitter, not noise around the bound
+    assert top[0]["est"] > err
