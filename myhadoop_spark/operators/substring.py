@@ -125,15 +125,22 @@ def _verified_runs(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
     (doc_a, doc_b, pa, d); ``base_*`` carry the token arrays keyed
     doc_a / doc_b.
 
-    Verification is two-tier: one slice compare per candidate island
-    (the cheap common case), and islands whose compare FAILS — only
-    possible when a hash-colliding window lands adjacent on the same
-    diagonal as a genuine run — are RE-SPLIT by per-window token
-    equality and re-aggregated, so genuine >= min_run sub-runs inside
-    a polluted island survive instead of being dropped with it.
-    Correctness is therefore independent of hash width; hash quality
-    only buys fewer candidate rows (and the re-split path stays near
-    empty — it processes failed islands only)."""
+    Verification is per-window, folded in ONE pass per candidate
+    island: each window position gets an exact token-slice verdict,
+    and a higher-order aggregate extracts the maximal verified
+    sub-runs >= min_run. A clean island (the overwhelmingly common
+    case — its every verdict true) yields itself; an island polluted
+    by a hash-colliding window adjacent on a genuine run's diagonal
+    yields its genuine sub-runs instead of being dropped whole (the
+    r4 all-or-nothing slice compare's failure mode). Consecutive
+    verified k-windows overlap by k-1 tokens, so a folded run is
+    exact by construction. Correctness is therefore independent of
+    hash width; hash quality only buys fewer candidate rows. The fold
+    form deliberately avoids a good/polluted two-branch plan: both
+    branches of a union re-execute the whole window-hash join tree
+    (Catalyst shares no logical subtrees across union arms — measured
+    1.7x on the gate query), while the fold is one projection on the
+    single tree."""
     # gaps-and-islands: within a (pair, diagonal) group, consecutive pa
     # values share pa - row_number(), so each island is one contiguous run
     w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
@@ -143,41 +150,49 @@ def _verified_runs(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
                  F.min("pa").alias("pa_start"))
             .filter(F.col("run_len") >= min_run))
 
-    # exact verify: compare the actual token slices (hash collisions can
-    # only create candidates, never survive this)
-    run_toks = (F.col("run_len") + F.lit(k - 1)).cast("int")
-    checked = (runs.join(base_a, "doc_a").join(base_b, "doc_b")
-               .withColumn(
-                   "_ok",
-                   F.slice(F.col("toks_a"), F.col("pa_start").cast("int"),
-                           run_toks)
-                   == F.slice(F.col("toks_b"),
-                              (F.col("pa_start") + F.col("d")).cast("int"),
-                              run_toks)))
-    good = (checked.filter(F.col("_ok"))
-            .select("doc_a", "doc_b", "d", "pa_start", "run_len"))
+    joined = runs.join(base_a, "doc_a").join(base_b, "doc_b")
+    # per-window verdicts across the island: ok(pa) = exact equality of
+    # the k-token slices (toks_* are join-output attributes, evaluated
+    # once per row — not the CollapseProject recompute trap above)
+    verdicts = F.transform(
+        F.sequence(F.col("pa_start"),
+                   F.col("pa_start") + F.col("run_len") - 1),
+        lambda pa: F.struct(
+            pa.alias("pa"),
+            (F.slice(F.col("toks_a"), pa.cast("int"), k)
+             == F.slice(F.col("toks_b"), (pa + F.col("d")).cast("int"), k))
+            .alias("ok")))
+    acc_t = "struct<s:bigint,l:bigint,runs:array<struct<s:bigint,l:bigint>>>"
+    init = F.expr(f"CAST(named_struct('s', CAST(NULL AS BIGINT), 'l', "
+                  f"CAST(0 AS BIGINT), 'runs', array()) AS {acc_t})")
 
-    # polluted islands: verify each window individually, re-island the
-    # survivors. Consecutive verified k-windows overlap by k-1 tokens,
-    # so a re-split run is exact by construction — no second slice pass
-    rewin = (checked.filter(~F.col("_ok"))
-             .select("doc_a", "doc_b", "d",
-                     F.explode(F.sequence(
-                         F.col("pa_start"),
-                         F.col("pa_start") + F.col("run_len") - 1))
-                     .alias("pa"),
-                     "toks_a", "toks_b")
-             .filter(F.slice(F.col("toks_a"), F.col("pa").cast("int"), k)
-                     == F.slice(F.col("toks_b"),
-                                (F.col("pa") + F.col("d")).cast("int"), k)))
-    w2 = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
-    resplit = (rewin.withColumn("grp", F.col("pa") - F.row_number().over(w2))
-               .groupBy("doc_a", "doc_b", "d", "grp")
-               .agg(F.count(F.lit(1)).alias("run_len"),
-                    F.min("pa").alias("pa_start"))
-               .filter(F.col("run_len") >= min_run)
-               .select("doc_a", "doc_b", "d", "pa_start", "run_len"))
-    return good.unionByName(resplit)
+    def _step(acc, x):
+        flushed = F.when(
+            acc["l"] >= F.lit(min_run),
+            F.array_append(acc["runs"],
+                           F.struct(acc["s"].alias("s"),
+                                    acc["l"].alias("l")))).otherwise(acc["runs"])
+        return (F.when(x["ok"],
+                       F.struct(F.coalesce(acc["s"], x["pa"]).alias("s"),
+                                (acc["l"] + 1).alias("l"),
+                                acc["runs"].alias("runs")))
+                .otherwise(F.struct(F.lit(None).cast("bigint").alias("s"),
+                                    F.lit(0).cast("bigint").alias("l"),
+                                    flushed.alias("runs"))))
+
+    def _finish(acc):
+        return F.when(
+            acc["l"] >= F.lit(min_run),
+            F.array_append(acc["runs"],
+                           F.struct(acc["s"].alias("s"),
+                                    acc["l"].alias("l")))).otherwise(acc["runs"])
+
+    final_runs = F.aggregate(verdicts, init, _step, _finish)
+    return (joined.select("doc_a", "doc_b", "d",
+                          F.explode(final_runs).alias("r"))
+            .select("doc_a", "doc_b", "d",
+                    F.col("r.s").alias("pa_start"),
+                    F.col("r.l").alias("run_len")))
 
 
 def _verified_overlaps(m: DataFrame, base_a: DataFrame, base_b: DataFrame,
