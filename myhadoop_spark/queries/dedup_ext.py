@@ -160,3 +160,46 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = bloom_probe(docs.select("doc_id", "text"), "text", bloom,
                        id_cols=["doc_id"])
     return hits.crossJoin(F.broadcast(summary))
+
+
+# ---------------------------------------------------------------------------
+# document chunking (operators/chunking.py) — ungated oracle query: the
+# RAG/embedding-pipeline primitive, checked bitwise in pytest
+# (tests/test_correctness.py::test_demoted_queries) without taking one
+# of the 50 gate slots.
+# ---------------------------------------------------------------------------
+
+_CHUNK_C, _CHUNK_V = 32, 8
+_CHUNK_STEP = _CHUNK_C - _CHUNK_V
+
+
+@register(
+    "chunk_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(list_filter(
+                     range(1, greatest(len(toks), 1) + 1, {_CHUNK_STEP}),
+                     s -> len(toks) > 0
+                          AND (s = 1 OR s + {_CHUNK_V} <= len(toks)))) AS st
+          FROM t)
+    SELECT doc_id,
+           CAST((st - 1) / {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           st AS start_token,
+           least(n - st + 1, {_CHUNK_C}) AS n_tokens,
+           array_to_string(list_slice(toks, st, st + {_CHUNK_C} - 1), ' ')
+             AS text
+    FROM s
+    """,
+    tags=("chunking", "extension"),
+    gate=False,
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks of every document — see
+    operators/chunking.py for semantics and the scale posture
+    (shuffle-free narrow projection)."""
+    from myhadoop_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=_CHUNK_C, overlap=_CHUNK_V)
