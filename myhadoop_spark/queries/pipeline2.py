@@ -72,13 +72,31 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
     stats = {"raw": raw.count()}
+    frontiers: list[DataFrame] = []
+    try:
+        return _curate(spark, raw, stats, out_path, train_frac_mod,
+                       n_shards, frontiers)
+    finally:
+        # release the cached frontiers on every exit path — a failed
+        # stage must not leave corpus-sized blocks pinned for the rest
+        # of the session
+        for frontier in frontiers:
+            frontier.unpersist()
+
+
+def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
+            out_path: str, train_frac_mod: int, n_shards: int,
+            frontiers: list[DataFrame]) -> dict:
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        frontiers.append(df)
+        return df
 
     # 1. PII scrub — narrow codegen regexp chain. Persisted too: clean
     #    is referenced ~7x downstream (training's two aggregations,
     #    scoring's two passes, the kept join, the bench side twice) —
     #    caching it makes the source scan once instead of per-reference
-    clean = (raw.withColumn("text", scrub_text("text"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    clean = _persist(raw.withColumn("text", scrub_text("text")))
 
     # 2. classifier-filtered quality: train on the deterministic even
     #    split of the scrubbed corpus, keep pred-positive docs.
@@ -88,10 +106,9 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     labeled = _quality_label(clean)
     weights = train_token_weights(
         labeled.filter(F.col("doc_id") % train_frac_mod == 0))
-    kept = (score_documents(labeled, weights)
-            .filter("pred").select("doc_id")
-            .join(clean, "doc_id")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    kept = _persist(score_documents(labeled, weights)
+                    .filter("pred").select("doc_id")
+                    .join(clean, "doc_id"))
     stats["after_quality"] = kept.count()
 
     # 3. exact-substring dedup: drop the LARGER doc_id of each verified
@@ -99,8 +116,7 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     #    earlier-dropped twin with the shared run)
     drop = (substring_pairs(kept.select("doc_id", "text"))
             .select(F.col("doc_b").alias("doc_id")).distinct())
-    deduped = (kept.join(drop, "doc_id", "left_anti")
-               .persist(StorageLevel.MEMORY_AND_DISK))
+    deduped = _persist(kept.join(drop, "doc_id", "left_anti"))
     stats["after_dedup"] = deduped.count()
 
     # 4. benchmark decontamination SURGERY: cut verbatim eval-set runs
@@ -113,12 +129,12 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     #    and that contamination would be missed. Docs emptied by the
     #    cut (pure benchmark copies) drop out of the export
     bench = clean.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
-    surgically = remove_overlap_spans(
+    surgically = _persist(remove_overlap_spans(
         deduped.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
         bench,
         # passes=2 closes the seam case: cutting a middle run can butt
         # two fragments into a NEW verbatim benchmark run
-        passes=2).persist(StorageLevel.MEMORY_AND_DISK)
+        passes=2))
     stats["tokens_excised"] = (
         surgically.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
     final = (surgically.filter(F.length("text") > 0)
@@ -128,6 +144,4 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     # 5. verifiable sharded export
     stats["manifest"] = export_shards(final, out_path, key="doc_id",
                                       n_shards=n_shards)
-    for frontier in (clean, kept, deduped, surgically):
-        frontier.unpersist()
     return stats

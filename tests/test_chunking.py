@@ -116,3 +116,42 @@ def test_plan_is_narrow(spark):
         chunk_documents(docs).explain("formatted")
     plan = plan_io.getvalue()
     assert "Exchange" not in plan, plan
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """Chunking is a stateless narrow projection, so it must apply to
+    a streaming DataFrame unchanged and produce exactly the batch
+    output (the operator-face convention the streaming modules
+    follow)."""
+    from myhadoop_spark.sources.synthetic import register
+
+    register(spark)
+    batch = (spark.read.format("synthetic_docs")
+             .option("rows", 300).option("numPartitions", 4)
+             .load().select("doc_id", "text"))
+    want = {(r.doc_id, r.chunk_id): (r.start_token, r.n_tokens, r.text)
+            for r in chunk_documents(batch, chunk_tokens=C,
+                                     overlap=V).collect()}
+
+    # default micro-batch trigger + poll: availableNow drains only the
+    # first prefetched batch of a SimpleDataSourceStreamReader (same
+    # pattern as test_synthetic_source.py)
+    import time
+
+    stream = (spark.readStream.format("synthetic_docs")
+              .option("rowsPerBatch", 100).option("maxRows", 300)
+              .load().select("doc_id", "text"))
+    q = (chunk_documents(stream, chunk_tokens=C, overlap=V)
+         .writeStream.format("memory").queryName("chunk_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        deadline = time.time() + 120
+        while (spark.sql("SELECT count(DISTINCT doc_id) FROM chunk_stream")
+               .first()[0] < 300 and time.time() < deadline):
+            time.sleep(0.5)
+        got = {(r.doc_id, r.chunk_id): (r.start_token, r.n_tokens, r.text)
+               for r in spark.sql("SELECT * FROM chunk_stream").collect()}
+    finally:
+        q.stop()
+    assert got == want
