@@ -230,3 +230,18 @@ def test_plan_is_cluster_banded(spark):
     plan = plan_io.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_guard_is_repartition_invariant(spark):
+    """Every guard stage (bounded sample, collapse window, size probe,
+    sub-assignment, pair scope) is deterministic by construction —
+    keep/drop must not depend on the input's partitioning."""
+    emb, _, _ = _guard_fixture(spark)
+    outs = []
+    for parts in (3, 17):
+        out = {r.vec_id: (r.cluster, r.keep)
+               for r in semantic_dedup(emb.repartition(parts),
+                                       k_clusters=4, max_cluster_size=50,
+                                       k_sub=4).collect()}
+        outs.append(out)
+    assert outs[0] == outs[1]
