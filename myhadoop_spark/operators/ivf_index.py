@@ -1,0 +1,142 @@
+"""Persistent IVF index — the in-memory ANN (operators/ivf.py) as an
+on-disk, incrementally-maintainable table, the shape a 100 TB
+embedding corpus actually needs:
+
+  * ``<path>/centroids``: the K trained centroids (tiny parquet, one
+    row per bucket) — the index "metadata" any session can reload;
+  * ``<path>/vectors``: the corpus with its bucket assignment and
+    precomputed norm, written ``partitionBy("bucket")`` — one
+    directory per inverted list.
+
+Why partition-by-bucket is the point: a probe touches only ``n_probe``
+buckets per query, and because bucket is a PARTITION column the search
+filters with ``bucket IN (probed...)`` — static partition pruning at
+the file level, so a K=1024-list index reads ~n_probe/K of the corpus
+bytes per query batch (the scan's PartitionFilters line is asserted in
+tests/test_ivf_index.py). This is file-skipping applied to ANN, the
+same lever as the Z-order layout (operators/layout.py) applied to the
+similarity-search surface.
+
+Incremental maintenance: ``append_to_index`` assigns NEW vectors under
+the STORED centroids and appends their partitions — no retrain, no
+rewrite of existing lists (the standard IVF discipline: centroids
+drift only on explicit re-train; FAISS's add() works the same way).
+Search after append ≡ search over the union built in one shot with the
+same centroids (tested). The streaming face
+(``start_index_ingest_stream``) runs the same append per micro-batch
+via foreachBatch: per-batch cost ∝ batch (K dot folds + one
+partitioned append), independent of index history.
+
+Determinism: training reuses the bounded deterministic sample
+(operators/ivf.py:28), assignment is a pure function of (vector,
+centroids), and probed buckets are a pure function of (query,
+centroids) — the index is reproducible and so are search results.
+
+Reference analog: none — §2.3 extension surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.operators.ivf import (
+    _dot,
+    assign_buckets,
+    probe_buckets,
+    train_centroids,
+)
+
+
+def build_index(emb: DataFrame, path: str, *, k: int = 16,
+                iterations: int = 5, vec_col: str = "v",
+                id_col: str = "vec_id") -> list[list[float]]:
+    """Train centroids, assign every vector, write the index tables.
+    Returns the centroid list (also persisted under the index)."""
+    cents = train_centroids(emb, vec_col=vec_col, id_col=id_col, k=k,
+                            iterations=iterations)
+    spark = emb.sparkSession
+    (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
+                           "bucket int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    _assign(emb, cents, vec_col, id_col) \
+        .write.partitionBy("bucket").mode("overwrite") \
+        .parquet(f"{path}/vectors")
+    return cents
+
+
+def _assign(emb: DataFrame, cents: list[list[float]], vec_col: str,
+            id_col: str) -> DataFrame:
+    return (assign_buckets(
+        emb.withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))),
+        cents, vec_col=vec_col)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                "nrm", "bucket"))
+
+
+def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("bucket").collect())
+    return [list(r.centroid) for r in rows]
+
+
+def append_to_index(new_emb: DataFrame, path: str, *,
+                    vec_col: str = "v", id_col: str = "vec_id") -> None:
+    """Assign new vectors under the STORED centroids and append their
+    bucket partitions — no retrain, existing lists untouched."""
+    cents = load_centroids(new_emb.sparkSession, path)
+    _assign(new_emb, cents, vec_col, id_col) \
+        .write.partitionBy("bucket").mode("append") \
+        .parquet(f"{path}/vectors")
+
+
+def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
+                 n_probe: int = 4, top_k: int = 5) -> DataFrame:
+    """queries[q_id, qv, qnrm] → per-query top-k cosine neighbors among
+    the probed inverted lists. The probed bucket set (≤ n_probe ×
+    |queries| distinct values, collected driver-side — bounded like the
+    centroid sample) is pushed into the vectors scan as a partition
+    filter, so only those bucket directories are read."""
+    from pyspark.sql import Window
+
+    cents = load_centroids(spark, path)
+    probed = probe_buckets(queries, cents, n_probe=n_probe)
+    buckets = sorted(r.bucket for r in
+                     probed.select("bucket").distinct().collect())
+    vectors = (spark.read.parquet(f"{path}/vectors")
+               .filter(F.col("bucket").isin(buckets)))
+    cand = (vectors.join(F.broadcast(probed), "bucket")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id",
+                    (_dot(F.col("v"), F.col("qv"))
+                     / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
+            .distinct())
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"), "rn",
+                    (F.floor(F.col("cos") * 1e6) / 1e6).alias("cosine")))
+
+
+def start_index_ingest_stream(stream_emb: DataFrame, *, path: str,
+                              checkpoint: str, vec_col: str = "v",
+                              id_col: str = "vec_id"):
+    """Streaming face: each micro-batch of new embeddings is assigned
+    under the stored centroids and appended to its bucket partitions.
+    Requires a built index (centroids present). Batch replay appends
+    duplicate rows for the replayed batch only — dedupe on vec_id at
+    read time if the source is at-least-once (the search path's
+    distinct() already collapses duplicate (q_id, vec_id) candidates,
+    so results are replay-stable)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_to_index(batch, path, vec_col=vec_col, id_col=id_col)
+
+    return (stream_emb.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
