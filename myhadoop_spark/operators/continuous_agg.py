@@ -155,3 +155,41 @@ def query_rollup(spark: SparkSession, events: DataFrame, path: str, *,
         tail = _bucketed(events.filter(F.col("ts") >= first_tail),
                          bucket, keys)
     return materialized.unionByName(tail)
+
+
+def start_rollup_stream(stream_events: DataFrame, *, path: str,
+                        checkpoint: str, bucket: str = BUCKET,
+                        keys: list[str] | None = None,
+                        lateness: str = LATENESS):
+    """Streaming face: maintain the rollup from an event stream, one
+    incremental refresh per micro-batch (foreachBatch — the refresh
+    needs the watermark file and dynamic-partition overwrite, which
+    the built-in streaming sinks don't do).
+
+    The cross-batch contract mirrors refresh semantics: a batch's
+    events refresh every bucket they touch from the ACCUMULATED raw
+    store (the refresh recomputes whole buckets, so the per-batch
+    DataFrame must carry all events at/after the watermark floor — the
+    helper materializes each batch into ``<path>/raw`` first and
+    refreshes from that store, keeping refresh reads pruned by the
+    pushed-down ts predicate). Batch replay after a crash overwrites
+    the same raw batch directory and re-runs an idempotent refresh —
+    whole-bucket recompute makes re-application converge, the same
+    discipline as streaming/bloom_ingest.py."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        # idempotent landing: replays rewrite the same directory
+        batch.write.mode("overwrite").parquet(
+            f"{path}/raw/batch_id={batch_id}")
+        raw = spark.read.parquet(f"{path}/raw")
+        refresh_rollup(raw, path, bucket=bucket, keys=keys,
+                       lateness=lateness)
+
+    return (stream_events.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -118,3 +118,34 @@ def test_fixture_events_roundtrip(spark, tmp_path):
     got = _canon(query_rollup(spark, ev, path, bucket="6 hours"))
     want = _canon(_bucketed(ev, "6 hours", ["event_type"]))
     assert got == want and len(want) > 4
+
+
+def test_streaming_maintenance_equals_one_shot(spark, tmp_path):
+    """The stream face: micro-batched arrival (including an
+    out-of-order batch within the horizon) must leave a rollup whose
+    query face equals the one-shot aggregation."""
+    from myhadoop_spark.operators.continuous_agg import start_rollup_stream
+
+    b1 = [_ev(m, m % 7, "click", float(m % 11)) for m in range(0, 120, 5)]
+    b2 = ([_ev(m, m % 5, "view", float(m % 3)) for m in range(120, 180, 7)]
+          + [_ev(100, 99, "view", 42.0)])  # late, within horizon
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(
+        f"{src}/w1")
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.parquet(
+        f"{src}/w2")
+
+    path = str(tmp_path / "rollup")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_rollup_stream(stream, path=path,
+                            checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(b1 + b2, SCHEMA)
+    got = _canon(query_rollup(spark, all_events, path))
+    want = _canon(_bucketed(all_events, "1 hour", ["event_type"]))
+    assert got == want and got
