@@ -1,7 +1,7 @@
-"""Dedup extension queries: exact-substring pair detection and
-Bloom-filter incremental membership — §2.3 training-data surface
-(SURVEY.md §2.3), alongside queries/dedup.py's minhash/simhash/jaccard
-family.
+"""Dedup/curation extension queries: exact-substring pair detection,
+Bloom-filter incremental membership, and (ungated) document chunking —
+§2.3 training-data surface (SURVEY.md §2.3), alongside
+queries/dedup.py's minhash/simhash/jaccard family.
 
 These took two former gate slots (sort_topn, join2) whose operator
 coverage is subsumed elsewhere in the 50-row window: sort_topn's
