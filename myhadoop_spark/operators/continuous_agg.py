@@ -16,39 +16,86 @@ Mechanics:
     (dynamic-partition-overwrite refreshes are bucket-atomic — the
     same idempotent-backfill discipline tests/test_formats.py pins);
   * ``<path>/_watermark`` stores the refresh high-watermark = max
-    event ts seen minus the ``lateness`` horizon;
-  * ``refresh_rollup`` reads ONLY events with ts >= watermark (a
-    pushed-down scan predicate), recomputes the buckets they touch
-    from scratch (whole-bucket recompute: any aggregate is legal, no
-    mergeability requirement), and overwrites exactly those bucket
-    partitions;
+    event ts seen minus the ``lateness`` horizon, MONOTONIC across
+    refreshes (an all-late batch cannot drag it backwards — the same
+    contract as a streaming watermark). It is a single file read and
+    written through the Hadoop FileSystem API: no Spark job, works on
+    any scheme (hdfs://, s3a://), and the write is tmp+rename so a
+    crash leaves the previous watermark intact (replay then re-runs an
+    idempotent whole-bucket refresh and converges);
+  * ``refresh_rollup`` reads ONLY events with ts >= the bucket-aligned
+    floor of the watermark (a constant-folded, pushed-down scan
+    predicate — the floor is derived as a Catalyst expression on the
+    watermark literal, zero driver jobs), recomputes the buckets they
+    touch from scratch (whole-bucket recompute: any aggregate is
+    legal, no mergeability requirement), and overwrites exactly those
+    bucket partitions;
   * events later than the horizon are the documented miss — the same
     contract as a streaming watermark (streaming/windows.py); size
     ``lateness`` to the source's disorder bound;
-  * ``query_rollup`` unions the materialized buckets with an on-the-fly
-    aggregation of the RAW tail (events past the watermark), so reads
-    are always fresh even between refreshes.
+  * ``query_rollup`` unions the materialized buckets (pruned to
+    bucket < watermark-floor — static partition pruning on the rollup
+    table) with an on-the-fly aggregation of the RAW tail (events at
+    or past the floor), so reads are always fresh between refreshes.
+    The face is ACTION-FREE: no driver job runs before the returned
+    DataFrame executes (the watermark is a driver-side file read);
+  * ``drop_buckets_before`` is the retention policy (the TimescaleDB
+    pattern pairs continuous aggregates with retention): it deletes
+    rollup bucket partitions older than a horizon partition-atomically
+    and records the floor in ``<path>/_retention``, which the query
+    face mirrors so rollup reads and raw-tail reads agree on the
+    retained window.
 
 Correctness invariant (tested): after ANY refresh schedule whose
 late arrivals respect the horizon, query_rollup ≡ the one-shot
-groupBy over all events, bitwise.
+groupBy over all retained events, bitwise.
 
-Scale shape: refresh shuffle ∝ events-since-watermark (bounded by
-arrival rate × refresh interval, not corpus size); the query face
-scans rollup partitions (pruned by bucket predicate) + the raw tail
-slice only. Reference analog: none — §2.3 extension surface
-(SURVEY.md §2.3); the brief's "hypertable rollup" example.
+Streaming face scale shape: each micro-batch lands under
+``<path>/raw`` partitioned by ``raw_bucket`` (epoch seconds of the
+event's time bucket) THEN ``batch_id`` — replay overwrites the same
+(raw_bucket, batch_id) leaves via dynamic partition overwrite, so the
+landing is idempotent, while the refresh read selects raw_bucket
+directories at/after the watermark floor by a bounded DRIVER-SIDE
+listing of the top level only (no footer reads over history), and
+``sweep_raw_store`` deletes raw_bucket directories strictly older
+than the floor after every refresh (they can never be read again:
+the watermark is monotonic). Per-batch cost is therefore bounded by
+events-since-watermark — listing, footers, and bytes — independent
+of how many batches have accumulated (rehearsed in
+scripts/rollup_stream_study.py / rollup_stream_study.tsv).
+
+Reference analog: none — §2.3 extension surface (SURVEY.md §2.3); the
+brief's "hypertable rollup" example.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET = "1 hour"
 LATENESS = "30 minutes"
+
+_ROLLUP_COLS = ["n_events", "sum_value", "min_value", "max_value",
+                "approx_users"]
+
+_INTERVAL_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                   "week": 604800}
+
+
+def _parse_interval(s: str) -> dt.timedelta:
+    """'30 minutes' / '1 hour' / '2 days' → timedelta. Pure driver-side
+    arithmetic (no tz/alignment subtleties — unlike bucket FLOORS,
+    which stay Catalyst expressions so they match F.window exactly)."""
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day|week)s?\s*",
+                     s.lower())
+    if not m:
+        raise ValueError(f"unsupported interval: {s!r}")
+    return dt.timedelta(seconds=int(m.group(1)) * _INTERVAL_UNITS[m.group(2)])
 
 
 def _agg_exprs():
@@ -72,17 +119,81 @@ def _bucketed(events: DataFrame, bucket: str, keys: list[str]) -> DataFrame:
             .agg(*_agg_exprs()))
 
 
-def read_watermark(spark: SparkSession, path: str):
-    try:
-        raw = spark.read.text(f"{path}/_watermark").collect()[0].value
-        return json.loads(raw)["watermark"]
-    except Exception:
+def _floor_expr(ts: str, bucket: str):
+    """The bucket-aligned floor of a timestamp literal, as a Catalyst
+    expression: window() on a foldable literal constant-folds after the
+    TimeWindowing rewrite, so filters against it become plain literal
+    comparisons — pushed down to the scan, zero driver jobs, and
+    guaranteed to align exactly like F.window on the data side."""
+    return F.window(F.lit(ts).cast("timestamp"), bucket)["start"]
+
+
+def _tail_of(events: DataFrame, floor, *, strict: bool = False) -> DataFrame:
+    """events at/after a bucket floor expression. ts >= floor is
+    EQUIVALENT to bucket(ts) >= floor because the floor is
+    bucket-aligned — stated on ts so the predicate reaches the scan."""
+    op = (F.col("ts") < F.col("_f")) if strict else \
+        (F.col("ts") >= F.col("_f"))
+    return events.withColumn("_f", floor).filter(op).drop("_f")
+
+
+# ---------------------------------------------------------------- fs
+
+
+def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for any scheme — the hdfs-safe
+    discipline from streaming/bloom_ingest.py: never os.path on a
+    possibly-remote URI."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _read_meta_file(spark: SparkSession, path: str):
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
         return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_meta_file(spark: SparkSession, path: str, payload: str) -> None:
+    """tmp + rename: a crash mid-write leaves the previous file intact
+    (rename is the closest-to-atomic primitive common to HDFS/local;
+    object stores degrade to copy+delete — still last-writer-wins on a
+    whole file, never a torn read)."""
+    fs, p = _fs(spark, path)
+    tmp_fs, tmp = _fs(spark, path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
+
+
+def read_watermark(spark: SparkSession, path: str):
+    raw = _read_meta_file(spark, f"{path}/_watermark")
+    return None if raw is None else json.loads(raw)["watermark"]
 
 
 def _write_watermark(spark: SparkSession, path: str, wm: str) -> None:
-    (spark.createDataFrame([(json.dumps({"watermark": wm}),)], "value string")
-     .coalesce(1).write.mode("overwrite").text(f"{path}/_watermark"))
+    _write_meta_file(spark, f"{path}/_watermark",
+                     json.dumps({"watermark": wm}))
+
+
+def read_retention(spark: SparkSession, path: str):
+    raw = _read_meta_file(spark, f"{path}/_retention")
+    return None if raw is None else json.loads(raw)["retain_from"]
+
+
+# ----------------------------------------------------------- refresh
 
 
 def refresh_rollup(events: DataFrame, path: str, *,
@@ -98,12 +209,9 @@ def refresh_rollup(events: DataFrame, path: str, *,
     else:
         # read from the BUCKET-ALIGNED floor of the watermark: a bucket
         # straddling the watermark must be recomputed from ALL its
-        # events, not just the post-watermark slice
-        wm_bucket = (spark.range(1)
-                     .select(F.window(F.lit(wm).cast("timestamp"),
-                                      bucket)["start"].alias("b"))
-                     .first()["b"])
-        fresh = events.filter(F.col("ts") >= wm_bucket)
+        # events, not just the post-watermark slice. The floor is a
+        # constant-folded expression → pushed-down ts predicate.
+        fresh = _tail_of(events, _floor_expr(wm, bucket))
 
     stale = _bucketed(fresh, bucket, keys)
     # bucket-atomic: dynamic partition overwrite replaces exactly the
@@ -116,77 +224,245 @@ def refresh_rollup(events: DataFrame, path: str, *,
     bounds = fresh.agg(F.max("ts").alias("mx"),
                        F.count(F.lit(1)).alias("n")).first()
     if bounds["mx"] is not None:
-        new_wm = (spark.range(1)
-                  .select((F.lit(bounds["mx"]).cast("timestamp")
-                           - F.expr(f"INTERVAL {lateness}")).alias("w"))
-                  .first()["w"])
-        _write_watermark(spark, path, str(new_wm))
+        new_wm = str(bounds["mx"] - _parse_interval(lateness))
+        # MONOTONIC: an all-late (but in-horizon) batch must not drag
+        # the watermark backwards — retention already swept below it.
+        # str(datetime) is 'YYYY-MM-DD HH:MM:SS[.ffffff]', which
+        # compares correctly as a string.
+        if wm is None or new_wm > wm:
+            _write_watermark(spark, path, new_wm)
     return {"events_read": int(bounds["n"]),
             "watermark": read_watermark(spark, path)}
+
+
+def _rollup_schema(events: DataFrame, keys: list[str]):
+    """The rollup table's exact schema, derived from the events schema
+    (key columns) + the fixed aggregate battery — handed to the read so
+    the query face skips parquet schema inference (its one driver
+    job)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("bucket", T.TimestampType())]
+        + [events.schema[k] for k in keys]
+        + [T.StructField("n_events", T.LongType()),
+           T.StructField("sum_value", T.DoubleType()),
+           T.StructField("min_value", T.DoubleType()),
+           T.StructField("max_value", T.DoubleType()),
+           T.StructField("approx_users", T.LongType())])
 
 
 def query_rollup(spark: SparkSession, events: DataFrame, path: str, *,
                  bucket: str = BUCKET,
                  keys: list[str] | None = None) -> DataFrame:
-    """The always-fresh read face: materialized buckets UNION the
-    aggregation of raw events past the watermark. Buckets that straddle
-    the watermark come from the raw side (they may still change), so
-    each bucket appears exactly once."""
+    """The always-fresh read face: materialized buckets strictly below
+    the watermark's bucket floor UNION the raw-tail aggregation of
+    everything at/after it (tail buckets may still change, and the
+    floor bucket may be partially materialized — recomputing the whole
+    tail from raw makes each bucket appear exactly once, exact).
+
+    ACTION-FREE: the watermark/retention reads are driver-side file
+    reads, the floor comparisons are constant-folded literals — no
+    Spark job runs until the returned DataFrame is executed, and the
+    bucket < floor filter partition-prunes the rollup scan."""
     keys = keys if keys is not None else ["event_type"]
     wm = read_watermark(spark, path)
+    retain = read_retention(spark, path)
+    if retain is not None:
+        # mirror retention on the raw side: dropped buckets stay dropped
+        # even when the caller hands us the full unretained history
+        events = _tail_of(events, _floor_expr(retain, bucket))
     if wm is None:
         return _bucketed(events, bucket, keys)
-    tail = _bucketed(events.filter(F.col("ts") >= wm), bucket, keys)
-    # the first tail bucket may be partially materialized — recompute
-    # it fully from raw and exclude it from the materialized side
-    materialized = (spark.read.parquet(f"{path}/table")
-                    .join(tail.select("bucket").distinct(), "bucket",
-                          "left_anti")
-                    .select("bucket", *keys, *[
-                        c for c in ["n_events", "sum_value", "min_value",
-                                    "max_value", "approx_users"]]))
-    # tail buckets recomputed from ALL their events (the watermark sits
-    # at most one lateness-horizon behind max ts, and refresh recomputes
-    # whole buckets, so raw >= watermark covers every tail bucket's rows
-    # only if the bucket starts after the watermark — recompute instead
-    # from the bucket start to be exact)
-    first_tail = tail.agg(F.min("bucket")).first()[0]
-    if first_tail is not None:
-        tail = _bucketed(events.filter(F.col("ts") >= first_tail),
-                         bucket, keys)
+    floor = _floor_expr(wm, bucket)
+    tail = _bucketed(_tail_of(events, floor), bucket, keys)
+    materialized = (spark.read.schema(_rollup_schema(events, keys))
+                    .parquet(f"{path}/table")
+                    .withColumn("_f", floor)
+                    .filter(F.col("bucket") < F.col("_f")).drop("_f")
+                    .select("bucket", *keys, *_ROLLUP_COLS))
+    if retain is not None:
+        materialized = (materialized.withColumn("_r", _floor_expr(retain,
+                                                                  bucket))
+                        .filter(F.col("bucket") >= F.col("_r")).drop("_r"))
     return materialized.unionByName(tail)
+
+
+# --------------------------------------------------------- retention
+
+
+def drop_buckets_before(spark: SparkSession, path: str, before_ts: str, *,
+                        bucket: str = BUCKET) -> dict:
+    """Retention policy: delete rollup bucket partitions strictly older
+    than the bucket floor of ``before_ts`` — partition-atomic directory
+    deletes, mirrored in the query face via ``<path>/_retention`` (the
+    TimescaleDB drop_chunks analog). Monotonic: a smaller horizon than
+    the recorded one is a no-op. Returns {dropped, retain_from}."""
+    floor = (spark.range(1).select(_floor_expr(before_ts, bucket)
+                                   .alias("f")).first()["f"])
+    prev = read_retention(spark, path)
+    if prev is not None and str(floor) <= prev:
+        return {"dropped": 0, "retain_from": prev}
+    fs, table = _fs(spark, f"{path}/table")
+    dropped = 0
+    if fs.exists(table):
+        from urllib.parse import unquote
+
+        for status in fs.listStatus(table):
+            name = status.getPath().getName()
+            if not name.startswith("bucket="):
+                continue
+            val = unquote(name.split("=", 1)[1])
+            try:
+                part_ts = dt.datetime.fromisoformat(val)
+            except ValueError:
+                continue
+            if part_ts < dt.datetime.fromisoformat(str(floor)):
+                fs.delete(status.getPath(), True)
+                dropped += 1
+    _write_meta_file(spark, f"{path}/_retention",
+                     json.dumps({"retain_from": str(floor)}))
+    return {"dropped": dropped, "retain_from": str(floor)}
+
+
+# --------------------------------------------------------- streaming
+
+
+def _raw_floor_epoch(spark: SparkSession, wm: str, bucket: str) -> int:
+    """Epoch seconds of the watermark's bucket floor (one tiny
+    driver job per micro-batch — maintenance context, not query path).
+    Epoch seconds make raw_bucket partition directory names clean
+    integers, comparable driver-side without timestamp-escape
+    parsing."""
+    return int(spark.range(1)
+               .select(F.unix_timestamp(_floor_expr(wm, bucket))
+                       .alias("e")).first()["e"])
+
+
+def _list_raw_buckets(spark: SparkSession, raw_path: str) -> list[tuple[int, str]]:
+    """[(epoch, uri)] for the raw store's top-level raw_bucket=N
+    directories — ONE bounded listing of the top level only (bounded by
+    retention: swept buckets are gone), never a recursive walk."""
+    fs, root = _fs(spark, raw_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("raw_bucket="):
+            out.append((int(name.split("=", 1)[1]),
+                        status.getPath().toString()))
+    return sorted(out)
+
+
+def read_raw_store(spark: SparkSession, path: str, *,
+                   bucket: str = BUCKET) -> tuple[DataFrame, dict]:
+    """The refresh's view of the raw landing store: ONLY raw_bucket
+    directories at/after the watermark floor, selected by the bounded
+    driver-side listing and read with basePath — Spark lists and
+    footer-reads just those directories, so per-refresh scan metadata
+    is independent of accumulated history. Returns (df, stats)."""
+    wm = read_watermark(spark, path)
+    dirs = _list_raw_buckets(spark, f"{path}/raw")
+    if wm is not None:
+        floor = _raw_floor_epoch(spark, wm, bucket)
+        dirs = [(e, u) for e, u in dirs if e >= floor]
+    if not dirs:
+        return (spark.createDataFrame(
+            [], "ts timestamp, user_id long, event_type string, "
+                "value double"), {"raw_dirs": 0, "raw_files": 0})
+    n_files = _count_files(spark, [u for _, u in dirs])
+    df = (spark.read.option("basePath", f"{path}/raw")
+          .parquet(*[u for _, u in dirs])
+          .drop("raw_bucket", "batch_id"))
+    return df, {"raw_dirs": len(dirs), "raw_files": n_files}
+
+
+def _count_files(spark: SparkSession, uris: list[str]) -> int:
+    fs, _ = _fs(spark, uris[0])
+    jvm = spark._jvm
+    n = 0
+    for u in uris:
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(u), True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+    return n
+
+
+def sweep_raw_store(spark: SparkSession, path: str, *,
+                    bucket: str = BUCKET) -> int:
+    """Delete raw_bucket directories STRICTLY below the watermark's
+    bucket floor: the watermark is monotonic and refresh reads only
+    ts >= floor, so swept directories can never be read again. This is
+    what bounds the landing store — and every refresh's listing — to
+    the lateness horizon instead of the full stream history. Returns
+    the number of directories deleted."""
+    wm = read_watermark(spark, path)
+    if wm is None:
+        return 0
+    floor = _raw_floor_epoch(spark, wm, bucket)
+    fs, _ = _fs(spark, f"{path}/raw")
+    jvm = spark._jvm
+    swept = 0
+    for epoch, uri in _list_raw_buckets(spark, f"{path}/raw"):
+        if epoch < floor:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
+            swept += 1
+    return swept
 
 
 def start_rollup_stream(stream_events: DataFrame, *, path: str,
                         checkpoint: str, bucket: str = BUCKET,
                         keys: list[str] | None = None,
-                        lateness: str = LATENESS):
+                        lateness: str = LATENESS,
+                        sweep: bool = True,
+                        stats: list | None = None):
     """Streaming face: maintain the rollup from an event stream, one
     incremental refresh per micro-batch (foreachBatch — the refresh
     needs the watermark file and dynamic-partition overwrite, which
     the built-in streaming sinks don't do).
 
-    The cross-batch contract mirrors refresh semantics: a batch's
-    events refresh every bucket they touch from the ACCUMULATED raw
-    store (the refresh recomputes whole buckets, so the per-batch
-    DataFrame must carry all events at/after the watermark floor — the
-    helper materializes each batch into ``<path>/raw`` first and
-    refreshes from that store, keeping refresh reads pruned by the
-    pushed-down ts predicate). Batch replay after a crash overwrites
-    the same raw batch directory and re-runs an idempotent refresh —
-    whole-bucket recompute makes re-application converge, the same
-    discipline as streaming/bloom_ingest.py."""
+    Per batch: (1) land the batch under ``<path>/raw`` partitioned by
+    raw_bucket (epoch secs of the event's time bucket) then batch_id —
+    dynamic partition overwrite rewrites exactly the replayed batch's
+    (raw_bucket, batch_id) leaves, so crash replay is idempotent;
+    (2) refresh from the PRUNED raw view (read_raw_store: only
+    raw_bucket dirs at/after the watermark floor, selected by one
+    bounded top-level listing); (3) sweep raw_bucket dirs below the
+    floor (sweep=False keeps them for audit/replump). Whole-bucket
+    recompute makes re-application converge, the same discipline as
+    streaming/bloom_ingest.py.
+
+    ``stats``: pass a list to receive one dict per processed batch —
+    {batch_id, events_read, raw_dirs, raw_files, swept} — the
+    backpressure/flat-cost monitoring face (rehearsed in
+    scripts/rollup_stream_study.py)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        # idempotent landing: replays rewrite the same directory
-        batch.write.mode("overwrite").parquet(
-            f"{path}/raw/batch_id={batch_id}")
-        raw = spark.read.parquet(f"{path}/raw")
-        refresh_rollup(raw, path, bucket=bucket, keys=keys,
-                       lateness=lateness)
+        # idempotent landing: replays rewrite the same
+        # (raw_bucket, batch_id) leaf partitions only
+        (batch
+         .withColumn("raw_bucket",
+                     F.unix_timestamp(F.window("ts", bucket)["start"]))
+         .withColumn("batch_id", F.lit(batch_id))
+         .repartition("raw_bucket")
+         .write.partitionBy("raw_bucket", "batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").parquet(f"{path}/raw"))
+        raw, read_stats = read_raw_store(spark, path, bucket=bucket)
+        refresh_stats = refresh_rollup(raw, path, bucket=bucket, keys=keys,
+                                       lateness=lateness)
+        swept = sweep_raw_store(spark, path, bucket=bucket) if sweep else 0
+        if stats is not None:
+            stats.append({"batch_id": batch_id,
+                          "events_read": refresh_stats["events_read"],
+                          "raw_dirs": read_stats["raw_dirs"],
+                          "raw_files": read_stats["raw_files"],
+                          "swept": swept})
 
     return (stream_events.writeStream
             .foreachBatch(_process)

@@ -120,6 +120,122 @@ def test_fixture_events_roundtrip(spark, tmp_path):
     assert got == want and len(want) > 4
 
 
+def test_query_rollup_is_action_free_and_pruned(spark, tmp_path):
+    """The read face must launch ZERO Spark jobs before the returned
+    DataFrame executes (watermark/retention are driver-side file reads,
+    the floor is a constant-folded expression, the rollup schema is
+    supplied explicitly), and the plan must show (a) the ts floor
+    pushed into the raw scan and (b) static partition pruning on the
+    rollup table's bucket partitions."""
+    path = str(tmp_path / "rollup")
+    rows = [_ev(m, m % 7, "click", float(m % 11)) for m in range(0, 300, 5)]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(tmp_path / "ev"))
+    ev = spark.read.parquet(str(tmp_path / "ev"))
+    refresh_rollup(ev, path)
+
+    sc = spark.sparkContext
+    j0 = sc._jsc.sc().dagScheduler().nextJobId()
+    q = query_rollup(spark, ev, path)
+    j1 = sc._jsc.sc().dagScheduler().nextJobId()
+    assert j1 - j0 == 0, "query_rollup ran a driver job before execution"
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts," in plan  # raw-tail scan pushdown
+    pf = [ln for ln in plan.splitlines()
+          if "PartitionFilters" in ln and "bucket" in ln.split(
+              "PartitionFilters")[1][:80]]
+    assert any("<" in ln.split("PartitionFilters")[1][:120] for ln in pf), \
+        "rollup scan not partition-pruned by the watermark floor"
+    assert _canon(q) == _canon(_bucketed(ev, "1 hour", ["event_type"]))
+
+
+def test_retention_drop_buckets(spark, tmp_path):
+    """drop_buckets_before: partitions below the floor are physically
+    deleted, the query face over the retained window equals the
+    one-shot aggregation over the same window, and a smaller horizon
+    is a monotonic no-op."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.continuous_agg import (
+        drop_buckets_before,
+        read_retention,
+    )
+
+    path = str(tmp_path / "rollup")
+    rows = [_ev(m, m % 7, t, float(m % 11))
+            for m in range(0, 360, 5) for t in ("click", "view")]
+    all_events = spark.createDataFrame(rows, SCHEMA)
+    refresh_rollup(all_events, path)
+    assert len(list(Path(path, "table").glob("bucket=*"))) == 6
+
+    horizon = str(T0 + dt.timedelta(hours=2))
+    res = drop_buckets_before(spark, path, horizon)
+    assert res["dropped"] == 2
+    assert len(list(Path(path, "table").glob("bucket=*"))) == 4
+
+    got = _canon(query_rollup(spark, all_events, path))
+    retained = all_events.filter(F.col("ts") >= F.lit(horizon))
+    want = _canon(_bucketed(retained, "1 hour", ["event_type"]))
+    assert got == want and len(want) == 8  # 4 buckets x 2 types
+
+    # monotonic: shrinking the horizon is a no-op
+    res2 = drop_buckets_before(spark, path, str(T0 + dt.timedelta(hours=1)))
+    assert res2["dropped"] == 0
+    assert read_retention(spark, path) == res["retain_from"]
+
+
+def test_streaming_raw_store_is_pruned_and_swept(spark, tmp_path):
+    """The streaming face's scale contract: the raw landing store is
+    partitioned by time bucket, each refresh reads only the tail
+    directories (bounded listing), and the sweep deletes directories
+    below the watermark floor — so per-batch raw_dirs/raw_files stay
+    FLAT as batch history accumulates, and the final rollup still
+    equals the one-shot aggregation."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.continuous_agg import start_rollup_stream
+
+    n_batches = 12
+    src = str(tmp_path / "src")
+    waves = []
+    for b in range(n_batches):
+        wave = [_ev(b * 60 + m, (b * 7 + m) % 5, "click", float(m % 11))
+                for m in range(0, 60, 5)]
+        waves.append(wave)
+        spark.createDataFrame(wave, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/w{b:02d}")
+
+    path = str(tmp_path / "rollup")
+    stats: list[dict] = []
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_rollup_stream(stream, path=path,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            stats=stats)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(stats) == n_batches
+    # flat-cost: once the watermark is established, every refresh reads
+    # a bounded tail (the floor bucket + the new batch's buckets), not
+    # the accumulated history
+    tail_dirs = [s["raw_dirs"] for s in stats[2:]]
+    assert max(tail_dirs) <= 3, stats
+    assert max(s["raw_files"] for s in stats[2:]) <= 6, stats
+    assert sum(s["swept"] for s in stats) >= n_batches - 4
+    # the landing store holds only the unswept tail
+    left = list(Path(path, "raw").glob("raw_bucket=*"))
+    assert len(left) <= 3, [p.name for p in left]
+
+    all_events = spark.createDataFrame(
+        [e for w in waves for e in w], SCHEMA)
+    got = _canon(query_rollup(spark, all_events, path))
+    want = _canon(_bucketed(all_events, "1 hour", ["event_type"]))
+    assert got == want and len(want) == n_batches
+
+
 def test_streaming_maintenance_equals_one_shot(spark, tmp_path):
     """The stream face: micro-batched arrival (including an
     out-of-order batch within the horizon) must leave a rollup whose
