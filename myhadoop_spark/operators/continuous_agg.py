@@ -77,6 +77,14 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myhadoop_spark.fsutil import (
+    count_data_files,
+    hadoop_fs,
+    list_partition_dirs,
+    read_small_file,
+    write_small_file,
+)
+
 BUCKET = "1 hour"
 LATENESS = "30 minutes"
 
@@ -140,56 +148,18 @@ def _tail_of(events: DataFrame, floor, *, strict: bool = False) -> DataFrame:
 # ---------------------------------------------------------------- fs
 
 
-def _fs(spark: SparkSession, path: str):
-    """(Hadoop FileSystem, Path) for any scheme — the hdfs-safe
-    discipline from streaming/bloom_ingest.py: never os.path on a
-    possibly-remote URI."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
-
-
-def _read_meta_file(spark: SparkSession, path: str):
-    fs, p = _fs(spark, path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8")
-    finally:
-        stream.close()
-
-
-def _write_meta_file(spark: SparkSession, path: str, payload: str) -> None:
-    """tmp + rename: a crash mid-write leaves the previous file intact
-    (rename is the closest-to-atomic primitive common to HDFS/local;
-    object stores degrade to copy+delete — still last-writer-wins on a
-    whole file, never a torn read)."""
-    fs, p = _fs(spark, path)
-    tmp_fs, tmp = _fs(spark, path + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    fs.rename(tmp, p)
-
-
 def read_watermark(spark: SparkSession, path: str):
-    raw = _read_meta_file(spark, f"{path}/_watermark")
+    raw = read_small_file(spark, f"{path}/_watermark")
     return None if raw is None else json.loads(raw)["watermark"]
 
 
 def _write_watermark(spark: SparkSession, path: str, wm: str) -> None:
-    _write_meta_file(spark, f"{path}/_watermark",
+    write_small_file(spark, f"{path}/_watermark",
                      json.dumps({"watermark": wm}))
 
 
 def read_retention(spark: SparkSession, path: str):
-    raw = _read_meta_file(spark, f"{path}/_retention")
+    raw = read_small_file(spark, f"{path}/_retention")
     return None if raw is None else json.loads(raw)["retain_from"]
 
 
@@ -303,24 +273,20 @@ def drop_buckets_before(spark: SparkSession, path: str, before_ts: str, *,
     prev = read_retention(spark, path)
     if prev is not None and str(floor) <= prev:
         return {"dropped": 0, "retain_from": prev}
-    fs, table = _fs(spark, f"{path}/table")
-    dropped = 0
-    if fs.exists(table):
-        from urllib.parse import unquote
+    from urllib.parse import unquote
 
-        for status in fs.listStatus(table):
-            name = status.getPath().getName()
-            if not name.startswith("bucket="):
-                continue
-            val = unquote(name.split("=", 1)[1])
-            try:
-                part_ts = dt.datetime.fromisoformat(val)
-            except ValueError:
-                continue
-            if part_ts < dt.datetime.fromisoformat(str(floor)):
-                fs.delete(status.getPath(), True)
-                dropped += 1
-    _write_meta_file(spark, f"{path}/_retention",
+    fs, _ = hadoop_fs(spark, f"{path}/table")
+    jvm = spark._jvm
+    dropped = 0
+    for val, uri in list_partition_dirs(spark, f"{path}/table", "bucket"):
+        try:
+            part_ts = dt.datetime.fromisoformat(unquote(val))
+        except ValueError:
+            continue
+        if part_ts < dt.datetime.fromisoformat(str(floor)):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
+            dropped += 1
+    write_small_file(spark, f"{path}/_retention",
                      json.dumps({"retain_from": str(floor)}))
     return {"dropped": dropped, "retain_from": str(floor)}
 
@@ -339,20 +305,12 @@ def _raw_floor_epoch(spark: SparkSession, wm: str, bucket: str) -> int:
                        .alias("e")).first()["e"])
 
 
-def _list_raw_buckets(spark: SparkSession, raw_path: str) -> list[tuple[int, str]]:
+def _list_raw_buckets(spark: SparkSession,
+                      raw_path: str) -> list[tuple[int, str]]:
     """[(epoch, uri)] for the raw store's top-level raw_bucket=N
-    directories — ONE bounded listing of the top level only (bounded by
-    retention: swept buckets are gone), never a recursive walk."""
-    fs, root = _fs(spark, raw_path)
-    if not fs.exists(root):
-        return []
-    out = []
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if name.startswith("raw_bucket="):
-            out.append((int(name.split("=", 1)[1]),
-                        status.getPath().toString()))
-    return sorted(out)
+    directories — bounded by the sweep, never a recursive walk."""
+    return sorted((int(v), u) for v, u in
+                  list_partition_dirs(spark, raw_path, "raw_bucket"))
 
 
 def read_raw_store(spark: SparkSession, path: str, *,
@@ -371,23 +329,11 @@ def read_raw_store(spark: SparkSession, path: str, *,
         return (spark.createDataFrame(
             [], "ts timestamp, user_id long, event_type string, "
                 "value double"), {"raw_dirs": 0, "raw_files": 0})
-    n_files = _count_files(spark, [u for _, u in dirs])
+    n_files = count_data_files(spark, [u for _, u in dirs])
     df = (spark.read.option("basePath", f"{path}/raw")
           .parquet(*[u for _, u in dirs])
           .drop("raw_bucket", "batch_id"))
     return df, {"raw_dirs": len(dirs), "raw_files": n_files}
-
-
-def _count_files(spark: SparkSession, uris: list[str]) -> int:
-    fs, _ = _fs(spark, uris[0])
-    jvm = spark._jvm
-    n = 0
-    for u in uris:
-        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(u), True)
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                n += 1
-    return n
 
 
 def sweep_raw_store(spark: SparkSession, path: str, *,
@@ -402,7 +348,7 @@ def sweep_raw_store(spark: SparkSession, path: str, *,
     if wm is None:
         return 0
     floor = _raw_floor_epoch(spark, wm, bucket)
-    fs, _ = _fs(spark, f"{path}/raw")
+    fs, _ = hadoop_fs(spark, f"{path}/raw")
     jvm = spark._jvm
     swept = 0
     for epoch, uri in _list_raw_buckets(spark, f"{path}/raw"):

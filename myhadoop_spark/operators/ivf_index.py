@@ -48,6 +48,22 @@ from myhadoop_spark.operators.ivf import (
 )
 
 
+MAX_ROWS_PER_FILE = 1_000_000
+
+
+def _write_lists(assigned: DataFrame, path: str, mode: str) -> None:
+    """Write inverted lists co-located: repartition on bucket puts each
+    list wholly in one task (1 file per bucket per write — without this
+    every shuffle task writes a sliver into every bucket directory, a
+    32x file-count inflation measured in ivf_compact_study.tsv), while
+    maxRecordsPerFile re-splits genuinely huge lists so a 100 TB corpus
+    still gets parallel-readable, bounded-size files."""
+    (assigned.repartition("bucket")
+     .write.partitionBy("bucket")
+     .option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
+     .mode(mode).parquet(f"{path}/vectors"))
+
+
 def build_index(emb: DataFrame, path: str, *, k: int = 16,
                 iterations: int = 5, vec_col: str = "v",
                 id_col: str = "vec_id") -> list[list[float]]:
@@ -59,9 +75,7 @@ def build_index(emb: DataFrame, path: str, *, k: int = 16,
     (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
                            "bucket int, centroid array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
-    _assign(emb, cents, vec_col, id_col) \
-        .write.partitionBy("bucket").mode("overwrite") \
-        .parquet(f"{path}/vectors")
+    _write_lists(_assign(emb, cents, vec_col, id_col), path, "overwrite")
     return cents
 
 
@@ -85,18 +99,24 @@ def append_to_index(new_emb: DataFrame, path: str, *,
     """Assign new vectors under the STORED centroids and append their
     bucket partitions — no retrain, existing lists untouched."""
     cents = load_centroids(new_emb.sparkSession, path)
-    _assign(new_emb, cents, vec_col, id_col) \
-        .write.partitionBy("bucket").mode("append") \
-        .parquet(f"{path}/vectors")
+    _write_lists(_assign(new_emb, cents, vec_col, id_col), path, "append")
 
 
 def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
-                 n_probe: int = 4, top_k: int = 5) -> DataFrame:
+                 n_probe: int = 4, top_k: int = 5,
+                 exclude_self: bool = True) -> DataFrame:
     """queries[q_id, qv, qnrm] → per-query top-k cosine neighbors among
     the probed inverted lists. The probed bucket set (≤ n_probe ×
     |queries| distinct values, collected driver-side — bounded like the
     centroid sample) is pushed into the vectors scan as a partition
-    filter, so only those bucket directories are read."""
+    filter, so only those bucket directories are read.
+
+    ``exclude_self=True`` (default) drops candidates whose vec_id
+    equals q_id — correct when queries are drawn FROM the indexed
+    corpus (the self-match carries no information). Pass
+    ``exclude_self=False`` when query ids live in a separate id space:
+    an accidental numeric collision would otherwise silently drop a
+    legitimate neighbor."""
     from pyspark.sql import Window
 
     cents = load_centroids(spark, path)
@@ -105,8 +125,10 @@ def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
                      probed.select("bucket").distinct().collect())
     vectors = (spark.read.parquet(f"{path}/vectors")
                .filter(F.col("bucket").isin(buckets)))
-    cand = (vectors.join(F.broadcast(probed), "bucket")
-            .filter(F.col("vec_id") != F.col("q_id"))
+    cand = vectors.join(F.broadcast(probed), "bucket")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("q_id"))
+    cand = (cand
             .select("q_id", "vec_id",
                     (_dot(F.col("v"), F.col("qv"))
                      / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
@@ -119,21 +141,74 @@ def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
                     (F.floor(F.col("cos") * 1e6) / 1e6).alias("cosine")))
 
 
+def compact_index(spark: SparkSession, path: str, *,
+                  max_files_per_bucket: int = 4) -> dict:
+    """Rewrite FRAGMENTED inverted lists into one file each — the
+    FAISS add()/periodic-rebuild discipline applied to the lakehouse
+    index. A long-running ingest stream appends one file set per batch
+    per bucket; left alone, the per-probe read advantage erodes as each
+    bucket directory accumulates small files (listing + per-file open
+    cost, not bytes). Compaction is SELECTIVE and partition-pruned:
+
+      1. one bounded driver-side listing of the top-level bucket dirs,
+         counting data files per bucket;
+      2. buckets over ``max_files_per_bucket`` are read back (basePath
+         + only those directories), hash-repartitioned on bucket (each
+         bucket lands wholly in one task → one output file), and
+         rewritten via dynamic partition overwrite — untouched buckets
+         keep their files byte-identical.
+
+    Search-equality across a compaction is pinned in
+    tests/test_ivf_index.py; the bytes/files-read recovery after 20
+    streamed appends is measured in ivf_index_study.tsv. Returns
+    {compacted_buckets, files_before, files_after}."""
+    from myhadoop_spark.fsutil import count_data_files, list_partition_dirs
+
+    dirs = list_partition_dirs(spark, f"{path}/vectors", "bucket")
+    frag = [(v, u) for v, u in dirs
+            if count_data_files(spark, [u]) > max_files_per_bucket]
+    if not frag:
+        return {"compacted_buckets": 0, "files_before": 0,
+                "files_after": 0}
+    uris = [u for _, u in frag]
+    before = count_data_files(spark, uris)
+    df = (spark.read.option("basePath", f"{path}/vectors")
+          .parquet(*uris))
+    (df.repartition(len(frag), "bucket")
+     .write.partitionBy("bucket")
+     .option("partitionOverwriteMode", "dynamic")
+     .option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
+     .mode("overwrite").parquet(f"{path}/vectors"))
+    after = count_data_files(spark, uris)
+    return {"compacted_buckets": len(frag), "files_before": before,
+            "files_after": after}
+
+
 def start_index_ingest_stream(stream_emb: DataFrame, *, path: str,
                               checkpoint: str, vec_col: str = "v",
-                              id_col: str = "vec_id"):
+                              id_col: str = "vec_id",
+                              compact_every: int | None = None,
+                              max_files_per_bucket: int = 4):
     """Streaming face: each micro-batch of new embeddings is assigned
     under the stored centroids and appended to its bucket partitions.
     Requires a built index (centroids present). Batch replay appends
     duplicate rows for the replayed batch only — dedupe on vec_id at
     read time if the source is at-least-once (the search path's
     distinct() already collapses duplicate (q_id, vec_id) candidates,
-    so results are replay-stable)."""
+    so results are replay-stable).
+
+    ``compact_every=N`` runs compact_index after every N batches so a
+    long-running ingest can't fragment the inverted lists unboundedly
+    (compaction rewrites whole bucket partitions, which also collapses
+    any replay-duplicated rows into single files — results unchanged)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         append_to_index(batch, path, vec_col=vec_col, id_col=id_col)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_index(batch.sparkSession, path,
+                          max_files_per_bucket=max_files_per_bucket)
 
     return (stream_emb.writeStream
             .foreachBatch(_process)

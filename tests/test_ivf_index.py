@@ -88,6 +88,76 @@ def test_append_equals_one_shot_build(spark, tmp_path):
     assert got == want
 
 
+def test_compaction_preserves_search(spark, tmp_path):
+    """Repeated appends fragment the inverted lists; compact_index must
+    rewrite fragmented buckets to one file each with search results
+    EXACTLY unchanged, and leave unfragmented buckets' files alone."""
+    from myhadoop_spark.fsutil import count_data_files, list_partition_dirs
+    from myhadoop_spark.operators.ivf_index import compact_index
+
+    emb = _emb(spark).localCheckpoint()
+    path = str(tmp_path / "idx")
+    build_index(emb.filter(F.col("vec_id") % 6 == 0), path, k=K)
+    for r in range(1, 6):  # five append rounds → ≥6 file sets/bucket
+        append_to_index(emb.filter(F.col("vec_id") % 6 == r), path)
+
+    dirs = [u for _, u in
+            list_partition_dirs(spark, f"{path}/vectors", "bucket")]
+    frag_files = count_data_files(spark, dirs)
+    assert frag_files > len(dirs) * 4  # genuinely fragmented
+
+    q = _queries(emb)
+    before = _res(search_index(spark, path, q, top_k=TOP_K))
+    stats = compact_index(spark, path, max_files_per_bucket=4)
+    assert stats["compacted_buckets"] >= 1
+    assert stats["files_after"] == stats["compacted_buckets"]
+    assert count_data_files(spark, dirs) < frag_files
+    after = _res(search_index(spark, path, q, top_k=TOP_K))
+    assert after == before and after
+
+    # idempotent: a second pass finds nothing to do
+    assert compact_index(spark, path,
+                         max_files_per_bucket=4)["compacted_buckets"] == 0
+
+
+def test_stream_ingest_auto_compacts(spark, tmp_path):
+    """compact_every=N in the stream face keeps per-bucket file counts
+    bounded across many micro-batches, with search equal to the
+    in-memory reference."""
+    from myhadoop_spark.fsutil import count_data_files, list_partition_dirs
+
+    emb = _emb(spark).localCheckpoint()
+    path = str(tmp_path / "idx")
+    cents = build_index(emb.filter(F.col("vec_id") % 8 == 0), path, k=K)
+
+    rest = emb.filter(F.col("vec_id") % 8 != 0).localCheckpoint()
+    src = str(tmp_path / "src")
+    rest.repartition(7).write.parquet(src)
+    stream = (spark.readStream.schema("vec_id long, v array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_index_ingest_stream(stream, path=path,
+                                  checkpoint=str(tmp_path / "ckpt"),
+                                  compact_every=3,
+                                  max_files_per_bucket=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+
+    per_bucket = [count_data_files(spark, [u]) for _, u in
+                  list_partition_dirs(spark, f"{path}/vectors", "bucket")]
+    # 7 append batches with compaction every 3 → no bucket can be left
+    # holding one file per batch
+    assert max(per_bucket) <= 4, per_bucket
+
+    queries = _queries(emb)
+    want = _res(ivf_topk(emb.withColumn("nrm", F.sqrt(_dot("v", "v"))),
+                         queries, cents, top_k=TOP_K))
+    got = _res(search_index(spark, path, queries, top_k=TOP_K))
+    assert got == want
+
+
 def test_streaming_ingest_matches_batch_append(spark, tmp_path):
     """Micro-batched appends through the stream face must leave an
     index whose search equals the batch-appended one."""
