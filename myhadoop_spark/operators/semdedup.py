@@ -36,18 +36,22 @@ re-creates the quadratic blow-up the operator exists to avoid):
     vectors costs n window rows instead of n² join rows, a case NO
     re-clustering can split (identical vectors argmax the same
     centroid at every level).
-  * **Second-level k-means sub-scope, opt-in via max_cluster_size**:
-    clusters whose REPRESENTATIVE count exceeds the cap get a second
-    sampled-k-means assignment (one shared k_sub-centroid set trained
-    on the oversized subset — hierarchical IVF), and the pair join
-    scopes on (cluster, sub) instead of (cluster). This bounds
-    sum(scope²) by cap·|corpus| at the declared cost of missing
-    cross-sub pairs — near-identical vectors co-locate under any
-    centroid set, so recall on real near-dups survives
-    (tests/test_semdedup.py plants a 90 %-mass cluster and checks
-    both the bound and the recall). The size probe is one
-    k_clusters-row aggregate; default None keeps single-level
-    semantics.
+  * **Second-level k-means sub-scope, ON BY DEFAULT via
+    max_cluster_size="auto"** (r6 — the 100 TB path must not depend on
+    the caller knowing the knob): clusters whose REPRESENTATIVE count
+    exceeds the cap get a second sampled-k-means assignment (one
+    shared k_sub-centroid set trained on the oversized subset —
+    hierarchical IVF), and the pair join scopes on (cluster, sub)
+    instead of (cluster). This bounds sum(scope²) by cap·|corpus| at
+    the declared cost of missing cross-sub pairs — near-identical
+    vectors co-locate under any centroid set, so recall on real
+    near-dups survives (tests/test_semdedup.py plants a 90 %-mass
+    cluster and checks both the bound and the recall). The size probe
+    is one k_clusters-row aggregate. The auto cap is
+    max(512, ceil(1.5·n_reps/k_clusters)) — 1.5x a cluster's fair
+    share arms the guard; the 512 floor keeps small corpora (where
+    the quadratic term is harmless) on exact single-level semantics.
+    Pass an int to set the cap directly, or None to disable.
 
 Reference analog: none — §2.3 extension surface (SURVEY.md §2.3),
 complementing embed_neardup (sign-LSH near-dup pairs) with
@@ -55,6 +59,8 @@ representative-keeping dedup semantics.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,12 +77,26 @@ TAU = 0.35  # cosine threshold: pairs at or above are semantic dups.
 # ~0.51 — same calibration note as simsearch.ND_THRESHOLD); real
 # embedding corpora sit near the paper's 0.9+.
 K_CLUSTERS = 16
+AUTO_CAP_FACTOR = 1.5  # "auto" arms at 1.5x a cluster's fair share:
+#                        the quadratic term a cluster of size c·n/k
+#                        contributes is c² balanced shares, and the
+#                        skew rehearsal showed real skew can land at
+#                        ~1.9x fair share (macro k-means splits a 90%
+#                        planted mass) — a 2x factor never armed there
+AUTO_CAP_FLOOR = 512   # below this, single-level quadratic is harmless
+K_SUB_FLOOR = 16       # a derived sub-split below this under-splits:
+#                        ceil(4·biggest/cap) is small exactly when the
+#                        cap is large (the auto case), but the skewed
+#                        mass may hold MANY blobs (r5 rehearsal: 4
+#                        sub-centroids over 8 planted blobs recovered
+#                        nothing; 16 finds all 8, measured sum(scope²)
+#                        6.5M vs 13.8M unsplit on the skew fixture)
 
 
 def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
                    iterations: int = 5, tau: float = TAU,
                    vec_col: str = "v", id_col: str = "vec_id",
-                   max_cluster_size: int | None = None,
+                   max_cluster_size: int | str | None = "auto",
                    k_sub: int | None = None) -> DataFrame:
     """(vec_id, cluster, csim, keep): cluster assignment, cosine to the
     assigned centroid, and whether the vector survives dedup. ``emb``
@@ -85,11 +105,17 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
     ``max_cluster_size`` arms the oversized-cluster guard: clusters
     with more than that many distinct-vector representatives are
     sub-scoped by a second k-means level so the intra-scope pair join
-    stays bounded; ``k_sub`` defaults to ceil(largest oversized
-    cluster / cap), capped at 64, so the sub-centroid count tracks the
-    skew mass instead of letting scopes regrow with n. The
-    exact-duplicate collapse is always on (output-preserving for
-    tau ≤ 1 — see module docstring).
+    stays bounded. The default "auto" derives the cap as
+    max(512, ceil(1.5·n_reps/k_clusters)) from the size probe itself —
+    no knob needed for the skew case to be survivable; an int sets the
+    cap directly; None disables the guard (exact single-level
+    semantics at any size). ``k_sub`` defaults to ceil(4 × largest
+    oversized cluster / cap) — the INTENTIONAL 4x oversplit: k-means
+    sub-splits are unbalanced, so splitting at exactly mass/cap pieces
+    routinely leaves scopes above the cap — capped at 64, so the
+    sub-centroid count tracks the skew mass instead of letting scopes
+    regrow with n. The exact-duplicate collapse is always on
+    (output-preserving for tau ≤ 1 — see module docstring).
     """
     cents = train_centroids(emb, vec_col=vec_col, id_col=id_col,
                             k=k_clusters, iterations=iterations)
@@ -139,8 +165,13 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
         sizes = {r["cluster"]: r["n"] for r in
                  (reps.groupBy("cluster")
                   .agg(F.count(F.lit(1)).alias("n")).collect())}
-        over = sorted(c for c, n in sizes.items()
-                      if n > max_cluster_size)
+        if max_cluster_size == "auto":
+            n_reps = sum(sizes.values())
+            cap = max(AUTO_CAP_FLOOR,
+                      math.ceil(AUTO_CAP_FACTOR * n_reps / k_clusters))
+        else:
+            cap = max_cluster_size
+        over = sorted(c for c, n in sizes.items() if n > cap)
         if over:
             if k_sub is None:
                 # 4x the mass ratio: k-means sub-splits are not
@@ -150,7 +181,8 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
                 # recovered nothing); oversplitting is cheap — each
                 # oversized-cluster member pays k_sub extra dot folds
                 biggest = max(sizes[c] for c in over)
-                k_sub = min(64, max(2, -(-4 * biggest // max_cluster_size)))
+                k_sub = min(64, max(K_SUB_FLOOR,
+                                    -(-4 * biggest // cap)))
             sub_cents = train_centroids(
                 reps.filter(F.col("cluster").isin(over)),
                 vec_col=vec_col, id_col=id_col, k=k_sub,

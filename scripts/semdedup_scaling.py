@@ -126,12 +126,16 @@ def main() -> None:
     for n in (4_000, 8_000):
         vecs = skewed_vectors(spark, n).localCheckpoint()
         for cap, tag in ((None, "semdedup_skew_unguarded"),
-                         (1_000, "semdedup_skew_guarded")):
+                         (1_000, "semdedup_skew_guarded"),
+                         # r6: DEFAULT call, no knob — the auto cap
+                         # (max(512, 2n/k)) must arm by itself
+                         ("auto", "semdedup_skew_auto")):
             t0 = time.time()
             dropped = (semantic_dedup(vecs, k_clusters=4, tau=0.95,
                                       max_cluster_size=cap)
                        .filter("NOT keep").count())
-            record(tag, n, cap or 0, time.time() - t0, dropped)
+            record(tag, n, 0 if cap in (None, "auto") else cap,
+                   time.time() - t0, dropped)
 
     # classifier: synthetic docs; label = token-count heuristic
     for n in counts:

@@ -208,18 +208,78 @@ def test_oversized_cluster_guard_matches_two_level_model(spark):
 
 
 def test_guard_off_is_single_level(spark):
-    """Without max_cluster_size the output must equal the original
-    single-level semantics on the skewed fixture too (the collapse is
+    """Below the 512-rep auto floor the default stays exact
+    single-level — and max_cluster_size=None pins single-level
+    semantics explicitly at ANY size (the collapse is
     output-preserving)."""
     emb, _, _ = _guard_fixture(spark)
     vecs = {r.vec_id: list(r.v) for r in emb.collect()}
     cents = train_centroids(emb, k=4)
     cluster, dropped = _model(vecs, cents, TAU)
-    out = {r.vec_id: r for r in
-           semantic_dedup(emb, k_clusters=4).collect()}
-    for i in vecs:
-        assert out[i].cluster == cluster[i], i
-        assert out[i].keep == (i not in dropped), i
+    for kwargs in ({}, {"max_cluster_size": None}):
+        out = {r.vec_id: r for r in
+               semantic_dedup(emb, k_clusters=4, **kwargs).collect()}
+        for i in vecs:
+            assert out[i].cluster == cluster[i], i
+            assert out[i].keep == (i not in dropped), i
+
+
+def test_auto_cap_arms_without_knob(spark):
+    """Past the 512-rep floor, the DEFAULT call must arm the guard on a
+    planted 90%-mass cluster by itself (the 100 TB path can't depend on
+    the caller knowing the knob) and equal the explicitly-capped path
+    — which test_oversized_cluster_guard_matches_two_level_model pins
+    against the pure-Python two-level model."""
+    from myhadoop_spark.operators.semdedup import (
+        AUTO_CAP_FACTOR,
+        AUTO_CAP_FLOOR,
+    )
+
+    K = 4
+    # the _guard_fixture shape scaled past the floor: 1080 hot vectors
+    # in one macro region (four sub-blobs), 120 cold, exact dups
+    rows, hot = [], []
+    vid = 0
+    for i in range(270):
+        for j in range(4):
+            v = [0.0] * 8
+            v[0], v[1 + j], v[5] = 10.0, 3.0, 0.001 * i
+            rows.append((vid, v))
+            hot.append(vid)
+            vid += 1
+    for i in range(120):
+        v = [0.0] * 8
+        v[6], v[7] = 5.0 + i, -3.0 * (i % 7)
+        rows.append((vid, v))
+        vid += 1
+    dups = [(5000 + k, list(rows[h][1])) for k, h in
+            enumerate(hot[::10])]
+    emb = spark.createDataFrame(rows + dups,
+                                "vec_id long, v array<double>")
+
+    auto = {r.vec_id: (r.cluster, r.keep) for r in
+            semantic_dedup(emb, k_clusters=K, tau=0.95).collect()}
+
+    # reproduce the auto derivation from the operator's own outputs:
+    # reps = min-id per identical (cluster, vector) group
+    vecs = {i: tuple(v) for i, v in rows + dups}
+    groups: dict[tuple, list[int]] = {}
+    for i, (c, _) in auto.items():
+        groups.setdefault((c, vecs[i]), []).append(i)
+    from collections import Counter
+    cluster_sizes = Counter(auto[min(g)][0] for g in groups.values())
+    n_reps = len(groups)
+    cap = max(AUTO_CAP_FLOOR, -(-AUTO_CAP_FACTOR * n_reps // K))
+    assert max(cluster_sizes.values()) > cap >= AUTO_CAP_FLOOR, \
+        (cluster_sizes, cap)  # the fixture genuinely arms the guard
+
+    explicit = {r.vec_id: (r.cluster, r.keep) for r in
+                semantic_dedup(emb, k_clusters=K, tau=0.95,
+                               max_cluster_size=cap).collect()}
+    assert auto == explicit
+    # and the guard changed work shape vs single-level is already
+    # covered by the scale rehearsal; here pin that dups still die
+    assert all(not auto[i][1] for i, _ in dups)
 
 
 def test_plan_is_cluster_banded(spark):
