@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
+from myhadoop_spark.operators.bloom import bloom_probe, bloom_probe_sharded
 from myhadoop_spark.operators.classifier import (
     score_documents,
     tokens,
@@ -65,17 +66,39 @@ def _quality_label(docs: DataFrame) -> DataFrame:
 
 
 def curate(spark: SparkSession, sf_dir: str, out_path: str,
-           *, train_frac_mod: int = 2, n_shards: int = 8) -> dict:
+           *, train_frac_mod: int = 2, n_shards: int = 8,
+           wide_hash: bool = False,
+           seen_filter: DataFrame | None = None,
+           n_filter_shards: int = 1) -> dict:
     """Run the full flow; returns {stage: row_count} + the export
     manifest under 'manifest'. Deterministic end to end: hash-based
-    classifier split, content-hash shards, id-ordered dedup keeps."""
+    classifier split, content-hash shards, id-ordered dedup keeps.
+
+    Scale knobs (r6 — the 100 TB parameter surface, each verified
+    output-equal to the default path in tests/test_pipeline2.py):
+
+    * ``wide_hash=True`` threads the ~62-bit window-hash banding into
+      BOTH substring stages (dedup + decontamination surgery) — the
+      posture for corpora where 31-bit band collisions would inflate
+      the verify joins (operators/substring.py wide_hash);
+    * ``seen_filter`` arms an incremental-ingest stage: a Bloom word
+      table (operators/bloom.py, built over SCRUBBED text with the
+      default m_bits/k) drops documents already absorbed by a prior
+      snapshot right after the scrub — the batch twin of the
+      streaming bloom_ingest face, so re-crawled corpora don't pay
+      classification/dedup for content the corpus already holds;
+    * ``n_filter_shards > 1`` probes that filter through the
+      range-sharded path (one broadcast alive at a time, verdicts
+      AND-combined, bit-identical) for filters beyond one broadcast.
+    """
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
     stats = {"raw": raw.count()}
     frontiers: list[DataFrame] = []
     try:
         return _curate(spark, raw, stats, out_path, train_frac_mod,
-                       n_shards, frontiers)
+                       n_shards, frontiers, wide_hash, seen_filter,
+                       n_filter_shards)
     finally:
         # release the cached frontiers on every exit path — a failed
         # stage must not leave corpus-sized blocks pinned for the rest
@@ -86,7 +109,8 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
 
 def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             out_path: str, train_frac_mod: int, n_shards: int,
-            frontiers: list[DataFrame]) -> dict:
+            frontiers: list[DataFrame], wide_hash: bool,
+            seen_filter: DataFrame | None, n_filter_shards: int) -> dict:
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         frontiers.append(df)
@@ -96,7 +120,28 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     #    is referenced ~7x downstream (training's two aggregations,
     #    scoring's two passes, the kept join, the bench side twice) —
     #    caching it makes the source scan once instead of per-reference
-    clean = _persist(raw.withColumn("text", scrub_text("text")))
+    scrubbed = raw.withColumn("text", scrub_text("text"))
+
+    # 1b. optional seen-corpus gate BEFORE the cached frontier fills:
+    #     documents whose scrubbed text the prior-snapshot Bloom filter
+    #     recognizes never enter the pipeline (no false negatives — a
+    #     genuinely new doc can only be lost at the filter's sized-for
+    #     false-positive rate, the documented Bloom trade)
+    if seen_filter is not None:
+        if n_filter_shards > 1:
+            hits = bloom_probe_sharded(scrubbed.select("doc_id", "text"),
+                                       "text", seen_filter,
+                                       n_shards=n_filter_shards,
+                                       id_cols=["doc_id"])
+        else:
+            hits = bloom_probe(scrubbed.select("doc_id", "text"),
+                               "text", seen_filter, id_cols=["doc_id"])
+        scrubbed = scrubbed.join(
+            hits.filter(~F.col("bloom_hit")).select("doc_id"), "doc_id")
+
+    clean = _persist(scrubbed)
+    if seen_filter is not None:
+        stats["after_seen_filter"] = clean.count()
 
     # 2. classifier-filtered quality: train on the deterministic even
     #    split of the scrubbed corpus, keep pred-positive docs.
@@ -114,7 +159,8 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     # 3. exact-substring dedup: drop the LARGER doc_id of each verified
     #    pair (transitively safe: every dropped doc has a kept or
     #    earlier-dropped twin with the shared run)
-    drop = (substring_pairs(kept.select("doc_id", "text"))
+    drop = (substring_pairs(kept.select("doc_id", "text"),
+                            wide_hash=wide_hash)
             .select(F.col("doc_b").alias("doc_id")).distinct())
     deduped = _persist(kept.join(drop, "doc_id", "left_anti"))
     stats["after_dedup"] = deduped.count()
@@ -134,7 +180,7 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
         bench,
         # passes=2 closes the seam case: cutting a middle run can butt
         # two fragments into a NEW verbatim benchmark run
-        passes=2))
+        passes=2, wide_hash=wide_hash))
     stats["tokens_excised"] = (
         surgically.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
     final = (surgically.filter(F.length("text") > 0)

@@ -58,14 +58,30 @@ def load_filter(spark: SparkSession, path: str) -> DataFrame:
     os.path.exists probe: the filter table may live on any Hadoop
     filesystem (hdfs://, s3a://), where a local path check is always
     False and would silently reset dedup history, re-emitting every
-    previously-seen document. PATH_NOT_FOUND is the one expected
-    first-start condition; anything else propagates."""
+    previously-seen document. A missing path is the one expected
+    first-start condition; anything else propagates. The condition is
+    matched by error CLASS when the runtime exposes it (Spark 3.4+'s
+    getErrorClass / 4.x getCondition), with both known message
+    phrasings as the fallback — message-only matching broke across
+    Spark versions that phrase the error differently."""
     try:
         # file listing happens here (InMemoryFileIndex), so a missing
         # path raises NOW, even with the explicit schema
         return spark.read.schema(_FILTER_SCHEMA).parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        cls = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if callable(fn):
+                try:
+                    cls = fn()
+                except Exception:
+                    cls = None
+                if cls:
+                    break
+        if (cls == "PATH_NOT_FOUND"
+                or "PATH_NOT_FOUND" in str(e)
+                or "Path does not exist" in str(e)):
             return spark.createDataFrame([], _FILTER_SCHEMA)
         raise
 

@@ -35,6 +35,51 @@ def test_pipeline_is_deterministic(spark, tmp_path):
     assert s1 == s2
 
 
+def test_scale_knobs_equal_default_path(spark, tmp_path):
+    """The 100 TB parameter surface must not change results: wide_hash
+    banding, a (vacuous) seen-filter, and a 4-way sharded probe produce
+    the same funnel and a bit-identical export as the default run."""
+    from myhadoop_spark.operators.bloom import bloom_build
+
+    base = curate(spark, SF_SMOKE, str(tmp_path / "d"))
+    empty_filter = bloom_build(
+        spark.createDataFrame([], "text string"), "text")
+    knobs = curate(spark, SF_SMOKE, str(tmp_path / "k"),
+                   wide_hash=True, seen_filter=empty_filter,
+                   n_filter_shards=4)
+    assert knobs.pop("after_seen_filter") == base["raw"]
+    assert knobs == base
+    a = spark.read.parquet(str(tmp_path / "d"))
+    b = spark.read.parquet(str(tmp_path / "k"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_seen_filter_drops_prior_snapshot(spark, tmp_path):
+    """A filter built from a prior snapshot's SCRUBBED text must keep
+    every one of those documents out of the pipeline (no false
+    negatives) while passing the overwhelming share of new ones."""
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.operators.bloom import bloom_build
+    from myhadoop_spark.operators.scrub import scrub_text
+
+    docs = load(spark, SF_SMOKE, "documents")
+    prior = (docs.filter(F.col("doc_id") % 5 == 0)
+             .withColumn("text", scrub_text("text")))
+    seen = bloom_build(prior.select("text"), "text").localCheckpoint()
+    stats = curate(spark, SF_SMOKE, str(tmp_path / "inc"),
+                   seen_filter=seen, n_filter_shards=2)
+    exported = spark.read.parquet(str(tmp_path / "inc"))
+    # Bloom has no false negatives: no prior doc re-enters (exact text
+    # duplicates of a prior doc under another id are also legitimately
+    # dropped, so assert on the prior ids themselves)
+    assert exported.filter(F.col("doc_id") % 5 == 0).count() == 0
+    n_prior = docs.filter(F.col("doc_id") % 5 == 0).count()
+    survivors = stats["after_seen_filter"]
+    # ≥95% of genuinely-new docs pass (sized false-positive rate)
+    assert survivors >= (stats["raw"] - n_prior) * 0.95
+    assert stats["manifest"]["total_rows"] == stats["after_decontam"]
+
+
 def test_pipeline_executes_each_stage_once(spark, tmp_path, monkeypatch):
     """The funnel counts are separate actions; without the persisted
     frontiers the whole lineage (classifier training included)
