@@ -22,9 +22,21 @@ vocabulary), one per-doc window for the rarity ranking (shuffle ∝
 total grams, the same cardinality any gram explode pays), then an
 equi-join on prefix grams — banded by construction, never all-pairs.
 The size-ratio filter composes on top for free (it rides the same
-candidate rows). ngram_jaccard keeps size-ratio as its default
-generator because the GATE fixture is uniform; on a real corpus the
-prefix filter is the better first layer.
+candidate rows).
+
+GENERATOR AUTO-SELECTION (r6): which generator wins is a property of
+the corpus, so ``choose_generator`` probes it instead of trusting a
+default. The probe statistic is the mean over documents of (document
+frequency of the doc's RAREST gram) / n_docs — the direct predictor
+of prefix selectivity: a doc's single rarest gram fans its prefix
+join out to ~p·n candidate partners, so when p is large even perfect
+prefixes don't discriminate. Measured (scale-stable across 2k/5k
+docs): Zipfian corpus 0.014, uniform synthetic 0.042, gate fixture
+0.058 — threshold 0.025 picks the prefix filter exactly where the r5
+study measured it winning (47 % pruning, 5.5× wall) and size-ratio
+where prefix was a wash. Both generators are exact-recall at τ, so
+the selection NEVER changes output — only cost (verified identical
+on both corpus shapes, tests/test_ppjoin.py + ppjoin_study.tsv).
 
 Reference analog: none — §2.3 extension surface (SURVEY.md §2.3).
 """
@@ -34,13 +46,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# choose the prefix generator when the average rarest-gram document
+# frequency is below this fraction of the corpus (see module docstring
+# for the measured calibration points)
+PREFIX_RARITY_THRESHOLD = 0.025
+
 
 def prefix_candidates(grams: DataFrame, tau: float, *,
-                      apply_size_filter: bool = True) -> DataFrame:
+                      apply_size_filter: bool = True,
+                      block_col: str | None = None) -> DataFrame:
     """(doc1, doc2) candidate pairs from the PPJoin prefix join.
     ``grams`` needs (doc_id, grams: array) with DISTINCT grams per doc
-    (the Jaccard-set convention). Exact recall for Jaccard ≥ tau."""
-    ex = grams.select("doc_id", F.size("grams").alias("n"),
+    (the Jaccard-set convention). Exact recall for Jaccard ≥ tau.
+    ``block_col`` restricts pairs to the same block (the ngram_jaccard
+    source-blocking convention) by joining on (gram, block)."""
+    extra = [block_col] if block_col else []
+    ex = grams.select("doc_id", *extra, F.size("grams").alias("n"),
                       F.explode("grams").alias("gram"))
     freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
@@ -49,18 +70,57 @@ def prefix_candidates(grams: DataFrame, tau: float, *,
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= F.col("n")
                     - F.ceil(F.lit(tau) * F.col("n")) + 1)
-            .select("doc_id", "n", "gram"))
+            .select("doc_id", *extra, "n", "gram"))
     a = pref.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"),
-                    "gram")
+                    *extra, "gram")
     b = pref.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"),
-                    "gram")
+                    *extra, "gram")
     cond = F.col("doc1") < F.col("doc2")
     if apply_size_filter:
         cond = cond & ((F.least("n1", "n2").cast("double")
                         / F.greatest("n1", "n2").cast("double"))
                        >= tau)
-    return (a.join(b, "gram").filter(cond)
+    return (a.join(b, ["gram", *extra]).filter(cond)
             .select("doc1", "doc2").distinct())
+
+
+def size_ratio_candidates(grams: DataFrame, tau: float) -> DataFrame:
+    """The size-only generator: all pairs with min/max gram-count ratio
+    ≥ tau (a NECESSARY condition for Jaccard ≥ tau, so exact recall).
+    Joins only (doc_id, int) rows — cheap per candidate, but candidate
+    count is blind to content."""
+    s = grams.select("doc_id", F.size("grams").alias("n"))
+    a = s.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    b = s.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    ratio = (F.least("n1", "n2").cast("double")
+             / F.greatest("n1", "n2").cast("double"))
+    return (a.join(b, F.col("doc1") < F.col("doc2"))
+            .filter(ratio >= tau).select("doc1", "doc2"))
+
+
+def rarest_gram_rarity(grams: DataFrame) -> float:
+    """The selection statistic: mean over documents of df(rarest gram)
+    / n_docs. Two bounded aggregations (the df table is the same one
+    the prefix path builds anyway); returns 1.0 for an empty corpus so
+    the selector degenerates to the cheap size-ratio path."""
+    n_docs = grams.count()
+    if n_docs == 0:
+        return 1.0
+    ex = grams.select("doc_id", F.explode("grams").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    avg_min = (ex.join(freq, "gram")
+               .groupBy("doc_id").agg(F.min("df").alias("mdf"))
+               .agg(F.avg("mdf")).first()[0])
+    return float(avg_min) / n_docs
+
+
+def choose_generator(grams: DataFrame, *,
+                     threshold: float = PREFIX_RARITY_THRESHOLD) -> str:
+    """'ppjoin_prefix' when rare grams are genuinely rare (heavy-head
+    corpora), else 'size_ratio'. Both are exact-recall — the choice
+    affects cost only."""
+    return ("ppjoin_prefix" if rarest_gram_rarity(grams) < threshold
+            else "size_ratio")
 
 
 def jaccard_pairs(grams: DataFrame, tau: float) -> DataFrame:

@@ -351,15 +351,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
     The blocked pair join itself moves only (doc_id, size) columns.
 
-    CANDIDATE-GENERATOR CHOICE (r2 negative result, RESOLVED r5): a
-    PPJoin-style prefix filter (grams ordered by global frequency;
-    candidates = pairs sharing ≥1 of their |x|−⌈τ|x|⌉+1 rarest grams —
-    exact recall) pruned only 0.5% on THIS uniform fixture (316,217 vs
-    317,870; +4 s overhead) because uniformly-drawn docs share even
-    their rarest 3-grams — but on the r5 Zipfian corpus it prunes 47%
-    of candidates at identical verified output (ppjoin_study.tsv). The
-    operator ships as operators/ppjoin.py for realistic corpora; this
-    gate query keeps size-ratio because the fixture is uniform.
+    CANDIDATE-GENERATOR CHOICE (r2 negative result, RESOLVED r5;
+    AUTO-SELECTED r6): a PPJoin-style prefix filter (grams ordered by
+    global frequency; candidates = pairs sharing ≥1 of their
+    |x|−⌈τ|x|⌉+1 rarest grams — exact recall) pruned only 0.5% on THIS
+    uniform fixture because uniformly-drawn docs share even their
+    rarest 3-grams — but on the r5 Zipfian corpus it prunes 47% of
+    candidates at identical verified output (ppjoin_study.tsv). The
+    query now PROBES the corpus (operators/ppjoin.choose_generator:
+    mean rarest-gram document frequency, measured 0.058 on this
+    fixture vs 0.014 on the Zipf corpus, threshold 0.025) and routes
+    to the prefix generator on heavy-head corpora, the salted
+    size-ratio join otherwise. Both generators are exact-recall at τ,
+    so the choice never changes output — pinned identical on both
+    corpus shapes in tests/test_ppjoin.py.
 
     r2 parallelism fixes (23 s → 2.6 s warm at sf0.1): (a) the gram build is
     repartitioned wide and materialized once (single-split fixture file
@@ -384,25 +389,35 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + ascii(substring(text, i + 2, 1)))"
         ))).alias("grams"),
     ).localCheckpoint()
-    n_buckets = 16
-    sizes = grams.select("doc_id", "source", F.size("grams").alias("n"))
-    buckets = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket"))
-    a = (sizes.select(F.col("doc_id").alias("doc1"), "source",
-                      F.col("n").alias("n1"))
-         .crossJoin(F.broadcast(buckets)))
-    b = sizes.select(F.col("doc_id").alias("doc2"),
-                     F.col("source").alias("source2"), F.col("n").alias("n2"),
-                     F.pmod(F.hash("doc_id"), F.lit(n_buckets)).alias("bucket2"))
-    ratio = (F.least("n1", "n2").cast("double")
-             / F.greatest("n1", "n2").cast("double"))
-    cand = (
-        a.join(b, (F.col("source") == F.col("source2"))
-               & (F.col("bucket") == F.col("bucket2"))
-               & (F.col("doc1") < F.col("doc2")))
-        .filter(ratio >= 0.75)
-        .select("doc1", "doc2")
+    from myhadoop_spark.operators.ppjoin import (
+        choose_generator,
+        prefix_candidates,
     )
+
+    if choose_generator(grams) == "ppjoin_prefix":
+        cand = prefix_candidates(grams, 0.75, block_col="source")
+    else:
+        n_buckets = 16
+        sizes = grams.select("doc_id", "source",
+                             F.size("grams").alias("n"))
+        buckets = spark.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket"))
+        a = (sizes.select(F.col("doc_id").alias("doc1"), "source",
+                          F.col("n").alias("n1"))
+             .crossJoin(F.broadcast(buckets)))
+        b = sizes.select(
+            F.col("doc_id").alias("doc2"),
+            F.col("source").alias("source2"), F.col("n").alias("n2"),
+            F.pmod(F.hash("doc_id"), F.lit(n_buckets)).alias("bucket2"))
+        ratio = (F.least("n1", "n2").cast("double")
+                 / F.greatest("n1", "n2").cast("double"))
+        cand = (
+            a.join(b, (F.col("source") == F.col("source2"))
+                   & (F.col("bucket") == F.col("bucket2"))
+                   & (F.col("doc1") < F.col("doc2")))
+            .filter(ratio >= 0.75)
+            .select("doc1", "doc2")
+        )
     g1 = grams.select(F.col("doc_id").alias("doc1"), F.col("grams").alias("g1"))
     g2 = grams.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")

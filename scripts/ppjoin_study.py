@@ -92,10 +92,24 @@ def main() -> None:
     if not out.exists():
         out.write_text("engine\tcorpus\tn_docs\tgenerator\twall_s\t"
                        "candidates\tverified_pairs\n")
+    from myhadoop_spark.operators.ppjoin import (
+        choose_generator,
+        rarest_gram_rarity,
+    )
+
     for zipf in (False, True):
         corpus = "zipf" if zipf else "uniform"
         for n in counts:
             grams = gram_table(spark, n, zipf)
+            # r6: record the auto-selector's verdict for this corpus —
+            # the choice must match the measured-best generator below
+            choice = choose_generator(grams)
+            rarity = rarest_gram_rarity(grams)
+            line = (f"myhadoop_spark\t{corpus}\t{n}\t"
+                    f"selector={choice}\t{rarity:.4f}\t0\t0\n")
+            with out.open("a") as f:
+                f.write(line)
+            print(line.strip())
             rows = {}
             for name, gen in (("size_ratio", size_candidates),
                               ("ppjoin_prefix", ppjoin_prefix)):
