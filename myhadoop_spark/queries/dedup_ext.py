@@ -172,24 +172,29 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_C, _CHUNK_V = 32, 8
 _CHUNK_STEP = _CHUNK_C - _CHUNK_V
 
-
-@register(
-    "chunk_docs",
-    oracle=f"""
+_CHUNK_CTE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     s AS (SELECT doc_id, toks, len(toks) AS n,
                  unnest(list_filter(
                      range(1, greatest(len(toks), 1) + 1, {_CHUNK_STEP}),
                      s -> len(toks) > 0
                           AND (s = 1 OR s + {_CHUNK_V} <= len(toks)))) AS st
-          FROM t)
-    SELECT doc_id,
-           CAST((st - 1) / {_CHUNK_STEP} AS BIGINT) AS chunk_id,
-           st AS start_token,
-           least(n - st + 1, {_CHUNK_C}) AS n_tokens,
-           array_to_string(list_slice(toks, st, st + {_CHUNK_C} - 1), ' ')
-             AS text
-    FROM s
+          FROM t),
+    c AS (SELECT doc_id,
+                 CAST((st - 1) / {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+                 st AS start_token,
+                 least(n - st + 1, {_CHUNK_C}) AS n_tokens,
+                 array_to_string(list_slice(toks, st, st + {_CHUNK_C} - 1),
+                                 ' ') AS text
+          FROM s)
+"""
+
+
+@register(
+    "chunk_docs",
+    oracle=f"""
+    {_CHUNK_CTE}
+    SELECT doc_id, chunk_id, start_token, n_tokens, text FROM c
     """,
     tags=("chunking", "extension"),
     gate=False,
@@ -203,3 +208,35 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load(spark, sf_dir, "documents").select("doc_id", "text"),
         chunk_tokens=_CHUNK_C, overlap=_CHUNK_V)
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    {_CHUNK_CTE}
+    SELECT doc_id, chunk_id, start_token, n_tokens, text
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY text ORDER BY doc_id, chunk_id) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+    tags=("chunking", "dedup", "extension"),
+    gate=False,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the pipeline2.curate_chunks dedup
+    stage as a standalone differential query: one representative (the
+    min (doc_id, chunk_id)) per distinct chunk text. Overlapping
+    windows make repeated boilerplate collapse at CHUNK granularity
+    even when whole documents differ. One hash shuffle on text; the
+    chunk build itself is the shuffle-free narrow projection."""
+    from pyspark.sql import Window
+
+    from myhadoop_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=_CHUNK_C, overlap=_CHUNK_V)
+    w = Window.partitionBy("text").orderBy("doc_id", "chunk_id")
+    return (chunks.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

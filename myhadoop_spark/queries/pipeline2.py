@@ -191,3 +191,80 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     stats["manifest"] = export_shards(final, out_path, key="doc_id",
                                       n_shards=n_shards)
     return stats
+
+
+def curate_chunks(spark: SparkSession, sf_dir: str, out_path: str, *,
+                  chunk_tokens: int = 32, overlap: int = 8,
+                  n_shards: int = 8) -> dict:
+    """Chunk-granular curation (r6) — the RAG-pipeline composition the
+    document-level flow can't express: dedup/decontam/export operate on
+    CHUNKS while every row keeps its document lineage (doc_id,
+    chunk_id, start_token), so an embedding index built downstream can
+    always cite back into the source document.
+
+        scrub PII (doc level, BEFORE chunking — a redaction must not
+        straddle a chunk boundary) → chunk_documents (deterministic
+        overlapping token windows, operators/chunking.py) → exact
+        chunk dedup (one representative per distinct chunk text — the
+        min (doc_id, chunk_id), boilerplate/overlap windows collapse
+        here) → chunk-level decontamination (DROP chunks sharing a
+        token-shingle with the benchmark split: at chunk granularity
+        dropping IS the surgery — the unit is already small) →
+        verifiable sharded export keyed by chunk_uid.
+
+    The dedup stage has a DuckDB differential twin (registered ungated
+    query ``chunk_dedup``, queries/dedup_ext.py); the funnel/export
+    contracts are pinned in tests/test_pipeline2.py. Scale shape:
+    chunking is a shuffle-free narrow projection; dedup shuffles on
+    text hash once; decontam joins against a broadcast bench shingle
+    set; export is the one partitionBy-shard shuffle."""
+    from pyspark.sql import Window
+
+    from myhadoop_spark.operators.chunking import chunk_documents
+    from myhadoop_spark.operators.decontam import contamination_pairs
+
+    raw = load(spark, sf_dir, "documents").select("doc_id", "text",
+                                                  "lang", "source")
+    stats = {"raw_docs": raw.count()}
+    frontiers: list[DataFrame] = []
+    try:
+        clean = raw.withColumn("text", scrub_text("text"))
+        chunks = (chunk_documents(clean.select("doc_id", "text"),
+                                  chunk_tokens=chunk_tokens,
+                                  overlap=overlap)
+                  .withColumn("chunk_uid",
+                              F.concat_ws(":", "doc_id", "chunk_id"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        frontiers.append(chunks)
+        stats["chunks"] = chunks.count()
+
+        # exact chunk dedup: min-(doc_id, chunk_id) representative per
+        # distinct chunk text (deterministic; one hash shuffle on text)
+        w = Window.partitionBy("text").orderBy("doc_id", "chunk_id")
+        deduped = (chunks.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        frontiers.append(deduped)
+        stats["after_chunk_dedup"] = deduped.count()
+
+        # chunk-level decontam: the bench split is DOCUMENT-level (the
+        # curation_gate convention, doc_id % 20 == 0 of the scrubbed
+        # corpus); any surviving chunk sharing a shingle with it drops.
+        # Chunks FROM bench documents are excluded from the export too.
+        bench = clean.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id", "text")
+        candidates = deduped.filter(F.col("doc_id") % 20 != 0)
+        hits = contamination_pairs(
+            candidates.select(F.col("chunk_uid").alias("doc_id"), "text"),
+            bench).select(F.col("corpus_id").alias("chunk_uid")).distinct()
+        final = (candidates.join(hits, "chunk_uid", "left_anti")
+                 .join(raw.select("doc_id", "lang", "source"), "doc_id"))
+        stats["after_decontam"] = final.count()
+
+        stats["manifest"] = export_shards(final, out_path,
+                                          key="chunk_uid",
+                                          n_shards=n_shards)
+        return stats
+    finally:
+        for frontier in frontiers:
+            frontier.unpersist()

@@ -80,6 +80,46 @@ def test_seen_filter_drops_prior_snapshot(spark, tmp_path):
     assert stats["manifest"]["total_rows"] == stats["after_decontam"]
 
 
+def test_chunk_curation_end_to_end(spark, tmp_path):
+    """Chunk-granular curation: the funnel conserves what it should,
+    lineage survives to the export, the bench split is fully excluded,
+    and the manifest verifies at chunk granularity."""
+    from myhadoop_spark.queries.pipeline2 import curate_chunks
+
+    out = str(tmp_path / "chunked")
+    stats = curate_chunks(spark, SF_SMOKE, out)
+    assert stats["raw_docs"] == 500
+    assert stats["chunks"] > stats["raw_docs"]  # docs split into >1 chunk
+    assert 0 < stats["after_chunk_dedup"] <= stats["chunks"]
+    assert 0 < stats["after_decontam"] <= stats["after_chunk_dedup"]
+    assert stats["manifest"]["total_rows"] == stats["after_decontam"]
+    statuses = {r.status for r in verify_export(spark, out).collect()}
+    assert statuses == {"ok"}
+
+    exported = spark.read.parquet(out)
+    # doc-level lineage on every chunk row
+    for col in ("doc_id", "chunk_id", "start_token", "n_tokens",
+                "chunk_uid", "lang", "source"):
+        assert col in exported.columns, col
+    # bench documents (doc_id % 20 == 0) never export
+    assert exported.filter(F.col("doc_id") % 20 == 0).count() == 0
+    # dedup kept exactly one row per distinct chunk text
+    assert (exported.groupBy("text").count()
+            .filter(F.col("count") > 1).count() == 0)
+    # lineage is consistent: chunk_uid round-trips to (doc_id, chunk_id)
+    assert exported.filter(
+        F.col("chunk_uid") != F.concat_ws(":", "doc_id", "chunk_id")
+    ).count() == 0
+
+
+def test_chunk_curation_is_deterministic(spark, tmp_path):
+    from myhadoop_spark.queries.pipeline2 import curate_chunks
+
+    s1 = curate_chunks(spark, SF_SMOKE, str(tmp_path / "c1"))
+    s2 = curate_chunks(spark, SF_SMOKE, str(tmp_path / "c2"))
+    assert s1 == s2
+
+
 def test_pipeline_executes_each_stage_once(spark, tmp_path, monkeypatch):
     """The funnel counts are separate actions; without the persisted
     frontiers the whole lineage (classifier training included)
