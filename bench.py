@@ -10,7 +10,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Methodology (r2+): $SPARK_GRAFT_BENCH_REPS warm repetitions per query
 (default 3) with the per-query MEDIAN reported — this machine's
 run-to-run variance is ±2× (BENCH_NOTES.md), so single-rep deltas are
-noise. Per-query shuffle/spill/peak-memory telemetry is scraped from
+noise. r6: queries whose 3-rep median lands under
+$SPARK_GRAFT_BENCH_SUBSEC (default 1.0 s) get 2 extra reps (median of
+5) — the sub-second class is where Spark's ~0.2-0.7 s per-job floor
+makes 3-rep medians swing ±2-4× round-to-round (the r5 pivot_status
+adjudication); heavier queries amortize the floor and keep 3 reps. Per-query shuffle/spill/peak-memory telemetry is scraped from
 the Spark UI REST API (the observability the reference exposes through
 its per-phase timing messages, /root/reference/datanode.py:346-370) and
 attached under "telemetry" + mirrored to bench_shuffle.json.
@@ -168,6 +172,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    subsec = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC", "1.0"))
     spark = get_spark("bench")
     # default: the 50 gated queries (the driver/baseline contract).
     # SPARK_GRAFT_BENCH_ONLY=a,b,c benches just those names, drawing
@@ -219,7 +224,9 @@ def main() -> None:
         # AnalysisException aborting this loop)
         rep_times = []
         try:
-            for i in range(reps):
+            n_reps = reps
+            i = 0
+            while i < n_reps:
                 rep_times.append(round(run_query(spark, fn, sf_dir), 4))
                 if i == 0:
                     # telemetry + phase slice from the first rep only
@@ -232,6 +239,12 @@ def main() -> None:
                 else:
                     meter.delta()
                     meter.new_stages()
+                i += 1
+                # sub-second medians are job-floor-bound and noisy:
+                # widen to 5 reps for a stable median (r5 item 7)
+                if (i == reps and n_reps == reps
+                        and statistics.median(rep_times) < subsec):
+                    n_reps = reps + 2
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: query {name!r} failed: {errors[name]}",
@@ -278,6 +291,23 @@ def main() -> None:
 
     print(format_stdout_line(total, reps, times, errors, sf))
     spark.stop()
+
+    # keep BENCH_NOTES.md's headline spliced to THIS run's TSV (the
+    # r3/r4 hand-drift disease, structurally closed in r5; r6 wires the
+    # refresh into the harness tail so it cannot be forgotten). Only
+    # full runs: partial runs never touch the committed TSV.
+    if not only:
+        try:
+            import subprocess
+
+            subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).resolve().parent
+                     / "scripts" / "bench_notes_table.py"), "--write"],
+                check=False, timeout=60)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: BENCH_NOTES splice failed: {exc}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

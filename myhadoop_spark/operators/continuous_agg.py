@@ -363,6 +363,7 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
                         keys: list[str] | None = None,
                         lateness: str = LATENESS,
                         sweep: bool = True,
+                        retention: str | None = None,
                         stats: list | None = None):
     """Streaming face: maintain the rollup from an event stream, one
     incremental refresh per micro-batch (foreachBatch — the refresh
@@ -380,10 +381,18 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
     recompute makes re-application converge, the same discipline as
     streaming/bloom_ingest.py.
 
+    ``retention='N days'`` pairs the continuous aggregate with its
+    retention policy (the TimescaleDB drop_chunks discipline): after
+    each refresh, rollup buckets older than watermark − retention are
+    dropped partition-atomically and the floor is mirrored into the
+    query face. The horizon rides the MONOTONIC watermark, so drops
+    never race a refresh that could still rewrite the bucket.
+
     ``stats``: pass a list to receive one dict per processed batch —
-    {batch_id, events_read, raw_dirs, raw_files, swept} — the
+    {batch_id, events_read, raw_dirs, raw_files, swept, dropped} — the
     backpressure/flat-cost monitoring face (rehearsed in
     scripts/rollup_stream_study.py)."""
+    retention_td = _parse_interval(retention) if retention else None
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -403,12 +412,19 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
         refresh_stats = refresh_rollup(raw, path, bucket=bucket, keys=keys,
                                        lateness=lateness)
         swept = sweep_raw_store(spark, path, bucket=bucket) if sweep else 0
+        dropped = 0
+        if retention_td is not None:
+            wm = refresh_stats["watermark"]
+            if wm is not None:
+                horizon = dt.datetime.fromisoformat(wm) - retention_td
+                dropped = drop_buckets_before(
+                    spark, path, str(horizon), bucket=bucket)["dropped"]
         if stats is not None:
             stats.append({"batch_id": batch_id,
                           "events_read": refresh_stats["events_read"],
                           "raw_dirs": read_stats["raw_dirs"],
                           "raw_files": read_stats["raw_files"],
-                          "swept": swept})
+                          "swept": swept, "dropped": dropped})
 
     return (stream_events.writeStream
             .foreachBatch(_process)

@@ -236,6 +236,55 @@ def test_streaming_raw_store_is_pruned_and_swept(spark, tmp_path):
     assert got == want and len(want) == n_batches
 
 
+def test_streaming_retention_drops_old_buckets(spark, tmp_path):
+    """retention='N hours' in the stream face: rollup buckets older
+    than watermark − N are dropped as the stream advances, and the
+    query face over the retained window equals the one-shot
+    aggregation over the same window."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.continuous_agg import (
+        read_retention,
+        read_watermark,
+        start_rollup_stream,
+    )
+
+    n_batches = 8
+    src = str(tmp_path / "src")
+    waves = []
+    for b in range(n_batches):
+        wave = [_ev(b * 60 + m, m, "click", float(m % 7))
+                for m in range(0, 60, 5)]
+        waves.append(wave)
+        spark.createDataFrame(wave, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/w{b:02d}")
+
+    path = str(tmp_path / "rollup")
+    stats: list[dict] = []
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_rollup_stream(stream, path=path,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            retention="3 hours", stats=stats)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sum(s["dropped"] for s in stats) >= 3  # old buckets fell
+    retain = read_retention(spark, path)
+    assert retain is not None and read_watermark(spark, path) > retain
+    kept = sorted(p.name for p in Path(path, "table").glob("bucket=*"))
+    assert 0 < len(kept) <= 4, kept  # ~3h horizon + the tail bucket
+
+    all_events = spark.createDataFrame(
+        [e for w in waves for e in w], SCHEMA)
+    got = _canon(query_rollup(spark, all_events, path))
+    retained = all_events.filter(F.col("ts") >= F.lit(retain))
+    want = _canon(_bucketed(retained, "1 hour", ["event_type"]))
+    assert got == want and got
+
+
 def test_streaming_maintenance_equals_one_shot(spark, tmp_path):
     """The stream face: micro-batched arrival (including an
     out-of-order batch within the horizon) must leave a rollup whose
