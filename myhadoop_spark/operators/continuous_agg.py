@@ -136,13 +136,12 @@ def _floor_expr(ts: str, bucket: str):
     return F.window(F.lit(ts).cast("timestamp"), bucket)["start"]
 
 
-def _tail_of(events: DataFrame, floor, *, strict: bool = False) -> DataFrame:
+def _tail_of(events: DataFrame, floor) -> DataFrame:
     """events at/after a bucket floor expression. ts >= floor is
     EQUIVALENT to bucket(ts) >= floor because the floor is
     bucket-aligned — stated on ts so the predicate reaches the scan."""
-    op = (F.col("ts") < F.col("_f")) if strict else \
-        (F.col("ts") >= F.col("_f"))
-    return events.withColumn("_f", floor).filter(op).drop("_f")
+    return (events.withColumn("_f", floor)
+            .filter(F.col("ts") >= F.col("_f")).drop("_f"))
 
 
 # ---------------------------------------------------------------- fs
@@ -271,10 +270,19 @@ def drop_buckets_before(spark: SparkSession, path: str, before_ts: str, *,
     floor = (spark.range(1).select(_floor_expr(before_ts, bucket)
                                    .alias("f")).first()["f"])
     prev = read_retention(spark, path)
-    if prev is not None and str(floor) <= prev:
+    if prev is not None and str(floor) < prev:
         return {"dropped": 0, "retain_from": prev}
+    # equal horizon re-runs the delete pass (idempotent) so a crash
+    # between the floor write below and the deletes is repairable
     from urllib.parse import unquote
 
+    # record the floor FIRST: once _retention carries it the query face
+    # already excludes the doomed buckets, so a crash mid-delete leaves
+    # orphan directories that are never read and that the next drop
+    # (any horizon ≥ this one) removes — the reverse order would lose
+    # buckets from the query face until the drop is re-run
+    write_small_file(spark, f"{path}/_retention",
+                     json.dumps({"retain_from": str(floor)}))
     fs, _ = hadoop_fs(spark, f"{path}/table")
     jvm = spark._jvm
     dropped = 0
@@ -286,8 +294,6 @@ def drop_buckets_before(spark: SparkSession, path: str, before_ts: str, *,
         if part_ts < dt.datetime.fromisoformat(str(floor)):
             fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
             dropped += 1
-    write_small_file(spark, f"{path}/_retention",
-                     json.dumps({"retain_from": str(floor)}))
     return {"dropped": dropped, "retain_from": str(floor)}
 
 
@@ -314,12 +320,16 @@ def _list_raw_buckets(spark: SparkSession,
 
 
 def read_raw_store(spark: SparkSession, path: str, *,
-                   bucket: str = BUCKET) -> tuple[DataFrame, dict]:
+                   bucket: str = BUCKET,
+                   empty_schema=None) -> tuple[DataFrame, dict]:
     """The refresh's view of the raw landing store: ONLY raw_bucket
     directories at/after the watermark floor, selected by the bounded
     driver-side listing and read with basePath — Spark lists and
     footer-reads just those directories, so per-refresh scan metadata
-    is independent of accumulated history. Returns (df, stats)."""
+    is independent of accumulated history. Returns (df, stats).
+    ``empty_schema`` shapes the empty result when nothing is selected
+    (e.g. a batch entirely beyond the lateness horizon landed below
+    the floor); defaults to the module's standard event battery."""
     wm = read_watermark(spark, path)
     dirs = _list_raw_buckets(spark, f"{path}/raw")
     if wm is not None:
@@ -327,8 +337,9 @@ def read_raw_store(spark: SparkSession, path: str, *,
         dirs = [(e, u) for e, u in dirs if e >= floor]
     if not dirs:
         return (spark.createDataFrame(
-            [], "ts timestamp, user_id long, event_type string, "
-                "value double"), {"raw_dirs": 0, "raw_files": 0})
+            [], empty_schema
+            or "ts timestamp, user_id long, event_type string, "
+               "value double"), {"raw_dirs": 0, "raw_files": 0})
     n_files = count_data_files(spark, [u for _, u in dirs])
     df = (spark.read.option("basePath", f"{path}/raw")
           .parquet(*[u for _, u in dirs])
@@ -408,7 +419,8 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
          .write.partitionBy("raw_bucket", "batch_id")
          .option("partitionOverwriteMode", "dynamic")
          .mode("overwrite").parquet(f"{path}/raw"))
-        raw, read_stats = read_raw_store(spark, path, bucket=bucket)
+        raw, read_stats = read_raw_store(spark, path, bucket=bucket,
+                                         empty_schema=batch.schema)
         refresh_stats = refresh_rollup(raw, path, bucket=bucket, keys=keys,
                                        lateness=lateness)
         swept = sweep_raw_store(spark, path, bucket=bucket) if sweep else 0
