@@ -165,6 +165,80 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (operators/bm25.py) — ungated oracle query:
+# rational-idf BM25 (ln differs across engines in the last ulp — same
+# discipline as tfidf above) with a fixed-order score fold, so the
+# DuckDB differential matches BITWISE. The hybrid face (RRF fusion
+# with the ANN index) is tested in tests/test_bm25.py.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("window", "merge", "scan")
+_BM25_TOPK = 20
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_search",
+    oracle=rf"""
+    WITH dl AS (SELECT doc_id,
+                       CAST(len({_sql_tokens('text')}) AS BIGINT) AS dl
+                FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+              FROM dl),
+    toks AS (SELECT doc_id, unnest({_sql_tokens('text')}) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE term IN ('window', 'merge', 'scan')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft
+            FROM tf GROUP BY term),
+    ts AS (SELECT tf.doc_id, tf.term,
+                  ((((SELECT n_docs FROM stats) - dfq.dft) + 0.5)
+                   / (dfq.dft + 0.5))
+                  * ((tf.tf * ({_BM25_K1} + 1.0))
+                     / (tf.tf + ({_BM25_K1}
+                        * ((1.0 - {_BM25_B})
+                           + ({_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                              / (SELECT avgdl FROM stats))))))) AS tsc
+           FROM tf JOIN dfq ON tf.term = dfq.term
+                   JOIN dl ON tf.doc_id = dl.doc_id),
+    agg AS (SELECT doc_id,
+                   SUM(CASE WHEN term = 'window' THEN tsc END) AS s0,
+                   SUM(CASE WHEN term = 'merge' THEN tsc END) AS s1,
+                   SUM(CASE WHEN term = 'scan' THEN tsc END) AS s2
+            FROM ts GROUP BY doc_id),
+    scored AS (SELECT doc_id,
+                      ((COALESCE(s0, 0.0) + COALESCE(s1, 0.0))
+                       + COALESCE(s2, 0.0)) AS score
+               FROM agg)
+    SELECT doc_id, score, rn FROM (
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS INT) AS rn
+        FROM scored)
+    WHERE rn <= {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval", "extension"),
+    gate=False,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} documents for the fixed query ('window', 'merge',
+    'scan') by rational-idf BM25 — operators/bm25.py; scores match the
+    DuckDB oracle bitwise (no flooring needed: the arithmetic is
+    + / × / ÷ on identical doubles in an identical, fully-parenthesized
+    order on both sides)."""
+    from myhadoop_spark.operators.bm25 import bm25_rank
+
+    return (bm25_rank(load(spark, sf_dir, "documents")
+                      .select("doc_id", "text"),
+                      list(_BM25_TERMS), top_k=_BM25_TOPK,
+                      k1=_BM25_K1, b=_BM25_B)
+            .select("doc_id", "score", "rn"))
+
+
 # (quality-weighted sampling lives in the sampling battery,
 # queries/sampling.py — it shares the id-hash acceptance machinery with
 # the other deterministic samplers)
