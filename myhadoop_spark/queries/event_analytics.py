@@ -1,0 +1,127 @@
+"""Event-sequence analytics: funnel conversion and cohort retention —
+the two classic product-analytics shapes over an event stream, rounding
+out the events-table surface next to sessionization
+(queries/relational5.py) and the streaming windows
+(queries/streaming_batch.py).
+
+Both are ungated oracle queries (the 50-slot gate window is full):
+bitwise DuckDB differentials in pytest via the registry's gate=False
+path, same as chunk_docs/chunk_dedup.
+
+Scale shapes:
+
+  * funnel — a k-step funnel is k per-user min-aggregations chained by
+    k−1 equi-joins, every one keyed on user_id: after the first
+    shuffle, each later aggregate/join consumes already-user_id-hashed
+    inputs, so the whole cascade rides one partitioning (no per-step
+    re-shuffle), and the step tables only shrink. No window over the
+    full event stream, no per-user event-list materialization.
+  * cohort retention — two user_id aggregations (first-seen cohort
+    day, distinct active days) joined on user_id, then a bounded-key
+    (cohort, day_offset) count. Shuffles carry (user, day) rows, not
+    raw events.
+
+Reference analog: none — §2.3 extension surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.registry import register
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH u0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    u1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+           FROM events e JOIN u0 ON e.user_id = u0.user_id
+           WHERE e.event_type = 'click' AND e.ts > u0.t0
+           GROUP BY e.user_id),
+    u2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN u1 ON e.user_id = u1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > u1.t1
+           GROUP BY e.user_id)
+    SELECT * FROM (
+        SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users
+        FROM u0
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM u1
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM u2)
+    ORDER BY step
+    """,
+    tags=("events", "extension"),
+    gate=False,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel: a user reaches step
+    k when an event of that step occurs STRICTLY AFTER their earliest
+    arrival at step k−1 (the standard ordered-funnel semantics — a
+    purchase before the first view does not count). Returns one row
+    per step with the surviving user count."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_type",
+                                                  "ts")
+
+    def arrivals(step: str, prev: DataFrame | None,
+                 prev_t: str, t: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = (e.join(prev, "user_id")
+                 .filter(F.col("ts") > F.col(prev_t)))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    u0 = arrivals(_FUNNEL_STEPS[0], None, "", "t0")
+    u1 = arrivals(_FUNNEL_STEPS[1], u0, "t0", "t1")
+    u2 = arrivals(_FUNNEL_STEPS[2], u1, "t1", "t2")
+    rows = None
+    for i, (name, u) in enumerate(zip(_FUNNEL_STEPS, (u0, u1, u2)), 1):
+        r = u.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"),
+            "n_users")
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("step")
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+                   FROM events GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                 FROM events)
+    SELECT first.cohort,
+           CAST(date_diff('day', first.cohort, activity.d) AS BIGINT)
+             AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN first ON activity.user_id = first.user_id
+    GROUP BY first.cohort, day_offset
+    ORDER BY cohort, day_offset
+    """,
+    tags=("events", "extension"),
+    gate=False,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped into day cohorts by
+    their FIRST event; n_users = how many of each cohort were active
+    day_offset days later (offset 0 = the cohort day itself)."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    # to_date, not date_trunc: DuckDB's date_trunc('day') yields DATE
+    # while Spark's yields TIMESTAMP — the hash gate compares types
+    first = (events.groupBy("user_id")
+             .agg(F.to_date(F.min("ts")).alias("cohort")))
+    activity = (events
+                .select("user_id", F.to_date("ts").alias("d"))
+                .distinct())
+    return (activity.join(first, "user_id")
+            .groupBy("cohort",
+                     F.datediff("d", "cohort")
+                     .cast("bigint").alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort", "day_offset"))
