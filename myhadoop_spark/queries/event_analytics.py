@@ -90,6 +90,75 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gapfill_hourly",
+    oracle="""
+    WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                        COUNT(*) AS value
+                 FROM events GROUP BY event_type, bucket),
+    span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+             FROM agg GROUP BY event_type),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                      AS bucket
+             FROM span),
+    dense AS (SELECT grid.event_type, grid.bucket, agg.value,
+                     ROW_NUMBER() OVER (PARTITION BY grid.event_type
+                                        ORDER BY grid.bucket) AS pos
+              FROM grid LEFT JOIN agg
+                   ON grid.event_type = agg.event_type
+                  AND grid.bucket = agg.bucket),
+    n AS (SELECT event_type, bucket, value, pos,
+                 last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_v,
+                 last_value(CASE WHEN value IS NOT NULL THEN pos END
+                            IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_p,
+                 first_value(value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_v,
+                 first_value(CASE WHEN value IS NOT NULL THEN pos END
+                             IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_p
+          FROM dense)
+    SELECT event_type, bucket, value,
+           prev_v AS locf,
+           CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+                ELSE CAST(prev_v AS DOUBLE)
+                     + ((CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                        * (CAST((pos - prev_p) AS DOUBLE)
+                           / CAST((next_p - prev_p) AS DOUBLE)))
+           END AS interp
+    FROM n
+    """,
+    tags=("events", "timeseries", "extension"),
+    gate=False,
+)
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type, made DENSE over each type's own
+    span with LOCF and linear-interpolation fills — the TimescaleDB
+    time_bucket_gapfill pattern (operators/gapfill.py), consuming the
+    already-aggregated series the continuous aggregate maintains.
+    COUNT (exact bigint) is the series so both engines aggregate
+    bitwise; the interpolation arithmetic is mirrored expression for
+    expression."""
+    from myhadoop_spark.operators.gapfill import time_bucket_gapfill
+
+    agg = (load(spark, sf_dir, "events")
+           .groupBy("event_type",
+                    F.date_trunc("hour", "ts").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("value")))
+    return time_bucket_gapfill(agg, bucket="1 hour",
+                               keys=["event_type"])
+
+
+@register(
     "cohort_retention",
     oracle="""
     WITH first AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
