@@ -89,7 +89,7 @@ BUCKET = "1 hour"
 LATENESS = "30 minutes"
 
 _ROLLUP_COLS = ["n_events", "sum_value", "min_value", "max_value",
-                "approx_users"]
+                "approx_users", "users_sketch"]
 
 _INTERVAL_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
                    "week": 604800}
@@ -107,24 +107,53 @@ def _parse_interval(s: str) -> dt.timedelta:
 
 
 def _agg_exprs():
-    """The rollup's aggregate battery: recomputable per bucket from the
-    raw slice (whole-bucket recompute ⇒ no mergeability constraint;
-    avg intentionally kept as sum+count so rollup rows can be further
-    re-aggregated exactly)."""
+    """The rollup's aggregate battery. Every column is MERGEABLE so a
+    coarser rollup re-aggregates exactly from a finer one
+    (``refresh_coarser`` — the TimescaleDB hierarchical-caggs
+    pattern): count/sum add, min/max fold, avg stays decomposed as
+    sum+count, and the distinct-user estimate is carried as a
+    DataSketches HLL sketch (``users_sketch``) whose register state
+    is max-merge-associative — the union of per-hour sketches IS the
+    one-shot sketch, so ``approx_users`` (its estimate) is identical
+    at every level of the hierarchy."""
     return [
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
     ]
 
 
+def _with_estimate(df: DataFrame, keys: list[str]) -> DataFrame:
+    return (df.withColumn("approx_users",
+                          F.hll_sketch_estimate("users_sketch"))
+            .select("bucket", *keys, *_ROLLUP_COLS))
+
+
 def _bucketed(events: DataFrame, bucket: str, keys: list[str]) -> DataFrame:
-    return (events
-            .withColumn("bucket", F.window("ts", bucket)["start"])
-            .groupBy("bucket", *keys)
-            .agg(*_agg_exprs()))
+    return _with_estimate(
+        events
+        .withColumn("bucket", F.window("ts", bucket)["start"])
+        .groupBy("bucket", *keys)
+        .agg(*_agg_exprs()), keys)
+
+
+def _coarse_bucketed(rollup_rows: DataFrame, dst_bucket: str,
+                     keys: list[str]) -> DataFrame:
+    """Re-aggregate fine rollup rows into coarser buckets — exact for
+    every battery column (see _agg_exprs): this is rollup-from-rollup,
+    never a raw-event scan."""
+    return _with_estimate(
+        rollup_rows
+        .withColumn("bucket", F.window("bucket", dst_bucket)["start"])
+        .groupBy("bucket", *keys)
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_value").alias("sum_value"),
+             F.min("min_value").alias("min_value"),
+             F.max("max_value").alias("max_value"),
+             F.hll_union_agg("users_sketch").alias("users_sketch")),
+        keys)
 
 
 def _floor_expr(ts: str, bucket: str):
@@ -218,7 +247,8 @@ def _rollup_schema(events: DataFrame, keys: list[str]):
            T.StructField("sum_value", T.DoubleType()),
            T.StructField("min_value", T.DoubleType()),
            T.StructField("max_value", T.DoubleType()),
-           T.StructField("approx_users", T.LongType())])
+           T.StructField("approx_users", T.LongType()),
+           T.StructField("users_sketch", T.BinaryType())])
 
 
 def query_rollup(spark: SparkSession, events: DataFrame, path: str, *,
@@ -295,6 +325,44 @@ def drop_buckets_before(spark: SparkSession, path: str, before_ts: str, *,
             fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
             dropped += 1
     return {"dropped": dropped, "retain_from": str(floor)}
+
+
+# --------------------------------------------------------- hierarchy
+
+
+def refresh_coarser(spark: SparkSession, src_path: str, dst_path: str, *,
+                    dst_bucket: str = "1 day",
+                    keys: list[str] | None = None) -> dict:
+    """Maintain a COARSER rollup from a finer one (TimescaleDB
+    hierarchical continuous aggregates): the day table re-aggregates
+    hour rows, never raw events — every battery column is mergeable
+    (_agg_exprs), including the distinct-user estimate via HLL sketch
+    union, so the hierarchy is EXACT: the coarse table equals the
+    one-shot coarse aggregation of the raw stream, bitwise (tested).
+
+    Incrementality mirrors refresh_rollup one level up: the coarse
+    watermark records the fine watermark at the last coarse refresh;
+    a refresh re-reads only fine buckets at/after its own bucket-
+    aligned floor (static partition pruning on the fine table's bucket
+    partitions — constant-folded expression, zero extra driver jobs)
+    and dynamic-overwrites exactly the recomputed coarse buckets.
+    query_rollup(…, dst_path, bucket=dst_bucket) serves the coarse
+    level with the same always-fresh raw-tail face."""
+    keys = keys if keys is not None else ["event_type"]
+    src_wm = read_watermark(spark, src_path)
+    dst_wm = read_watermark(spark, dst_path)
+    fine = spark.read.parquet(f"{src_path}/table")
+    if dst_wm is not None:
+        fine = (fine.withColumn("_f", _floor_expr(dst_wm, dst_bucket))
+                .filter(F.col("bucket") >= F.col("_f")).drop("_f"))
+    stale = _coarse_bucketed(fine, dst_bucket, keys)
+    (stale.repartition("bucket")
+     .write.partitionBy("bucket")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(f"{dst_path}/table"))
+    if src_wm is not None and (dst_wm is None or src_wm > dst_wm):
+        _write_watermark(spark, dst_path, src_wm)
+    return {"watermark": read_watermark(spark, dst_path)}
 
 
 # --------------------------------------------------------- streaming

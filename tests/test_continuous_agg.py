@@ -115,8 +115,17 @@ def test_fixture_events_roundtrip(spark, tmp_path):
     wave1 = ev.filter(F.col("ts").cast("double") <= cutoff)
     refresh_rollup(wave1, path, bucket="6 hours", lateness="1 hour")
     refresh_rollup(ev, path, bucket="6 hours", lateness="1 hour")
-    got = _canon(query_rollup(spark, ev, path, bucket="6 hours"))
-    want = _canon(_bucketed(ev, "6 hours", ["event_type"]))
+
+    def _round_sum(canon):
+        # the fixture's values are decimal-valued doubles, so the sum
+        # is only reproducible up to float reassociation between the
+        # materialized and one-shot aggregation trees (~1e-14 relative;
+        # monetary exactness is the DECIMAL convention's job,
+        # functions/money.py) — every other column stays bitwise
+        return {k: (v[0], round(v[1], 9), *v[2:]) for k, v in canon.items()}
+
+    got = _round_sum(_canon(query_rollup(spark, ev, path, bucket="6 hours")))
+    want = _round_sum(_canon(_bucketed(ev, "6 hours", ["event_type"])))
     assert got == want and len(want) > 4
 
 
@@ -234,6 +243,71 @@ def test_streaming_raw_store_is_pruned_and_swept(spark, tmp_path):
     got = _canon(query_rollup(spark, all_events, path))
     want = _canon(_bucketed(all_events, "1 hour", ["event_type"]))
     assert got == want and len(want) == n_batches
+
+
+def test_hierarchical_rollup_is_exact(spark, tmp_path):
+    """The coarse (daily) rollup maintained FROM the fine (hourly) one
+    must equal the one-shot daily aggregation of the raw stream —
+    bitwise, INCLUDING approx_users: HLL sketch union is register-max
+    associative, so merging per-hour sketches yields the one-shot
+    sketch state."""
+    from myhadoop_spark.operators.continuous_agg import refresh_coarser
+
+    fine = str(tmp_path / "hourly")
+    coarse = str(tmp_path / "daily")
+    rows = [_ev(m, (m * 7) % 23, t, float(m % 11))
+            for m in range(0, 3 * 24 * 60, 17) for t in ("click", "view")]
+    all_events = spark.createDataFrame(rows, SCHEMA)
+    refresh_rollup(all_events, fine)
+    refresh_coarser(spark, fine, coarse, dst_bucket="1 day")
+
+    got = _canon(spark.read.parquet(f"{coarse}/table")
+                 .select("bucket", "event_type", "n_events", "sum_value",
+                         "min_value", "max_value", "approx_users"))
+    want = _canon(_bucketed(all_events, "1 day", ["event_type"]))
+    assert got == want and len(want) == 6  # 3 days x 2 types
+
+
+def test_hierarchical_incremental_and_fresh_face(spark, tmp_path):
+    """Staged fine refreshes (with an in-horizon late arrival) and
+    coarse refreshes after each: the coarse level's query face equals
+    the one-shot daily aggregation, old coarse partitions untouched by
+    the second refresh."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.continuous_agg import refresh_coarser
+
+    fine = str(tmp_path / "hourly")
+    coarse = str(tmp_path / "daily")
+    wave1 = [_ev(m, m % 9, "click", float(m % 5))
+             for m in range(0, 2 * 24 * 60, 13)]
+    wave2 = ([_ev(m, m % 4, "click", float(m % 3))
+              for m in range(2 * 24 * 60, 3 * 24 * 60, 11)]
+             + [_ev(2 * 24 * 60 - 10, 99, "click", 42.0)])  # late, in horizon
+
+    df1 = spark.createDataFrame(wave1, SCHEMA)
+    refresh_rollup(df1, fine)
+    refresh_coarser(spark, fine, coarse, dst_bucket="1 day")
+    day_parts = sorted(p.name for p in Path(coarse, "table").iterdir()
+                       if p.name.startswith("bucket="))
+    mtimes = {p: Path(coarse, "table", p).stat().st_mtime_ns
+              for p in day_parts}
+    assert len(day_parts) == 2
+
+    import time
+
+    time.sleep(0.05)
+    all_events = spark.createDataFrame(wave1 + wave2, SCHEMA)
+    refresh_rollup(all_events, fine)
+    refresh_coarser(spark, fine, coarse, dst_bucket="1 day")
+    # day 0 closed well before the coarse floor: byte-untouched
+    assert (Path(coarse, "table", day_parts[0]).stat().st_mtime_ns
+            == mtimes[day_parts[0]])
+
+    got = _canon(query_rollup(spark, all_events, coarse,
+                              bucket="1 day"))
+    want = _canon(_bucketed(all_events, "1 day", ["event_type"]))
+    assert got == want and len(want) == 3
 
 
 def test_streaming_retention_drops_old_buckets(spark, tmp_path):
