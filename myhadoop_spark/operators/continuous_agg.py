@@ -443,6 +443,9 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
                         lateness: str = LATENESS,
                         sweep: bool = True,
                         retention: str | None = None,
+                        coarse_path: str | None = None,
+                        coarse_bucket: str = "1 day",
+                        coarse_every: int = 1,
                         stats: list | None = None):
     """Streaming face: maintain the rollup from an event stream, one
     incremental refresh per micro-batch (foreachBatch — the refresh
@@ -466,6 +469,12 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
     dropped partition-atomically and the floor is mirrored into the
     query face. The horizon rides the MONOTONIC watermark, so drops
     never race a refresh that could still rewrite the bucket.
+
+    ``coarse_path`` maintains a HIERARCHICAL coarser level from the
+    same stream: refresh_coarser runs after every ``coarse_every``-th
+    batch (the coarse table re-aggregates fine ROWS, so skipped
+    batches cost nothing — the next coarse refresh absorbs them via
+    the recorded fine watermark).
 
     ``stats``: pass a list to receive one dict per processed batch —
     {batch_id, events_read, raw_dirs, raw_files, swept, dropped} — the
@@ -492,6 +501,9 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
         refresh_stats = refresh_rollup(raw, path, bucket=bucket, keys=keys,
                                        lateness=lateness)
         swept = sweep_raw_store(spark, path, bucket=bucket) if sweep else 0
+        if coarse_path and (batch_id + 1) % coarse_every == 0:
+            refresh_coarser(spark, path, coarse_path,
+                            dst_bucket=coarse_bucket, keys=keys)
         dropped = 0
         if retention_td is not None:
             wm = refresh_stats["watermark"]

@@ -310,6 +310,42 @@ def test_hierarchical_incremental_and_fresh_face(spark, tmp_path):
     assert got == want and len(want) == 3
 
 
+def test_streaming_maintains_hierarchy(spark, tmp_path):
+    """coarse_path in the stream face: the daily level is maintained
+    from the hourly one every coarse_every batches, and ends equal to
+    the one-shot daily aggregation (skipped batches are absorbed via
+    the recorded fine watermark)."""
+    from myhadoop_spark.operators.continuous_agg import start_rollup_stream
+
+    n_batches = 6
+    src = str(tmp_path / "src")
+    waves = []
+    for b in range(n_batches):
+        wave = [_ev(b * 12 * 60 + m, (b + m) % 7, "click", float(m % 5))
+                for m in range(0, 12 * 60, 45)]
+        waves.append(wave)
+        spark.createDataFrame(wave, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/w{b:02d}")
+
+    fine = str(tmp_path / "hourly")
+    coarse = str(tmp_path / "daily")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_rollup_stream(stream, path=fine,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            coarse_path=coarse, coarse_every=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(
+        [e for w in waves for e in w], SCHEMA)
+    got = _canon(query_rollup(spark, all_events, coarse, bucket="1 day"))
+    want = _canon(_bucketed(all_events, "1 day", ["event_type"]))
+    assert got == want and len(want) == 3  # 6 half-day batches = 3 days
+
+
 def test_streaming_retention_drops_old_buckets(spark, tmp_path):
     """retention='N hours' in the stream face: rollup buckets older
     than watermark − N are dropped as the stream advances, and the
