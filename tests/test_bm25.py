@@ -103,6 +103,27 @@ def test_plan_is_narrow_no_explode(spark):
     assert not hash_ex, hash_ex
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "pad", "x", "yy"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_word, max_size=12), min_size=1, max_size=8)
+       .filter(lambda ds: any("alpha" in d or "beta" in d for d in ds)))
+def test_bm25_property_matches_model(spark, docs_tokens):
+    """Arbitrary tiny corpora over a fixed vocabulary: bitwise score
+    parity with the Python model, including empty documents, repeated
+    terms, and corpora where a query term never occurs."""
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _model_scores(rows, TERMS)
+    got = {r.doc_id: r.score for r in bm25_scores(docs, TERMS).collect()}
+    assert got == want
+
+
 def test_rrf_fusion_matches_model(spark):
     a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
                               "doc_id long, rn int")

@@ -58,6 +58,42 @@ def test_leading_and_trailing_holes_stay_null(spark):
     assert out[("a", 4)][2] == 4.0 + (10.0 - 4.0) * (2 / 3)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.dictionaries(st.integers(min_value=0, max_value=40),
+                       st.integers(min_value=-5, max_value=50),
+                       min_size=1, max_size=12))
+def test_gapfill_matches_python_model(spark, points):
+    """Arbitrary sparse integer series: density, LOCF, and the
+    interpolation line must equal a pure-Python model replicating the
+    operator's arithmetic order (integer values ⇒ exact doubles, so
+    the comparison is bitwise)."""
+    aggs = _series(spark, {("a", h): v for h, v in points.items()})
+    out = _by_hour(time_bucket_gapfill(aggs, keys=["k"]))
+
+    lo, hi = min(points), max(points)
+    assert set(out) == {("a", h) for h in range(lo, hi + 1)}
+    obs = sorted(points)
+    for h in range(lo, hi + 1):
+        value, locf, interp = out[("a", h)]
+        prevs = [o for o in obs if o <= h]
+        nexts = [o for o in obs if o >= h]
+        want_locf = float(points[prevs[-1]]) if prevs else None
+        assert locf == want_locf, (h, locf, want_locf)
+        if h in points:
+            assert value == float(points[h]) and interp == float(points[h])
+        else:
+            assert value is None
+            p, n = prevs[-1], nexts[0]
+            pv, nv = float(points[p]), float(points[n])
+            want = pv + ((nv - pv) * (float(h - p) / float(n - p)))
+            assert interp == want, (h, interp, want)
+
+
 def test_composes_with_continuous_aggregate(spark, tmp_path):
     """The intended pipeline: refresh a rollup, read it through
     query_rollup, gapfill the n_events series — dense output whose
