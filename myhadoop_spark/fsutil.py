@@ -22,11 +22,7 @@ def hadoop_fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
-def read_small_file(spark: SparkSession, path: str) -> str | None:
-    """Contents of a single small file, driver-side; None if absent."""
-    fs, p = hadoop_fs(spark, path)
-    if not fs.exists(p):
-        return None
+def _read_one(spark: SparkSession, fs, p) -> str:
     stream = fs.open(p)
     try:
         return spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -35,11 +31,31 @@ def read_small_file(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Contents of a single small file, driver-side; None if absent.
+
+    Crash-window recovery: write_small_file is tmp-write → delete →
+    rename. A crash BETWEEN the delete and the rename leaves only the
+    fully-written ``.tmp`` behind — fall back to it, so that window
+    can never read as 'file absent' (for a watermark that would mean
+    silently reprocessing all history; for a retention floor,
+    un-mirroring retention from the query face). A crash mid-tmp-write
+    leaves the main file intact and is served normally."""
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        return _read_one(spark, fs, p)
+    _, tmp = hadoop_fs(spark, path + ".tmp")
+    if fs.exists(tmp):
+        return _read_one(spark, fs, tmp)
+    return None
+
+
 def write_small_file(spark: SparkSession, path: str, payload: str) -> None:
-    """tmp + rename: a crash mid-write leaves the previous file intact
-    (rename is the closest-to-atomic primitive common to HDFS/local;
-    object stores degrade to copy+delete — still last-writer-wins on a
-    whole file, never a torn read)."""
+    """tmp-write → delete → rename (Hadoop FileSystem.rename refuses
+    to overwrite, so the delete is unavoidable without FileContext).
+    The delete→rename crash window is closed on the READ side:
+    read_small_file falls back to the complete ``.tmp``. A failed
+    rename raises instead of silently leaving the old state."""
     fs, p = hadoop_fs(spark, path)
     _, tmp = hadoop_fs(spark, path + ".tmp")
     out = fs.create(tmp, True)
@@ -49,7 +65,8 @@ def write_small_file(spark: SparkSession, path: str, payload: str) -> None:
         out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    if not fs.rename(tmp, p):
+        raise OSError(f"rename failed: {path}.tmp -> {path}")
 
 
 def list_partition_dirs(spark: SparkSession, table_path: str,

@@ -468,19 +468,31 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
     each refresh, rollup buckets older than watermark − retention are
     dropped partition-atomically and the floor is mirrored into the
     query face. The horizon rides the MONOTONIC watermark, so drops
-    never race a refresh that could still rewrite the bucket.
+    never race a refresh that could still rewrite the bucket; the drop
+    is skipped entirely while the bucket-aligned horizon is unchanged
+    (no per-batch metadata churn). When a hierarchy is armed the
+    horizon is additionally CLAMPED to the coarse level's recompute
+    floor — refresh_coarser rebuilds every coarse bucket at/after
+    coarse-floor(coarse watermark) from the fine rows, so fine buckets
+    inside that window must survive regardless of the requested
+    retention or the coarse aggregates would silently undercount.
 
     ``coarse_path`` maintains a HIERARCHICAL coarser level from the
     same stream: refresh_coarser runs after every ``coarse_every``-th
     batch (the coarse table re-aggregates fine ROWS, so skipped
     batches cost nothing — the next coarse refresh absorbs them via
-    the recorded fine watermark).
+    the recorded fine watermark). With a hierarchy armed, the raw
+    sweep keeps directories back to the COARSE bucket floor (not the
+    fine one), so the documented coarse query face —
+    query_rollup(raw-store events, coarse_path, bucket=coarse_bucket)
+    — always finds the raw tail its in-progress coarse bucket needs.
 
     ``stats``: pass a list to receive one dict per processed batch —
     {batch_id, events_read, raw_dirs, raw_files, swept, dropped} — the
     backpressure/flat-cost monitoring face (rehearsed in
     scripts/rollup_stream_study.py)."""
     retention_td = _parse_interval(retention) if retention else None
+    last_horizon: dict[str, str | None] = {"h": None}
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -500,7 +512,11 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
                                          empty_schema=batch.schema)
         refresh_stats = refresh_rollup(raw, path, bucket=bucket, keys=keys,
                                        lateness=lateness)
-        swept = sweep_raw_store(spark, path, bucket=bucket) if sweep else 0
+        # with a hierarchy, sweep at COARSE granularity: the coarse
+        # query face's raw tail reaches back to the coarse bucket floor
+        swept = (sweep_raw_store(
+            spark, path, bucket=coarse_bucket if coarse_path else bucket)
+            if sweep else 0)
         if coarse_path and (batch_id + 1) % coarse_every == 0:
             refresh_coarser(spark, path, coarse_path,
                             dst_bucket=coarse_bucket, keys=keys)
@@ -508,9 +524,24 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
         if retention_td is not None:
             wm = refresh_stats["watermark"]
             if wm is not None:
-                horizon = dt.datetime.fromisoformat(wm) - retention_td
-                dropped = drop_buckets_before(
-                    spark, path, str(horizon), bucket=bucket)["dropped"]
+                horizon = str(dt.datetime.fromisoformat(wm) - retention_td)
+                if coarse_path:
+                    # clamp: fine buckets inside the coarse recompute
+                    # window (>= coarse-floor of the coarse watermark)
+                    # feed future refresh_coarser runs — dropping them
+                    # would permanently undercount the coarse bucket
+                    dst_wm = read_watermark(spark, coarse_path)
+                    if dst_wm is None:
+                        horizon = None
+                    else:
+                        cf = str(spark.range(1).select(
+                            _floor_expr(dst_wm, coarse_bucket)
+                            .alias("f")).first()["f"])
+                        horizon = min(horizon, cf)
+                if horizon is not None and horizon != last_horizon["h"]:
+                    dropped = drop_buckets_before(
+                        spark, path, horizon, bucket=bucket)["dropped"]
+                    last_horizon["h"] = horizon
         if stats is not None:
             stats.append({"batch_id": batch_id,
                           "events_read": refresh_stats["events_read"],

@@ -160,7 +160,8 @@ def compact_index(spark: SparkSession, path: str, *,
 
     Search-equality across a compaction is pinned in
     tests/test_ivf_index.py; the bytes/files-read recovery after 20
-    streamed appends is measured in ivf_index_study.tsv. Returns
+    streamed appends is measured in ivf_compact_study.tsv
+    (scripts/ivf_compact_study.py). Returns
     {compacted_buckets, files_before, files_after}."""
     from myhadoop_spark.fsutil import count_data_files, list_partition_dirs
 

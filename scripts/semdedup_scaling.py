@@ -128,7 +128,8 @@ def main() -> None:
         for cap, tag in ((None, "semdedup_skew_unguarded"),
                          (1_000, "semdedup_skew_guarded"),
                          # r6: DEFAULT call, no knob — the auto cap
-                         # (max(512, 2n/k)) must arm by itself
+                         # (max(512, ceil(1.5*n_reps/k))) must arm by
+                         # itself
                          ("auto", "semdedup_skew_auto")):
             t0 = time.time()
             dropped = (semantic_dedup(vecs, k_clusters=4, tau=0.95,

@@ -346,6 +346,60 @@ def test_streaming_maintains_hierarchy(spark, tmp_path):
     assert got == want and len(want) == 3  # 6 half-day batches = 3 days
 
 
+def test_retention_clamped_by_hierarchy(spark, tmp_path):
+    """retention + coarse_path combined (the r6 review's corruption
+    finding): an aggressive fine-level retention must NOT reach into
+    the coarse recompute window — the daily table still equals the
+    one-shot daily aggregation, and the raw sweep keeps directories
+    back to the coarse floor so the coarse query face over the raw
+    store alone is exact too."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.continuous_agg import start_rollup_stream
+
+    n_batches = 8
+    src = str(tmp_path / "src")
+    waves = []
+    for b in range(n_batches):
+        wave = [_ev(b * 6 * 60 + m, (b + m) % 6, "click", float(m % 5))
+                for m in range(0, 6 * 60, 20)]
+        waves.append(wave)
+        spark.createDataFrame(wave, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/w{b:02d}")
+
+    fine = str(tmp_path / "hourly")
+    coarse = str(tmp_path / "daily")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    # retention of 2 hours is far inside the 1-day coarse window: the
+    # clamp must hold fine buckets back to the coarse floor anyway
+    q = start_rollup_stream(stream, path=fine,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            retention="2 hours",
+                            coarse_path=coarse, coarse_every=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(
+        [e for w in waves for e in w], SCHEMA)
+    got = _canon(query_rollup(spark, all_events, coarse, bucket="1 day"))
+    want = _canon(_bucketed(all_events, "1 day", ["event_type"]))
+    assert got == want and len(want) == 2  # 8 quarter-day batches
+
+    # closed day 0 WAS dropped from the fine level (retention still
+    # bites outside the coarse window)...
+    fine_parts = [p.name for p in Path(fine, "table").glob("bucket=*")]
+    assert len(fine_parts) < 48
+    # ...and the coarse query face needs only the RAW STORE for its
+    # in-progress day: the sweep kept raw back to the coarse floor
+    raw = (spark.read.option("basePath", f"{fine}/raw")
+           .parquet(f"{fine}/raw").drop("raw_bucket", "batch_id"))
+    got_raw = _canon(query_rollup(spark, raw, coarse, bucket="1 day"))
+    assert got_raw == want
+
+
 def test_streaming_retention_drops_old_buckets(spark, tmp_path):
     """retention='N hours' in the stream face: rollup buckets older
     than watermark − N are dropped as the stream advances, and the
