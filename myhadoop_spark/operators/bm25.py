@@ -54,6 +54,36 @@ def _tokens(text_col: str):
                     lambda t: t != F.lit(""))
 
 
+def term_score(i: int, k1: float = K1, b: float = B):
+    """BM25 contribution of query term ``i`` — reads the ``_tf{i}``,
+    ``_df{i}``, ``dl``, ``n_docs``, ``avgdl`` columns; NULL when the
+    document lacks the term (a NULL or 0 ``_tf{i}`` both land in the
+    NULL branch). Shared by the per-query scorer below and the
+    persistent-index probe (operators/bm25_index.py) so the two paths
+    are bitwise-identical by construction."""
+    tf, dft = F.col(f"_tf{i}"), F.col(f"_df{i}")
+    idf = (((F.col("n_docs") - dft) + F.lit(0.5))
+           / (dft + F.lit(0.5)))
+    return F.when(tf > 0, idf * (
+        (tf * (F.lit(k1) + F.lit(1.0)))
+        / (tf + (F.lit(k1)
+                 * ((F.lit(1.0) - F.lit(b))
+                    + (F.lit(b) * (F.col("dl").cast("double")
+                                   / F.col("avgdl"))))))))
+
+
+def fold_scores(n_terms: int, k1: float = K1, b: float = B):
+    """(score, matched): the fixed-order left-associated fold over the
+    query terms — float addition order is pinned and mirrored literally
+    in the oracle SQL."""
+    score = F.coalesce(term_score(0, k1, b), F.lit(0.0))
+    matched = term_score(0, k1, b).isNotNull()
+    for i in range(1, n_terms):
+        score = score + F.coalesce(term_score(i, k1, b), F.lit(0.0))
+        matched = matched | term_score(i, k1, b).isNotNull()
+    return score, matched
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str], *,
                 k1: float = K1, b: float = B, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -92,24 +122,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str], *,
         *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double")
           .alias(f"_df{i}") for i in range(len(query_terms))])
 
-    def tsc(i: int):
-        tf, dft = F.col(f"_tf{i}"), F.col(f"_df{i}")
-        idf = (((F.col("n_docs") - dft) + F.lit(0.5))
-               / (dft + F.lit(0.5)))
-        return F.when(tf > 0, idf * (
-            (tf * (F.lit(k1) + F.lit(1.0)))
-            / (tf + (F.lit(k1)
-                     * ((F.lit(1.0) - F.lit(b))
-                        + (F.lit(b) * (F.col("dl").cast("double")
-                                       / F.col("avgdl"))))))))
-
-    # fixed-order, left-associated fold over the query terms: float
-    # addition order is pinned and mirrored literally in the oracle SQL
-    score = F.coalesce(tsc(0), F.lit(0.0))
-    matched = tsc(0).isNotNull()
-    for i in range(1, len(query_terms)):
-        score = score + F.coalesce(tsc(i), F.lit(0.0))
-        matched = matched | tsc(i).isNotNull()
+    score, matched = fold_scores(len(query_terms), k1, b)
     return (base.crossJoin(F.broadcast(stats))
             .filter(matched)
             .select(F.col("_id").alias(id_col), score.alias("score")))

@@ -163,26 +163,14 @@ def compact_index(spark: SparkSession, path: str, *,
     streamed appends is measured in ivf_compact_study.tsv
     (scripts/ivf_compact_study.py). Returns
     {compacted_buckets, files_before, files_after}."""
-    from myhadoop_spark.fsutil import count_data_files, list_partition_dirs
+    from myhadoop_spark.operators.compaction import compact_partitions
 
-    dirs = list_partition_dirs(spark, f"{path}/vectors", "bucket")
-    frag = [(v, u) for v, u in dirs
-            if count_data_files(spark, [u]) > max_files_per_bucket]
-    if not frag:
-        return {"compacted_buckets": 0, "files_before": 0,
-                "files_after": 0}
-    uris = [u for _, u in frag]
-    before = count_data_files(spark, uris)
-    df = (spark.read.option("basePath", f"{path}/vectors")
-          .parquet(*uris))
-    (df.repartition(len(frag), "bucket")
-     .write.partitionBy("bucket")
-     .option("partitionOverwriteMode", "dynamic")
-     .option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
-     .mode("overwrite").parquet(f"{path}/vectors"))
-    after = count_data_files(spark, uris)
-    return {"compacted_buckets": len(frag), "files_before": before,
-            "files_after": after}
+    stats = compact_partitions(spark, f"{path}/vectors", "bucket",
+                               max_files_per_part=max_files_per_bucket,
+                               max_rows_per_file=MAX_ROWS_PER_FILE)
+    return {"compacted_buckets": stats["compacted_parts"],
+            "files_before": stats["files_before"],
+            "files_after": stats["files_after"]}
 
 
 def start_index_ingest_stream(stream_emb: DataFrame, *, path: str,
