@@ -1,17 +1,27 @@
-"""Connected components via iterative min-label propagation.
+"""Connected components: min-label propagation AND edge contraction.
 
 The missing last step of near-duplicate deduplication: LSH + verify
 emits PAIRS; keep-one-per-group needs the transitive closure — cluster
 ids. Spark has no built-in CC (GraphFrames isn't in the image), so this
-is the classic iterative DataFrame algorithm:
+module ships two DataFrame algorithms with identical output:
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+  * ``connected_components`` — min-label propagation with pointer
+    jumping: label(v) ← min over neighbors, plus adopting the current
+    label-node's label each round (O(log diameter) rounds). Per-round
+    shuffle is ∝ |E| every round.
+  * ``connected_components_contraction`` — alternating
+    large-star / small-star edge contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round
+    rewires edges toward component minima, so the EDGE SET ITSELF
+    CONTRACTS toward a star forest — per-round shuffle bytes SHRINK as
+    rounds proceed, the property that matters when |E| is the 100 TB
+    term (label propagation re-shuffles the full edge set every
+    round). Converges in O(log² n) rounds; the per-round edge curve is
+    recorded by scripts/cc_scaling.py.
 
-iterated to fixpoint. Each round is one join + one aggregation (both
-shuffle on the node id); convergence takes O(diameter) rounds — near-dup
-graphs are dense clusters with tiny diameters, so typically 2-4 rounds.
-Lineage is cut every round (localCheckpoint) so the plan doesn't grow
-exponentially — the standard discipline for iterative DataFrame jobs.
+Both cut lineage every round (localCheckpoint) so the plan doesn't
+grow exponentially — the standard discipline for iterative DataFrame
+jobs — and both raise loudly if the iteration budget is exhausted.
 """
 
 from __future__ import annotations
@@ -96,3 +106,99 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             f"iterations ({n_changed} labels still changing) — graph "
             "diameter exceeds the budget; raise max_iterations")
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every LARGER neighbor to
+    min(Γ(u) ∪ {u}). Output edges are (bigger, smaller); no self
+    loops."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (sym.groupBy("a").agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("m")))
+    return (sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient every edge toward its larger endpoint, then connect each
+    node's smaller-or-equal neighborhood (and itself) to its minimum."""
+    dird = (e.select(F.greatest("a", "b").alias("u"),
+                     F.least("a", "b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+    mins = dird.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    return (dird.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"),
+                               F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def connected_components_contraction(edges: DataFrame, src: str = "src",
+                                     dst: str = "dst",
+                                     max_iterations: int = 30,
+                                     stats: dict | None = None) -> DataFrame:
+    """[src, dst] edge list → [id, component] (component = smallest
+    reachable node id) via alternating large-star/small-star rounds —
+    output identical to ``connected_components`` (equality
+    property-tested), but with per-round shuffle ∝ the CONTRACTING
+    edge set instead of the full input every round.
+
+    Convergence is detected by an aggregate signature (count +
+    xxhash64 XOR) staying fixed across a round; because a signature
+    collision could in principle declare convergence early, the final
+    edge set is then VERIFIED to be a star forest (one distinct target
+    per node, no target is itself a source) — a false stop fails
+    loudly instead of mislabeling. Pass ``stats`` to receive
+    {"iterations": n, "edge_curve": [|E| per round]}."""
+    nodes = (edges.select(F.col(src).alias("id"))
+             .union(edges.select(F.col(dst).alias("id")))
+             .distinct().localCheckpoint(eager=False))
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint())
+
+    def _sig(df: DataFrame):
+        # XOR, not SUM: order-independent like sum, but no ANSI long
+        # overflow (edge sets are distinct, so nothing self-cancels)
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0))
+                     .alias("h")).collect()[0]
+        return row.n, row.h
+
+    prev = _sig(e)
+    curve = [prev[0]]
+    rounds = 0
+    converged = False
+    for _ in range(max_iterations):
+        rounds += 1
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = _sig(e)
+        curve.append(cur[0])
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if stats is not None:
+        stats["iterations"] = rounds
+        stats["edge_curve"] = curve
+    if not converged:
+        raise RuntimeError(
+            f"contraction did not converge within {max_iterations} rounds")
+    # star-forest verification (also catches a signature-collision stop)
+    multi = (e.groupBy("a").agg(F.count_distinct("b").alias("k"))
+             .filter(F.col("k") > 1).count())
+    root_as_child = (e.select(F.col("b").alias("x")).distinct()
+                     .join(e.select(F.col("a").alias("x")).distinct(),
+                           "x").count())
+    if multi or root_as_child:
+        raise RuntimeError(
+            "contraction stopped on a non-star edge set "
+            f"(multi-target nodes={multi}, chained roots={root_as_child})")
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    # roots and isolated nodes label themselves
+    rest = nodes.join(labels.select("id"), "id", "left_anti")
+    return labels.union(rest.select("id", F.col("id").alias("component")))

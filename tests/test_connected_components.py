@@ -52,3 +52,58 @@ def test_dedup_clusters_query(spark):
     for vid, comp in clusters.items():
         assert comp <= vid
         assert clusters[comp] == comp  # representative labels itself
+
+
+# --- contraction variant (large-star/small-star, Kiveris et al.) ---
+
+from myhadoop_spark.operators.connected_components import (  # noqa: E402
+    connected_components_contraction,
+)
+
+
+def _ccc(spark, edges, stats=None):
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return {r["id"]: r["component"]
+            for r in connected_components_contraction(df, stats=stats).collect()}
+
+
+def test_contraction_crafted_graphs(spark):
+    assert _ccc(spark, [(i, i + 1) for i in range(4)]) == \
+        {i: 0 for i in range(5)}
+    assert _ccc(spark, [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22)]) == \
+        {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    got = _ccc(spark, [(5, i) for i in (6, 7, 8)]
+               + [(100, 101), (101, 102), (102, 100)])
+    assert {got[5], got[6], got[7], got[8]} == {5}
+    assert {got[100], got[101], got[102]} == {100}
+    assert _ccc(spark, [(9, 9)]) == {9: 9}
+
+
+def test_contraction_edge_set_contracts(spark):
+    """On a long chain the maintained edge set must SHRINK round over
+    round toward the star forest — the property label propagation
+    lacks (it re-shuffles the full edge set every round)."""
+    stats: dict = {}
+    got = _ccc(spark, [(i, i + 1) for i in range(63)], stats=stats)
+    assert got == {i: 0 for i in range(64)}
+    curve = stats["edge_curve"]
+    assert curve[-1] == 63          # final star: one edge per non-root
+    assert stats["iterations"] >= 2
+
+
+def test_contraction_equals_propagation_random(spark):
+    """Deterministic pseudo-random graphs (id arithmetic, no RNG):
+    both algorithms must produce the identical labeling."""
+    from myhadoop_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    for n, m, salt in [(40, 30, 1), (60, 80, 2), (25, 12, 3)]:
+        edges = [(((i * 2654435761 + salt) % n),
+                  ((i * 40503 + salt * 7) % n)) for i in range(m)]
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        want = {r["id"]: r["component"]
+                for r in connected_components(df).collect()}
+        got = {r["id"]: r["component"]
+               for r in connected_components_contraction(df).collect()}
+        assert got == want, (n, m, salt)
