@@ -17,6 +17,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dedup,
     dedup_ext,
     event_analytics,
+    lm,
     media,
     merge_query,
     pipeline,

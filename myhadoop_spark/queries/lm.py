@@ -1,0 +1,79 @@
+"""LM-perplexity quality gate query (operators/lm_filter.py) — the
+KenLM-shaped curation signal as an (ungated) DuckDB differential.
+
+Train the add-α bigram LM on the reference split (doc_id % 20 == 0,
+the curation_gate bench-split convention), score the remaining
+documents. ln/exp are last-ulp-unsafe across engines (the bm25
+measurement), so the compared ppl is floored at 1e-6 — the simsearch
+cosine precedent; the fixed-order fold itself is mirrored exactly
+(Spark F.reduce with 0.0 init ≡ DuckDB list_reduce, since
+0.0 + x == x for the strictly-negative log-probs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load
+from myhadoop_spark.operators.lm_filter import (
+    ALPHA,
+    score_perplexity,
+    train_bigram_lm,
+)
+from myhadoop_spark.registry import register
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+@register(
+    "lm_perplexity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ref AS (SELECT toks FROM t WHERE doc_id % 20 = 0 AND len(toks) > 0),
+    uni AS (SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY w1),
+    big AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c2 FROM (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS bg
+              FROM ref WHERE len(toks) >= 2) GROUP BY bg.w1, bg.w2),
+    v AS (SELECT count(*) AS vs FROM uni),
+    cand AS (SELECT doc_id, len(toks) AS n, toks FROM t
+             WHERE doc_id % 20 <> 0 AND len(toks) >= 2),
+    pairs AS (SELECT doc_id, n, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2
+              FROM (SELECT doc_id, n,
+                      unnest(list_transform(
+                        generate_series(1, n - 1),
+                        i -> struct_pack(pos := i, w1 := toks[i],
+                                         w2 := toks[i + 1]))) AS bg
+                    FROM cand)),
+    lp AS (SELECT p.doc_id, p.n, p.pos,
+             ln((CAST(coalesce(b.c2, 0) AS DOUBLE) + {ALPHA})
+                / (CAST(coalesce(u.c1, 0) AS DOUBLE)
+                   + ({ALPHA} * CAST(v.vs AS DOUBLE)))) AS lp
+           FROM pairs p
+           LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+           LEFT JOIN uni u ON p.w1 = u.w1
+           CROSS JOIN v)
+    SELECT doc_id, n - 1 AS n_bigrams,
+           floor(exp(-(list_reduce(list(lp ORDER BY pos),
+                                   (a, b) -> a + b))
+                     / CAST(n - 1 AS DOUBLE)) * 1e6) / 1e6 AS ppl
+    FROM lp GROUP BY doc_id, n
+    """,
+    tags=("lm", "extension"),
+    gate=False,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, ppl): add-α bigram perplexity of the
+    non-reference documents under the reference-split LM, ppl floored
+    at 1e-6 for the cross-engine comparison."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 20 == 0))
+    scored = score_perplexity(docs.filter(F.col("doc_id") % 20 != 0),
+                              lm, broadcast_lm=True)
+    return scored.select(
+        "doc_id", "n_bigrams",
+        (F.floor(F.col("ppl") * 1e6) / 1e6).alias("ppl"))
