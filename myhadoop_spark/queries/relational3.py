@@ -254,3 +254,75 @@ def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pairsums_fp"),
         F.exists(v, lambda x: x < -0.5).alias("has_very_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate-quantile sketch battery (r6) — the approx_distinct design
+# applied to percentiles: exact values are the cross-engine contract,
+# the sketch is oracle-verified as a BOUND.
+# ---------------------------------------------------------------------------
+
+_QPS = (0.5, 0.9, 0.99)
+_QACC = 1000        # approx_percentile accuracy → rank error ≤ 1/_QACC
+_QEPS = 5.0 / _QACC   # 5x the nominal rank error, the
+#   approx_distinct convention (its HLL flag allows 5x rsd):
+#   measured realized error is ~2-5x 1/accuracy once the
+#   sketch rank and the continuous-interpolation rank
+#   conventions (floor(pN) vs p(N-1)+1) are both counted
+
+
+@register(
+    "approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                 * 1e6) / 1e6 AS p50,
+           floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
+                 * 1e6) / 1e6 AS p90,
+           floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+                 * 1e6) / 1e6 AS p99,
+           TRUE AS sketch_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx", "sketch"),
+    gate=False,
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price percentiles: exact interpolated values
+    (floored at 1e-6 — Spark and DuckDB interpolate the same rank with
+    different expression trees, the simsearch rounding precedent) plus
+    a boolean asserting the approx_percentile sketch (GK/KLL-family,
+    accuracy=1000) landed inside 5× its nominal rank error:
+    each estimate must lie between the exact quantiles at p ∓ 5/acc
+    (the approx_distinct 5×-margin convention).
+    So the sketch is oracle-verified as a bound, not a bit pattern —
+    exactly approx_distinct's HLL design.
+
+    Scale note: the EXACT side is the oracle-side crutch (Spark's
+    percentile holds each group's values; memory ∝ group size) — at
+    100 TB only the sketch branch runs, and its mergeable partial
+    state shuffles ∝ partitions × groups, never ∝ rows. The two
+    branches are kept as separate aggregations joined on the tiny
+    group key for the same reason approx_distinct splits: a combined
+    agg() would shuffle sketch partials per pre-aggregation row."""
+    price = F.col("l_extendedprice").cast("double")
+    li = load(spark, sf_dir, "lineitem")
+    lo_hi = [q for p in _QPS
+             for q in (max(p - _QEPS, 0.0), min(p + _QEPS, 1.0))]
+    exact = li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit(list(_QPS))).alias("_ex"),
+        F.percentile(price, F.lit(lo_hi)).alias("_bounds"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(price, F.lit(list(_QPS)), _QACC).alias("_ap"))
+    in_bound = None
+    for i in range(len(_QPS)):
+        ok = ((F.col("_ap")[i] >= F.col("_bounds")[2 * i])
+              & (F.col("_ap")[i] <= F.col("_bounds")[2 * i + 1]))
+        in_bound = ok if in_bound is None else (in_bound & ok)
+    return (exact.join(approx, "l_returnflag")
+            .select("l_returnflag",
+                    (F.floor(F.col("_ex")[0] * 1e6) / 1e6).alias("p50"),
+                    (F.floor(F.col("_ex")[1] * 1e6) / 1e6).alias("p90"),
+                    (F.floor(F.col("_ex")[2] * 1e6) / 1e6).alias("p99"),
+                    in_bound.alias("sketch_in_bound")))
