@@ -133,3 +133,63 @@ def lm_quality_filter(docs: DataFrame, lm: dict, *, max_ppl: float,
                               broadcast_lm=broadcast_lm)
     return (docs.join(scored.filter(F.col("ppl") <= max_ppl)
                       .select(F.col(id_col), "ppl"), id_col))
+
+
+def save_lm(lm: dict, path: str) -> None:
+    """Persist the LM as a lakehouse asset (the index-table discipline:
+    counts as parquet, scalars in a crash-safe metadata file) so a
+    trained reference LM is reusable across jobs and sessions."""
+    import json
+
+    from myhadoop_spark.fsutil import write_small_file
+
+    spark = lm["bigrams"].sparkSession
+    lm["bigrams"].write.mode("overwrite").parquet(f"{path}/bigrams")
+    lm["unigrams"].write.mode("overwrite").parquet(f"{path}/unigrams")
+    write_small_file(spark, f"{path}/meta.json",
+                     json.dumps({"vocab_size": lm["vocab_size"]}))
+
+
+def load_lm(spark, path: str) -> dict:
+    """Reload a persisted LM; scoring under it is bitwise-identical to
+    scoring under the in-memory original (tested — counts are integers
+    and vocab_size round-trips exactly)."""
+    import json
+
+    from myhadoop_spark.fsutil import read_small_file
+
+    raw = read_small_file(spark, f"{path}/meta.json")
+    if raw is None:
+        raise FileNotFoundError(f"no LM at {path}")
+    return {"bigrams": spark.read.parquet(f"{path}/bigrams"),
+            "unigrams": spark.read.parquet(f"{path}/unigrams"),
+            "vocab_size": json.loads(raw)["vocab_size"]}
+
+
+def start_lm_scoring_stream(doc_stream: DataFrame, lm: dict, *,
+                            out_path: str, checkpoint: str,
+                            alpha: float = ALPHA,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Streaming face: score each micro-batch of arriving documents
+    under the STATIC reference LM and append (id, n_bigrams, ppl) to
+    the sink — ingest-time quality scoring, the lm twin of
+    streaming/decontam_stream.py. foreachBatch (the bloom_ingest
+    pattern) because the per-doc fold is a batch-shaped aggregation;
+    every batch is self-contained, so no streaming state at all. The
+    LM broadcasts (it is a curated reference corpus — small by
+    construction); per-batch cost ∝ batch tokens, independent of
+    stream history."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (score_perplexity(batch, lm, alpha=alpha, id_col=id_col,
+                          text_col=text_col, broadcast_lm=True)
+         .write.mode("append").parquet(out_path))
+
+    return (doc_stream.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -151,3 +151,49 @@ def test_property_matches_model(spark, ref_tokens, cand_tokens):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) <= 1e-9 * max(1.0, want[i][1])
+
+
+def test_save_load_roundtrip_bitwise(spark, tmp_path):
+    from myhadoop_spark.operators.lm_filter import load_lm, save_lm
+
+    lm = train_bigram_lm(spark.createDataFrame(REF,
+                                               "doc_id long, text string"))
+    save_lm(lm, str(tmp_path / "lm"))
+    lm2 = load_lm(spark, str(tmp_path / "lm"))
+    assert lm2["vocab_size"] == lm["vocab_size"]
+    docs = spark.createDataFrame(CAND, "doc_id long, text string")
+    a = {r.doc_id: (r.n_bigrams, r.ppl)
+         for r in score_perplexity(docs, lm).collect()}
+    b = {r.doc_id: (r.n_bigrams, r.ppl)
+         for r in score_perplexity(docs, lm2, broadcast_lm=True).collect()}
+    assert a == b  # BITWISE across the persistence round-trip
+
+
+def test_streaming_scoring_matches_batch(spark, tmp_path):
+    """Micro-batched scoring through the stream face must equal
+    batch scoring of the same documents, bitwise."""
+    import time
+
+    from myhadoop_spark.operators.lm_filter import start_lm_scoring_stream
+
+    lm = train_bigram_lm(spark.createDataFrame(REF,
+                                               "doc_id long, text string"))
+    docs = spark.createDataFrame(CAND, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "scored")
+    q = start_lm_scoring_stream(stream, lm, out_path=out,
+                                checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: (r.n_bigrams, r.ppl)
+            for r in score_perplexity(docs, lm).collect()}
+    assert got == want  # BITWISE
