@@ -76,11 +76,13 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 
 
 def term_bucket_col(col, n_buckets: int):
-    """The same shard as a JVM-side expression (parity with
-    term_bucket_py pinned in tests/test_bm25_index.py)."""
-    h = (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-         .cast("long"))
-    return (h % n_buckets).cast("int")
+    """The same shard as a JVM-side expression — the CANONICAL
+    engine-portable hash (queries/sampling.py::hash_bucket), not a
+    re-implementation, so the driver-side parity (pinned in
+    tests/test_bm25_index.py) can't drift."""
+    from myhadoop_spark.queries.sampling import hash_bucket
+
+    return hash_bucket(col, n_buckets).cast("int")
 
 
 def _postings(docs: DataFrame, n_buckets: int, id_col: str,
@@ -144,12 +146,22 @@ def _load_meta(spark: SparkSession, path: str) -> dict:
 
 def append_to_bm25_index(new_docs: DataFrame, path: str, *,
                          append_id: str | None = None,
-                         text_col: str = "text") -> None:
+                         text_col: str = "text") -> str:
     """Append the new documents' postings partitions and one stats row
     — existing lists untouched, df/N/avgdl correct by derivation.
     ``append_id`` must be unique per logical append (the streaming
     face keys it by batch id for replay idempotence); autoderived from
-    the stats listing when omitted."""
+    the stats listing when omitted, and RETURNED either way.
+
+    Crash/retry contract: the postings append and the stats write are
+    two writes, so a crash between them leaves the index mis-scored
+    (df without matching N) until the append is RETRIED — always with
+    the SAME append_id (the return value; persist it before calling if
+    the caller itself can crash). A same-id retry is exactly
+    idempotent: the stats row is a dynamic partition overwrite, and
+    the retried postings rows are bitwise duplicates the probe's
+    dropDuplicates collapses. Retrying under a NEW id would instead
+    double-count that batch in n_docs/sum_dl permanently."""
     from myhadoop_spark.fsutil import list_partition_dirs
 
     spark = new_docs.sparkSession
@@ -169,6 +181,7 @@ def append_to_bm25_index(new_docs: DataFrame, path: str, *,
      .coalesce(1).write.partitionBy("append_id")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(f"{path}/stats"))
+    return append_id
 
 
 def search_bm25_index(spark: SparkSession, path: str,

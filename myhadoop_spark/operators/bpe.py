@@ -149,13 +149,23 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], *,
 
     @F.pandas_udf(ArrayType(StringType()))
     def _encode(texts):
+        import re
+
         import pandas as pd
         ms = bc.value
         memo: dict[str, list[str]] = {}
+        # ASCII \s+, NOT str.split(): training segments words with the
+        # engine-wide Java-regex tokenization (_tokens), whose \s is
+        # ASCII-only — Python's Unicode split would break e.g.
+        # 'foo bar' into two words the merges were never trained
+        # on (regression-tested)
+        ws = re.compile(r"\s+", re.ASCII)
 
         def enc_doc(t):
             out: list[str] = []
-            for w in (t or "").split():
+            for w in ws.split(t or ""):
+                if not w:
+                    continue
                 if w not in memo:
                     memo[w] = encode_word(w, ms)
                 out.extend(memo[w])

@@ -65,6 +65,12 @@ def train_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text") -> dict:
     big = (pairs.select("bg.w1", "bg.w2")
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
     v = uni.count()
+    if v == 0:
+        # fail loudly: with V=0 every smoothed probability divides by
+        # zero to +Inf and every candidate would score ppl=0.0 — the
+        # quality gate would silently pass the whole corpus
+        raise ValueError("reference corpus has no tokens — cannot "
+                         "train a bigram LM")
     return {"bigrams": big, "unigrams": uni, "vocab_size": v}
 
 
@@ -179,14 +185,18 @@ def start_lm_scoring_stream(doc_stream: DataFrame, lm: dict, *,
     every batch is self-contained, so no streaming state at all. The
     LM broadcasts (it is a curated reference corpus — small by
     construction); per-batch cost ∝ batch tokens, independent of
-    stream history."""
+    stream history. Each batch lands as an OVERWRITTEN
+    ``batch_id=<id>`` directory, not a bare append — foreachBatch
+    replays a batch after a crash, and replaying an append would
+    double-emit (the bloom_ingest discipline); replay is tested."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         (score_perplexity(batch, lm, alpha=alpha, id_col=id_col,
                           text_col=text_col, broadcast_lm=True)
-         .write.mode("append").parquet(out_path))
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
 
     return (doc_stream.writeStream
             .foreachBatch(_process)

@@ -58,9 +58,7 @@ def main() -> None:
         stats = curate_chunks(spark, sf_dir, dest)
         wall = time.time() - t0
         d = meter.delta()
-        man = stats["manifest"]
-        shards = len(man.get("shards", man.get("counts", {}))) or \
-            man.get("n_shards", 0)
+        shards = len(stats["manifest"]["shards"])
         line = (f"myhadoop_spark\t{Path(sf_dir).name}\t"
                 f"{stats['raw_docs']}\t{stats['chunks']}\t"
                 f"{stats['after_chunk_dedup']}\t{stats['after_decontam']}\t"

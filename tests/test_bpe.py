@@ -139,3 +139,17 @@ def test_property_training_and_encoding_match_model(spark, doc_words):
     for i, t in rows:
         assert got[i] == [tok for w in t.split()
                           for tok in encode_word(w, merges)]
+
+
+def test_unicode_whitespace_segmentation_matches_training(spark):
+    """Training tokenizes with the engine-wide Java \\s+ (ASCII-only),
+    so NBSP is a word CHARACTER; the encode UDF must segment the same
+    way — 'foo\\xa0bar' is ONE trained word, not two."""
+    nbsp_word = "foo\u00a0bar"
+    rows = [(0, f"{nbsp_word} {nbsp_word} baz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=8)
+    got = bpe_encode(docs, merges).collect()[0].bpe_tokens
+    want = (encode_word(nbsp_word, merges) * 2
+            + encode_word("baz", merges))
+    assert got == want

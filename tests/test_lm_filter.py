@@ -197,3 +197,47 @@ def test_streaming_scoring_matches_batch(spark, tmp_path):
     want = {r.doc_id: (r.n_bigrams, r.ppl)
             for r in score_perplexity(docs, lm).collect()}
     assert got == want  # BITWISE
+
+
+def test_empty_reference_corpus_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="no tokens"):
+        train_bigram_lm(spark.createDataFrame(
+            [(0, ""), (1, "   ")], "doc_id long, text string"))
+
+
+def test_streaming_scoring_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a batch (foreachBatch at-least-once) must not
+    double-emit: each batch lands as an overwritten batch_id dir."""
+    import time
+
+    from myhadoop_spark.operators.lm_filter import start_lm_scoring_stream
+
+    lm = train_bigram_lm(spark.createDataFrame(REF,
+                                               "doc_id long, text string"))
+    docs = spark.createDataFrame(CAND, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "scored")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(src))
+        q = start_lm_scoring_stream(stream, lm, out_path=out,
+                                    checkpoint=str(tmp_path / ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            time.sleep(0.2)
+
+    run("ckpt1")
+    first = sorted((r.doc_id, r.n_bigrams, r.ppl)
+                   for r in spark.read.parquet(out)
+                   .select("doc_id", "n_bigrams", "ppl").collect())
+    run("ckpt2")  # fresh checkpoint => the same batch 0 is REPLAYED
+    again = sorted((r.doc_id, r.n_bigrams, r.ppl)
+                   for r in spark.read.parquet(out)
+                   .select("doc_id", "n_bigrams", "ppl").collect())
+    assert again == first  # no duplicates — idempotent emit
