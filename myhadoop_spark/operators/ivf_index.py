@@ -173,6 +173,29 @@ def compact_index(spark: SparkSession, path: str, *,
             "files_after": stats["files_after"]}
 
 
+def retrain_index(spark: SparkSession, path: str, *, k: int = 16,
+                  iterations: int = 5) -> list[list[float]]:
+    """Re-train the centroids from the index's CURRENT vectors and
+    re-assign every vector — the explicit-retrain half of the FAISS
+    discipline (add() never moves centroids; after enough appends the
+    data distribution drifts from the trained lists and probe recall
+    decays, so a periodic retrain rewrites the index under fresh
+    centroids). Completes the lifecycle: build → append → compact →
+    RETRAIN.
+
+    The retrained index is definitionally identical to
+    ``build_index`` over the stored vectors (same deterministic
+    sampled k-means, same assignment; tested), so search-after-retrain
+    ≡ search over a fresh build — no accuracy surprises, and replay
+    duplicates from an at-least-once ingest are carried through
+    unchanged (still collapsed at probe time)."""
+    # localCheckpoint is LOAD-BEARING: build_index overwrites the very
+    # files this plan would otherwise lazily re-read mid-write
+    emb = (spark.read.parquet(f"{path}/vectors")
+           .select("vec_id", "v").localCheckpoint())
+    return build_index(emb, path, k=k, iterations=iterations)
+
+
 def start_index_ingest_stream(stream_emb: DataFrame, *, path: str,
                               checkpoint: str, vec_col: str = "v",
                               id_col: str = "vec_id",

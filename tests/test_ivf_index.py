@@ -185,3 +185,21 @@ def test_streaming_ingest_matches_batch_append(spark, tmp_path):
                          queries, cents, top_k=TOP_K))
     got = _res(search_index(spark, path, queries, top_k=TOP_K))
     assert got == want
+
+
+def test_retrain_equals_fresh_build(spark, tmp_path):
+    """build(half) → append(half) → retrain must yield exactly the
+    index a one-shot build over the union produces: same centroids,
+    same search results — the FAISS explicit-retrain contract."""
+    from myhadoop_spark.operators.ivf_index import retrain_index
+
+    emb = _emb(spark).localCheckpoint()
+    inc, fresh = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    build_index(emb.filter(F.col("vec_id") % 2 == 0), inc, k=K)
+    append_to_index(emb.filter(F.col("vec_id") % 2 == 1), inc)
+    retrained = retrain_index(spark, inc, k=K)
+    want_cents = build_index(emb, fresh, k=K)
+    assert retrained == want_cents
+    q = _queries(emb)
+    assert _res(search_index(spark, inc, q, top_k=TOP_K)) == \
+        _res(search_index(spark, fresh, q, top_k=TOP_K))
