@@ -69,7 +69,8 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
            *, train_frac_mod: int = 2, n_shards: int = 8,
            wide_hash: bool = False,
            seen_filter: DataFrame | None = None,
-           n_filter_shards: int = 1) -> dict:
+           n_filter_shards: int = 1,
+           lm_max_ppl: float | None = None) -> dict:
     """Run the full flow; returns {stage: row_count} + the export
     manifest under 'manifest'. Deterministic end to end: hash-based
     classifier split, content-hash shards, id-ordered dedup keeps.
@@ -89,7 +90,14 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
       classification/dedup for content the corpus already holds;
     * ``n_filter_shards > 1`` probes that filter through the
       range-sharded path (one broadcast alive at a time, verdicts
-      AND-combined, bit-identical) for filters beyond one broadcast.
+      AND-combined, bit-identical) for filters beyond one broadcast;
+    * ``lm_max_ppl`` arms the second quality gate (r6): a bigram LM
+      trained on the benchmark reference split (the same trusted
+      doc_id%20 slice decontamination protects) scores the
+      classifier-kept docs, and those with perplexity above the
+      threshold drop (operators/lm_filter.py — the KenLM-shaped
+      CCNet/DCLM stage). Docs too short to score (< 2 tokens) pass
+      through: no evidence is not negative evidence.
     """
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
@@ -98,7 +106,7 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     try:
         return _curate(spark, raw, stats, out_path, train_frac_mod,
                        n_shards, frontiers, wide_hash, seen_filter,
-                       n_filter_shards)
+                       n_filter_shards, lm_max_ppl)
     finally:
         # release the cached frontiers on every exit path — a failed
         # stage must not leave corpus-sized blocks pinned for the rest
@@ -110,7 +118,8 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
 def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             out_path: str, train_frac_mod: int, n_shards: int,
             frontiers: list[DataFrame], wide_hash: bool,
-            seen_filter: DataFrame | None, n_filter_shards: int) -> dict:
+            seen_filter: DataFrame | None, n_filter_shards: int,
+            lm_max_ppl: float | None = None) -> dict:
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         frontiers.append(df)
@@ -155,6 +164,24 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
                     .filter("pred").select("doc_id")
                     .join(clean, "doc_id"))
     stats["after_quality"] = kept.count()
+
+    # 2b. optional LM perplexity gate: the second, distributional
+    #     quality signal (the classifier is lexical/integer-exact; the
+    #     LM catches fluency outliers). Reference = the trusted bench
+    #     split; left_anti keeps unscored short docs
+    if lm_max_ppl is not None:
+        from myhadoop_spark.operators.lm_filter import (
+            score_perplexity,
+            train_bigram_lm,
+        )
+
+        lm = train_bigram_lm(
+            clean.filter(F.col("doc_id") % 20 == 0).select("text"))
+        too_perplexing = (score_perplexity(kept, lm, broadcast_lm=True)
+                          .filter(F.col("ppl") > lm_max_ppl)
+                          .select("doc_id"))
+        kept = _persist(kept.join(too_perplexing, "doc_id", "left_anti"))
+        stats["after_lm_gate"] = kept.count()
 
     # 3. exact-substring dedup: drop the LARGER doc_id of each verified
     #    pair (transitively safe: every dropped doc has a kept or
