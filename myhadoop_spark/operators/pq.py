@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from myhadoop_spark.operators.ivf import (
     _bounded_sample, _centroid_matrix, _dot, _lloyd,
     assign_buckets, probe_buckets)
@@ -61,6 +63,42 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "v",
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
     return [_lloyd(sample[:, j * d_sub:(j + 1) * d_sub], k_sub, iterations)
+            for j in range(m)]
+
+
+def residual_col(vec_col: str, bucket_col: str,
+                 cents: list[list[float]]) -> Column:
+    """v − centroid(bucket): the residual the FAISS IVFADC design
+    actually quantizes — residual magnitudes are much smaller than raw
+    vectors once the coarse quantizer has soaked up the bucket mean,
+    so the same k_sub codebook entries cover them more densely."""
+    mat = _centroid_matrix(cents)
+    return F.zip_with(F.col(vec_col),
+                      F.element_at(mat, F.col(bucket_col) + 1),
+                      lambda x, y: x - y)
+
+
+def train_residual_codebooks(emb: DataFrame, cents: list[list[float]],
+                             vec_col: str = "v", id_col: str = "vec_id",
+                             m: int = 16, k_sub: int = 16,
+                             iterations: int = 5,
+                             sample_cap: int = 4096
+                             ) -> list[list[list[float]]]:
+    """PQ codebooks trained on RESIDUALS (v − assigned centroid) of
+    the bounded sample — the IVFADC discipline. Assignment mirrors
+    assign_buckets\' dot-argmax (ties, measure-zero on real floats,
+    may pick a different bucket than the lexicographic struct max —
+    harmless for codebook training). Use with
+    ``pq_index_residual`` / ``ivfpq_topk(..., residual=True)``."""
+    sample = _bounded_sample(emb, vec_col, id_col, sample_cap)
+    c = np.array(cents, dtype=np.float64)
+    assign = (sample @ c.T).argmax(axis=1)
+    res = sample - c[assign]
+    dim = res.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    return [_lloyd(res[:, j * d_sub:(j + 1) * d_sub], k_sub, iterations)
             for j in range(m)]
 
 
@@ -112,6 +150,20 @@ def pq_index(emb: DataFrame, cents: list[list[float]],
                                              nrm_col)
 
 
+def pq_index_residual(emb: DataFrame, cents: list[list[float]],
+                      books: list[list[list[float]]],
+                      id_col: str = "vec_id", vec_col: str = "v",
+                      nrm_col: str = "nrm") -> DataFrame:
+    """The compact index with codes over RESIDUALS — same schema and
+    byte footprint as pq_index; the bucket id is no longer just a
+    candidate filter but part of the value decomposition
+    dot(q,v) = dot(q,c_bucket) + dot(q,residual)."""
+    assigned = (assign_buckets(emb, cents, vec_col=vec_col)
+                .withColumn("_rv", residual_col(vec_col, "bucket", cents)))
+    return pq_encode(assigned, books, vec_col="_rv").select(
+        id_col, "bucket", "codes", nrm_col)
+
+
 def _query_lut(books: list[list[list[float]]],
                qvec_col: str = "qv") -> Column:
     """Per-query ADC lookup table: lut[j][c] = dot(q_sub_j, books[j][c])
@@ -134,7 +186,7 @@ def _sub_lut(mat: Column, sub: Column, k_sub: int) -> Column:
 def ivfpq_topk(emb: DataFrame, queries: DataFrame,
                cents: list[list[float]],
                books: list[list[list[float]]], top_k: int = 5,
-               refine: int = 4) -> DataFrame:
+               refine: int = 4, residual: bool = False) -> DataFrame:
     """queries[q_id, qv, qnrm] × emb[vec_id, v, nrm] → per-query top-k
     EXACT cosines, searched through the compact PQ index.
 
@@ -145,10 +197,26 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame,
     Stage 2 (refine): join the shortlist — refine·top_k·|Q| rows,
     independent of corpus size — back to the raw vectors for exact
     cosine, then exact top-k. Output schema matches ivf_topk /
-    simsearch_exact so recall is directly comparable."""
-    index = pq_index(emb, cents, books)
+    simsearch_exact so recall is directly comparable.
+
+    ``residual=True`` (books from train_residual_codebooks): the
+    approximate dot decomposes as dot(q, c_bucket) + Σ_j lut[j][code_j]
+    — one extra per-(query, bucket) centroid dot computed on the tiny
+    probed relation, never per candidate. Measured
+    (pq_residual_study.tsv, sf0.01): in the memory-tight regime
+    residual coding is the clear win — m=8/refine=4 recall 0.72 vs
+    0.56 raw — while at m=16 or refine=16 both reach the 0.88 IVF
+    probe ceiling (raw converging slightly faster at m=16/refine=4);
+    use residual when m is the binding budget, which at 100 TB it is."""
+    index = (pq_index_residual(emb, cents, books) if residual
+             else pq_index(emb, cents, books))
     probed = probe_buckets(queries, cents).withColumn(
         "lut", _query_lut(books))
+    if residual:
+        mat = _centroid_matrix(cents)
+        probed = probed.withColumn(
+            "qc_dot",
+            _dot(F.col("qv"), F.element_at(mat, F.col("bucket") + 1)))
     adc = F.aggregate(
         F.zip_with(F.col("codes"), F.col("lut"),
                    lambda c, lut_j: F.element_at(lut_j, c.cast("int") + 1)),
@@ -159,7 +227,8 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame,
         index.join(F.broadcast(probed), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id",
-                (adc / (F.col("nrm") * F.col("qnrm"))).alias("approx_cos"))
+                (((F.col("qc_dot") + adc) if residual else adc)
+                 / (F.col("nrm") * F.col("qnrm"))).alias("approx_cos"))
         # no dedup needed: assign_buckets gives each vector exactly one
         # bucket and probe_buckets emits n_probe DISTINCT buckets per
         # query, so (q_id, vec_id) is already unique — a distinct here
