@@ -16,6 +16,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     curation_gate,
     dedup,
     dedup_ext,
+    drift,
     event_analytics,
     lm,
     media,
