@@ -1,0 +1,87 @@
+"""Streaming Misra-Gries maintenance (streaming/heavy_hitters_stream):
+the mergeable-summaries bound holds across micro-batches, replay is
+idempotent, and the query face orders correctly."""
+
+from __future__ import annotations
+
+import time
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from myhadoop_spark.streaming.heavy_hitters_stream import (
+    start_mg_stream,
+    stream_topk,
+)
+
+CAP = 8
+
+
+def _mk_terms(spark, tmp_path):
+    """A skewed term stream: a few heavy terms + a long tail, written
+    as multiple files so availableNow splits it into micro-batches."""
+    rows = []
+    for i in range(3000):
+        if i % 3 == 0:
+            rows.append((f"heavy{i % 2}",))
+        elif i % 7 == 0:
+            rows.append(("warm",))
+        else:
+            rows.append((f"tail{i % 97}",))
+    df = spark.createDataFrame(rows, "term string")
+    src = str(tmp_path / "src")
+    df.repartition(5).write.parquet(src)
+    return src, Counter(t for (t,) in rows)
+
+
+def _run(spark, src, path, ckpt):
+    stream = spark.readStream.schema("term string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_mg_stream(stream, path=path, checkpoint=ckpt, capacity=CAP)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+
+
+def test_bound_holds_and_heavy_terms_survive(spark, tmp_path):
+    src, true = _mk_terms(spark, tmp_path)
+    path = str(tmp_path / "mg")
+    _run(spark, src, path, str(tmp_path / "ck1"))
+    rows = stream_topk(spark, path, k=CAP, capacity=CAP).collect()
+    assert rows
+    err = rows[0].err_bound
+    n = sum(true.values())
+    assert err == n // (CAP + 1)
+    got = {r.term: r.est for r in rows}
+    for t, est in got.items():
+        assert est <= true[t] <= est + err, (t, est, true[t], err)
+    # the mergeable-MG guarantee: anything truly heavier than the
+    # bound must be present in the summary
+    for t, c in true.items():
+        if c > err:
+            assert t in got, (t, c, err)
+    # ordering: est desc, term asc
+    keys = [(-r.est, r.term) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    src, _ = _mk_terms(spark, tmp_path)
+    path = str(tmp_path / "mg")
+    _run(spark, src, path, str(tmp_path / "ck1"))
+    first = [(r.term, r.est, r.err_bound) for r in
+             stream_topk(spark, path, k=CAP, capacity=CAP).collect()]
+    # fresh checkpoint: every batch is re-delivered; the absorbed-batch
+    # watermark must skip them all
+    _run(spark, src, path, str(tmp_path / "ck2"))
+    again = [(r.term, r.est, r.err_bound) for r in
+             stream_topk(spark, path, k=CAP, capacity=CAP).collect()]
+    assert again == first
+
+
+def test_missing_state_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        stream_topk(spark, str(tmp_path / "nope"))
