@@ -87,13 +87,19 @@ def term_bucket_col(col, n_buckets: int):
 
 def _postings(docs: DataFrame, n_buckets: int, id_col: str,
               text_col: str) -> DataFrame:
+    """(doc_id, dl, term, tf, positions, tbucket) — POSITIONAL
+    postings: the sorted 0-based token positions per (term, doc) make
+    the index answer phrase queries (``phrase_search_index``), not
+    just bag-of-words scoring; tf stays a separate column so the BM25
+    probe's bitwise score parity is untouched."""
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        _tokens(text_col).alias("_toks"))
     return (toks
             .select("doc_id", F.size("_toks").alias("dl"),
-                    F.explode("_toks").alias("term"))
+                    F.posexplode("_toks").alias("pos", "term"))
             .groupBy("doc_id", "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
             .withColumn("tbucket", term_bucket_col(F.col("term"),
                                                    n_buckets)))
 
@@ -230,6 +236,53 @@ def search_bm25_index(spark: SparkSession, path: str,
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= top_k))
+
+
+def phrase_search_index(spark: SparkSession, path: str,
+                        phrase: list[str]) -> DataFrame:
+    """(id, n_occurrences): documents containing the exact consecutive
+    token ``phrase``, with occurrence counts — answered FROM THE INDEX
+    (positional postings), reading only the phrase terms' shard
+    directories like the BM25 probe. An occurrence at position p means
+    term i sits at p+i for every i; computed as one conditional-agg
+    pivot of the probed postings into per-term position arrays, then a
+    narrow array intersection — no join per phrase term. Equals the
+    direct from-text count (queries/phrase.py::count_phrase_col)
+    exactly (tested)."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    meta = _load_meta(spark, path)
+    buckets = sorted({term_bucket_py(t, meta["n_buckets"])
+                      for t in phrase})
+    posts = (spark.read.parquet(f"{path}/postings")
+             .filter(F.col("tbucket").isin(buckets)
+                     & F.col("term").isin(list(set(phrase))))
+             .dropDuplicates(["term", "doc_id"]))
+    terms = sorted(set(phrase))
+    per_doc = posts.groupBy("doc_id").agg(*[
+        F.first(F.when(F.col("term") == F.lit(t), F.col("positions")),
+                ignorenulls=True).alias(f"_p{i}")
+        for i, t in enumerate(terms)])
+    pos_of = {t: F.col(f"_p{terms.index(t)}") for t in set(phrase)}
+    # anchor on the first term's positions; an occurrence survives if
+    # every later phrase slot's position list contains p + offset
+    anchor = F.coalesce(pos_of[phrase[0]],
+                        F.array().cast("array<int>"))
+
+    def _match(p):
+        m = None
+        for off, t in enumerate(phrase[1:], start=1):
+            c = F.array_contains(
+                F.coalesce(pos_of[t], F.array().cast("array<int>")),
+                p + off)
+            m = c if m is None else (m & c)
+        return m if m is not None else F.lit(True)
+
+    n_occ = F.size(F.filter(anchor, _match))
+    id_col = meta["id_col"]
+    return (per_doc.select(F.col("doc_id").alias(id_col),
+                           n_occ.alias("n_occurrences"))
+            .filter(F.col("n_occurrences") > 0))
 
 
 def compact_bm25_index(spark: SparkSession, path: str, *,

@@ -21,6 +21,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     lm,
     media,
     merge_query,
+    phrase,
     pipeline,
     reference_parity,
     relational,

@@ -174,3 +174,47 @@ def test_error_faces(spark, tmp_path):
     build_bm25_index(docs, path, n_buckets=4)
     with pytest.raises(ValueError):
         search_bm25_index(spark, path, [])
+
+
+def test_phrase_search_index_equals_direct_count(spark, tmp_path):
+    """The positional-postings phrase answer must equal the direct
+    from-text count (which itself carries the DuckDB oracle) — on the
+    driver fixture and on crafted repeat/overlap cases."""
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.operators.bm25 import _tokens
+    from myhadoop_spark.operators.bm25_index import phrase_search_index
+    from myhadoop_spark.queries.phrase import PHRASE, count_phrase_col
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=16)
+    want = {(r.doc_id, r.n_occurrences) for r in
+            docs.select("doc_id", count_phrase_col(
+                _tokens("text"), PHRASE).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") > 0).collect()}
+    got = {(r.doc_id, r.n_occurrences) for r in
+           phrase_search_index(spark, path, PHRASE).collect()}
+    assert got == want
+    assert got  # the fixture phrase occurs — non-degenerate
+
+    crafted = spark.createDataFrame(
+        [(0, "a b a b a b"),        # overlapping bigram repeats -> 3
+         (1, "a a a a"),            # phrase ["a","a"] -> 3
+         (2, "b a"),                # reversed -> 0 for ["a","b"]
+         (3, "a")],                 # too short
+        "doc_id long, text string")
+    cpath = str(tmp_path / "cidx")
+    build_bm25_index(crafted, cpath, n_buckets=4)
+    for phrase, want_map in [(["a", "b"], {0: 3}),
+                             (["a", "a"], {1: 3}),
+                             (["a"], {0: 3, 1: 4, 2: 1, 3: 1}),
+                             (["zz", "a"], {})]:
+        direct = {r.doc_id: r.n_occurrences for r in
+                  crafted.select("doc_id", count_phrase_col(
+                      _tokens("text"), phrase).alias("n_occurrences"))
+                  .filter(F.col("n_occurrences") > 0).collect()}
+        assert direct == want_map, (phrase, direct)
+        via_index = {r.doc_id: r.n_occurrences for r in
+                     phrase_search_index(spark, cpath, phrase).collect()}
+        assert via_index == want_map, (phrase, via_index)
