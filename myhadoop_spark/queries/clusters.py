@@ -49,3 +49,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = simsearch.embed_neardup(spark, sf_dir).select(
         F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split (r6): train/val/test assignment at the NEAR-DUP
+# CLUSTER level — if any member of a near-duplicate cluster lands in
+# eval, its twins must not land in train (the contamination mode a
+# row-level split cannot prevent). Split = deterministic hash of the
+# cluster REPRESENTATIVE, so every member inherits the same side;
+# isolated vectors are their own cluster. Composes the CC operator
+# with the sampling module's engine-portable hash — and the oracle
+# composes the recursive-CTE closure with the same md5 bucket.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH cc AS ({_CC_ORACLE}),
+all_ids AS (SELECT vec_id FROM embeddings),
+lab AS (SELECT vec_id, coalesce(cc.component, vec_id) AS component
+        FROM all_ids LEFT JOIN cc ON all_ids.vec_id = cc.id),
+b AS (SELECT vec_id, component,
+             CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 100 AS bkt
+      FROM lab)
+SELECT vec_id, component,
+       CASE WHEN bkt < 80 THEN 'train'
+            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("cluster_split", oracle=_SPLIT_ORACLE,
+          tags=("dedup", "sampling", "extension", "iterative"),
+          gate=False)
+def cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component, split): 80/10/10 train/val/test assigned by
+    id-hash of the near-dup cluster representative — no near-duplicate
+    pair ever straddles a split boundary (asserted in
+    tests/test_connected_components.py)."""
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.queries.sampling import hash_bucket
+
+    edges = simsearch.embed_neardup(spark, sf_dir).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    labels = connected_components(edges)
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"))
+    lab = (emb.join(labels.withColumnRenamed("id", "vec_id"),
+                    "vec_id", "left")
+           .select("vec_id",
+                   F.coalesce("component", "vec_id").alias("component")))
+    b = hash_bucket(F.col("component"))
+    return lab.select(
+        "vec_id", "component",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .alias("split"))

@@ -107,3 +107,23 @@ def test_contraction_equals_propagation_random(spark):
         got = {r["id"]: r["component"]
                for r in connected_components_contraction(df).collect()}
         assert got == want, (n, m, salt)
+
+
+def test_cluster_split_is_leakage_safe(spark):
+    """No near-dup pair may straddle a split boundary, every embedding
+    row gets exactly one split, and isolated vectors self-represent."""
+    split = {r["vec_id"]: (r["component"], r["split"])
+             for r in registry.get("cluster_split").fn(spark, SF_SMOKE)
+             .collect()}
+    pairs = registry.get("embed_neardup").fn(spark, SF_SMOKE).collect()
+    assert pairs and split
+    for p in pairs:
+        assert split[p["id1"]][1] == split[p["id2"]][1], p
+        assert split[p["id1"]][0] == split[p["id2"]][0], p
+    from myhadoop_spark.catalog import load
+    n_emb = load(spark, SF_SMOKE, "embeddings").count()
+    assert len(split) == n_emb
+    assert {s for _, s in split.values()} <= {"train", "val", "test"}
+    clustered = {vid for vid, (comp, _) in split.items() if comp != vid}
+    in_pairs = {p["id1"] for p in pairs} | {p["id2"] for p in pairs}
+    assert clustered <= in_pairs  # isolated vectors self-represent
