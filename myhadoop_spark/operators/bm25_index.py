@@ -3,14 +3,15 @@
 the lexical twin of the persistent IVF index (operators/ivf_index.py)
 and the other half a 100 TB hybrid-retrieval corpus actually needs:
 
-  * ``<path>/postings``: (term, doc_id, tf, dl) rows written
+  * ``<path>/postings``: (term, doc_id, tf, dl, positions) rows written
     ``partitionBy("tbucket")`` where ``tbucket = md5(term) % B`` —
     one directory per term shard, rows term-sorted within each file;
   * ``<path>/stats``: one (n_docs, sum_dl) row per append, partitioned
     by ``append_id`` — corpus size and total length sum exactly under
     SUM, so N/avgdl stay correct across any append history;
-  * ``<path>/meta.json``: {n_buckets, id_col} (crash-safe
-    write_small_file).
+  * ``<path>/meta.json``: {n_buckets, id_col, postings_format}
+    (crash-safe write_small_file; the format version guards appends
+    and phrase probes against pre-positional layouts).
 
 Why partition-by-term-bucket is the point: a query touches only its
 own terms' buckets, and because the bucket is computed DRIVER-SIDE
@@ -134,7 +135,8 @@ def build_bm25_index(docs: DataFrame, path: str, *,
     spark = docs.sparkSession
     write_small_file(spark, f"{path}/meta.json",
                      json.dumps({"n_buckets": n_buckets,
-                                 "id_col": id_col}))
+                                 "id_col": id_col,
+                                 "postings_format": 2}))
     # full (non-dynamic) overwrite clears any stale index state
     (_batch_stats(docs, "base", text_col)
      .coalesce(1).write.partitionBy("append_id")
@@ -172,6 +174,12 @@ def append_to_bm25_index(new_docs: DataFrame, path: str, *,
 
     spark = new_docs.sparkSession
     meta = _load_meta(spark, path)
+    if meta.get("postings_format", 1) != 2:
+        raise ValueError(
+            f"index at {path} predates the positional postings layout "
+            "(format 2) — appending mixed schemas would make position "
+            "columns read as NULL nondeterministically; rebuild with "
+            "build_bm25_index")
     if append_id is None:
         existing = {v for v, _ in
                     list_partition_dirs(spark, f"{path}/stats",
@@ -252,6 +260,11 @@ def phrase_search_index(spark: SparkSession, path: str,
     if not phrase:
         raise ValueError("phrase must be non-empty")
     meta = _load_meta(spark, path)
+    if meta.get("postings_format", 1) != 2:
+        raise ValueError(
+            f"index at {path} has no positional postings (format "
+            f"{meta.get('postings_format', 1)}) — rebuild with "
+            "build_bm25_index to enable phrase search")
     buckets = sorted({term_bucket_py(t, meta["n_buckets"])
                       for t in phrase})
     posts = (spark.read.parquet(f"{path}/postings")

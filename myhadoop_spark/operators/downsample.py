@@ -67,14 +67,22 @@ def lttb(series: DataFrame, *, n_out: int, key_col: str = "key",
     """Per-key LTTB: every key's series reduced to min(n_out, len)
     points, ordered by ts. Input rows beyond (key, ts, value) are
     dropped; duplicate timestamps are kept as distinct points in ts
-    order (tie-broken by value for determinism)."""
+    order (tie-broken by value for determinism). ``ts`` may be numeric
+    or a timestamp (coerced to epoch-nanos internally; output keeps
+    the original type)."""
     import pandas as pd
 
     schema = series.select(key_col, ts_col, val_col).schema
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, val_col], kind="mergesort")
-        idx = _lttb_series(list(pdf[ts_col]),
+        ts = pdf[ts_col]
+        # timestamp ts columns (what query_rollup emits) coerce to
+        # epoch-nanos for the area arithmetic; the RETURNED rows keep
+        # their original dtype untouched
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            ts = ts.astype("int64")
+        idx = _lttb_series(list(ts),
                            [float(v) for v in pdf[val_col]], n_out)
         return pdf.iloc[idx]
 

@@ -20,14 +20,13 @@ single-row totals broadcast, one top-K.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
 from myhadoop_spark.operators.bm25 import _tokens
+from myhadoop_spark.queries.sampling import _SQL_TOKS as _TOKS
 from myhadoop_spark.registry import register
-
-_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 _TOP = 10
 
 
@@ -88,7 +87,9 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.lit(0.0)))
     j = d.select("term", "ref_cnt", "cand_cnt",
                  (F.floor(contrib * 1e6) / 1e6).alias("js_contrib"))
-    w = Window.orderBy(F.col("js_contrib").desc(), F.col("term").asc())
-    return (j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _TOP)
+    # orderBy().limit() compiles to TakeOrdered (per-partition top-K +
+    # merge) — an unpartitioned row_number window would instead move
+    # the whole vocabulary through ONE task
+    return (j.orderBy(F.col("js_contrib").desc(), F.col("term").asc())
+            .limit(_TOP)
             .select("term", "ref_cnt", "cand_cnt", "js_contrib"))

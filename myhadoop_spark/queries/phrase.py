@@ -18,9 +18,8 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
 from myhadoop_spark.operators.bm25 import _tokens
+from myhadoop_spark.queries.sampling import _SQL_TOKS as _TOKS
 from myhadoop_spark.registry import register
-
-_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
 PHRASE = ["part", "filter"]
 

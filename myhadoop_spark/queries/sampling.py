@@ -159,16 +159,21 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w, rn): the top-{N} token-count-weighted sample of the
     documents table, without replacement — longer documents
     proportionally more likely, every run and every engine selecting
-    the identical set. The plan is one narrow projection + a top-N
-    (TakeOrdered at these sizes; at scale the per-partition top-N
-    combines before the final merge — no global sort of the corpus)."""
+    the identical set. The plan is one narrow projection + TakeOrdered
+    (per-partition top-N combined at the merge — no global sort and no
+    corpus-wide single-partition window); ranks attach to the N
+    survivors afterwards."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
     t = (docs.select("doc_id", F.size(toks).alias("w"))
          .filter(F.col("w") > 0))
     keyed = t.withColumn(
         "key", weighted_sample_keys(F.col("doc_id"), F.col("w")))
+    # TakeOrdered first (per-partition top-N, no corpus-wide single-
+    # partition window), THEN number the N survivors — the tiny window
+    # runs over _WS_N rows only
+    top = (keyed.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+           .limit(_WS_N))
     win = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
-    return (keyed.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") <= _WS_N)
+    return (top.withColumn("rn", F.row_number().over(win))
             .select("doc_id", "w", "rn"))

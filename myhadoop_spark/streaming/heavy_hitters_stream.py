@@ -21,10 +21,13 @@ exact counts in tests).
 Crash/replay correctness with two unsynchronized writes: v_N is a pure
 function of (v_{N-1}, batch_N), so a replayed batch OVERWRITES
 summary_v_N with identical content; meta is a crash-safe pointer
-(fsutil.write_small_file), and a batch at or below meta.last_batch is
-skipped outright — at-least-once delivery can neither double-count nor
-skip. The previous version directory is retained (one-deep) so the
-recovery recompute always finds its input; older versions are swept.
+(fsutil.write_small_file); the crash-replay of the LAST batch is
+skipped idempotently, while a batch id BELOW the watermark (a
+recreated/rewound checkpoint — a different lineage whose batch 0 may
+bundle absorbed and new rows) fails loudly rather than silently
+under- or double-counting. The previous version directory is retained
+(one-deep) so the recovery recompute always finds its input; older
+versions are swept.
 
 Merge cost: the merge runs driver-side over ≤ capacity +
 partitions×capacity rows — bounded by CONFIGURATION, not data (the
@@ -70,8 +73,25 @@ def start_mg_stream(stream_df: DataFrame, *, path: str, checkpoint: str,
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         meta = _read_meta(spark, path)
-        if meta is not None and batch_id <= meta["last_batch"]:
-            return  # replayed, already absorbed — idempotent skip
+        if meta is not None and meta["capacity"] != capacity:
+            raise ValueError(
+                f"MG state at {path} was built with capacity="
+                f"{meta['capacity']}; restarting with capacity="
+                f"{capacity} would merge incomparable summaries")
+        if meta is not None and batch_id == meta["last_batch"]:
+            return  # crash-replay of the last batch — idempotent skip
+        if meta is not None and batch_id < meta["last_batch"]:
+            # batch ids are a valid replay watermark only WITHIN one
+            # checkpoint lineage; a smaller id means the checkpoint was
+            # recreated/rewound, and batch 0 of the new lineage may
+            # bundle already-absorbed rows WITH genuinely new ones —
+            # silently skipping would undercount forever, silently
+            # merging would double-count. Fail loudly instead.
+            raise RuntimeError(
+                f"MG state at {path} was maintained up to batch "
+                f"{meta['last_batch']} under a different checkpoint "
+                f"lineage (got batch {batch_id}); restore the original "
+                "checkpoint or start a fresh state path")
         prev_rows: list = []
         prev_total = 0
         if meta is not None:
@@ -99,6 +119,7 @@ def start_mg_stream(stream_df: DataFrame, *, path: str, checkpoint: str,
          .parquet(f"{path}/summary_v{batch_id}"))
         write_small_file(spark, f"{path}/meta.json",
                          json.dumps({"last_batch": batch_id,
+                                     "capacity": capacity,
                                      "total_items": prev_total
                                      + batch_total}))
         # sweep versions older than the previous one (recovery depth 1)
@@ -118,16 +139,19 @@ def start_mg_stream(stream_df: DataFrame, *, path: str, checkpoint: str,
             .start())
 
 
-def stream_topk(spark: SparkSession, path: str, *, k: int = 10,
-                capacity: int = 256) -> DataFrame:
+def stream_topk(spark: SparkSession, path: str,
+                *, k: int = 10) -> DataFrame:
     """(term, est, err_bound): current approximate top-k from the
     maintained summary; est ≤ true ≤ est + err_bound where
     err_bound = total_items // (capacity+1) — the mergeable-MG
-    theorem's global bound over everything the stream has absorbed."""
+    theorem's global bound over everything the stream has absorbed.
+    ``capacity`` comes from the persisted meta (the index-face
+    discipline: bound parameters live WITH the state, so a caller
+    can't silently compute a wrong bound)."""
     meta = _read_meta(spark, path)
     if meta is None:
         raise FileNotFoundError(f"no MG stream state at {path}")
-    err = meta["total_items"] // (capacity + 1)
+    err = meta["total_items"] // (meta["capacity"] + 1)
     return (spark.read.parquet(f"{path}/summary_v{meta['last_batch']}")
             .filter(F.col("term").isNotNull())
             .withColumn("err_bound", F.lit(err))

@@ -93,9 +93,11 @@ def test_composes_with_rollup(spark, tmp_path):
     events = load(spark, SF_SMOKE, "events")
     path = str(tmp_path / "rollup")
     refresh_rollup(events, path)
+    # bucket passed AS A TIMESTAMP — lttb coerces internally (the
+    # review-found crash mode), output keeps the timestamp type
     roll = (query_rollup(spark, events, path)
             .select(F.col("event_type").alias("key"),
-                    F.unix_timestamp("bucket").cast("double").alias("ts"),
+                    F.col("bucket").alias("ts"),
                     F.col("n_events").cast("double").alias("value")))
     per_key_in = {r.key: r.n for r in
                   roll.groupBy("key").agg(F.count(F.lit(1)).alias("n"))

@@ -50,7 +50,7 @@ def test_bound_holds_and_heavy_terms_survive(spark, tmp_path):
     src, true = _mk_terms(spark, tmp_path)
     path = str(tmp_path / "mg")
     _run(spark, src, path, str(tmp_path / "ck1"))
-    rows = stream_topk(spark, path, k=CAP, capacity=CAP).collect()
+    rows = stream_topk(spark, path, k=CAP).collect()
     assert rows
     err = rows[0].err_bound
     n = sum(true.values())
@@ -68,18 +68,52 @@ def test_bound_holds_and_heavy_terms_survive(spark, tmp_path):
     assert keys == sorted(keys)
 
 
-def test_replay_is_idempotent(spark, tmp_path):
+def test_same_checkpoint_restart_is_noop(spark, tmp_path):
+    """Restarting over the SAME checkpoint with no new data absorbs
+    nothing and leaves the summary byte-identical (the crash-replay of
+    the last batch is skipped idempotently)."""
+    src, _ = _mk_terms(spark, tmp_path)
+    path = str(tmp_path / "mg")
+    ck = str(tmp_path / "ck1")
+    _run(spark, src, path, ck)
+    first = [(r.term, r.est, r.err_bound) for r in
+             stream_topk(spark, path, k=CAP).collect()]
+    _run(spark, src, path, ck)  # same checkpoint: nothing new
+    again = [(r.term, r.est, r.err_bound) for r in
+             stream_topk(spark, path, k=CAP).collect()]
+    assert again == first
+
+
+def test_fresh_checkpoint_fails_loudly(spark, tmp_path):
+    """A recreated checkpoint restarts batch ids from 0 — its batches
+    can bundle absorbed AND new rows, so the state machine must refuse
+    (silently skipping would undercount, merging would double-count)."""
+    from pyspark.errors import StreamingQueryException
+
     src, _ = _mk_terms(spark, tmp_path)
     path = str(tmp_path / "mg")
     _run(spark, src, path, str(tmp_path / "ck1"))
-    first = [(r.term, r.est, r.err_bound) for r in
-             stream_topk(spark, path, k=CAP, capacity=CAP).collect()]
-    # fresh checkpoint: every batch is re-delivered; the absorbed-batch
-    # watermark must skip them all
-    _run(spark, src, path, str(tmp_path / "ck2"))
-    again = [(r.term, r.est, r.err_bound) for r in
-             stream_topk(spark, path, k=CAP, capacity=CAP).collect()]
-    assert again == first
+    with pytest.raises(StreamingQueryException,
+                       match="different checkpoint lineage"):
+        _run(spark, src, path, str(tmp_path / "ck2"))
+
+
+def test_capacity_mismatch_fails_loudly(spark, tmp_path):
+    from pyspark.errors import StreamingQueryException
+
+    src, _ = _mk_terms(spark, tmp_path)
+    path = str(tmp_path / "mg")
+    _run(spark, src, path, str(tmp_path / "ck1"))
+    stream = spark.readStream.schema("term string").parquet(src)
+    q = start_mg_stream(stream, path=path,
+                        checkpoint=str(tmp_path / "ck3"),
+                        capacity=CAP * 2)
+    with pytest.raises(StreamingQueryException,
+                       match="incomparable summaries"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def test_missing_state_raises(spark, tmp_path):
