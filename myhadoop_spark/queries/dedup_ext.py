@@ -240,3 +240,65 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("text").orderBy("doc_id", "chunk_id")
     return (chunks.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# persistent-LSH-index one-shot twin — operators/lsh_index.py
+# ---------------------------------------------------------------------------
+
+from myhadoop_spark.queries.dedup import (  # noqa: E402
+    MINHASH_BAND_ROWS,
+    MINHASH_FAM,
+    MINHASH_P,
+    _TOKS,
+)
+
+
+@register(
+    "signature_neardup",
+    oracle=f"""
+    WITH sets AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    th AS (SELECT DISTINCT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
+           FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok
+                 FROM sets)),
+    fam AS (SELECT * FROM (VALUES {', '.join(f'({i}, {a}, {b})'
+                                             for i, a, b in MINHASH_FAM)})
+            AS f(i, a, b)),
+    sig AS (SELECT doc_id, i, i // {MINHASH_BAND_ROWS} AS band,
+                   MIN((a * th + b) % {MINHASH_P}) AS mh
+            FROM th CROSS JOIN fam GROUP BY doc_id, i),
+    bsig AS (SELECT doc_id, band,
+                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)
+                        AS band_sig
+             FROM sig GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+             FROM bsig x JOIN bsig y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+              AND x.doc_id < y.doc_id),
+    agree AS (SELECT c.doc1, c.doc2,
+                     SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.doc1
+              JOIN sig b ON b.doc_id = c.doc2 AND b.i = a.i
+              GROUP BY c.doc1, c.doc2)
+    SELECT doc1, doc2, n_agree / {len(MINHASH_FAM)}.0 AS est_jaccard
+    FROM agree WHERE n_agree * 2 >= {len(MINHASH_FAM)}
+    """,
+    tags=("dedup", "extension", "lsh", "index"),
+    gate=False,
+)
+def signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot signature-agreement near-dup pairs — the relation the
+    persistent LSH index (operators/lsh_index.py) materializes batch
+    by batch: banded candidates + estimated-Jaccard (fraction of
+    agreeing minhashes) ≥ 0.5 verify. Distinguished from dedup_minhash
+    by the verify: signature agreement needs NO second corpus scan —
+    the probe shape that keeps the incremental index single-scan.
+    Estimates are multiples of 1/16 (exact binary fractions), so the
+    DuckDB differential is bitwise."""
+    from myhadoop_spark.operators.lsh_index import signature_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return signature_pairs(docs)
