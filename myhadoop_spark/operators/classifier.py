@@ -142,12 +142,30 @@ def weight_expr() -> Column:
 
 def score_documents(docs: DataFrame, weights: DataFrame, *,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    broadcast: bool = True) -> DataFrame:
     """(id, score, pred): fixed-point linear score per document.
-    Out-of-vocabulary tokens score 0 (left join); empty docs score 0."""
+    Out-of-vocabulary tokens score 0 (left join); empty docs score 0.
+
+    ``broadcast`` picks the weight-join strategy (the r4 ledger's
+    "weight table past executor memory" case, closed here):
+
+      * True (default): broadcast hash join — one corpus scan, zero
+        shuffle of the exploded tokens. Right whenever the vocabulary
+        fits an executor (fastText-bucket-sized models always do).
+      * False: hash-partitioned sort-merge join — both sides shuffle
+        on ``tok``, so the weight table can be arbitrarily large
+        (each task holds only its hash range; spilling SMJ bounds
+        memory). Costs one extra shuffle of the exploded corpus; the
+        per-doc sum is the same second shuffle either way.
+
+    Scores are integer sums — order- and partitioning-independent —
+    so the two paths are BIT-IDENTICAL (pinned in
+    tests/test_classifier.py with auto-broadcast disabled)."""
     tok_rows = docs.select(id_col,
                            F.explode(feature_tokens(text_col)).alias("tok"))
-    scored = (tok_rows.join(F.broadcast(weights), "tok", "left")
+    w = F.broadcast(weights) if broadcast else weights
+    scored = (tok_rows.join(w, "tok", "left")
               .groupBy(id_col)
               .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score")))
     return (docs.select(id_col).join(scored, id_col, "left")

@@ -212,3 +212,28 @@ def test_weight_expr_bitwise_across_bigint_boundary(spark):
         assert got == want
 
     check()
+
+
+def test_sharded_scoring_matches_broadcast(spark):
+    """broadcast=False (hash-partitioned SMJ — the weight-table-past-
+    executor-memory path) must produce bit-identical scores AND must
+    actually plan a shuffle join: no BroadcastExchange of the weight
+    side even with auto-broadcast enabled for tiny inputs (asserted
+    with the threshold disabled, the test_bucketing discipline)."""
+    labeled = _labeled(spark, SF_SMOKE)
+    weights = train_token_weights(labeled.filter("doc_id % 2 = 0"))
+    want = {(r.doc_id, r.score, r.pred)
+            for r in score_documents(labeled, weights).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sharded = score_documents(labeled, weights, broadcast=False)
+        got = {(r.doc_id, r.score, r.pred) for r in sharded.collect()}
+        plan_io = io.StringIO()
+        with contextlib.redirect_stdout(plan_io):
+            sharded.explain("formatted")
+        plan = plan_io.getvalue()
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
