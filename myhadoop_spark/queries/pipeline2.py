@@ -70,7 +70,8 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
            wide_hash: bool = False,
            seen_filter: DataFrame | None = None,
            n_filter_shards: int = 1,
-           lm_max_ppl: float | None = None) -> dict:
+           lm_max_ppl: float | None = None,
+           compression_band: tuple[float, float] | None = None) -> dict:
     """Run the full flow; returns {stage: row_count} + the export
     manifest under 'manifest'. Deterministic end to end: hash-based
     classifier split, content-hash shards, id-ordered dedup keeps.
@@ -97,7 +98,12 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
       classifier-kept docs, and those with perplexity above the
       threshold drop (operators/lm_filter.py — the KenLM-shaped
       CCNet/DCLM stage). Docs too short to score (< 2 tokens) pass
-      through: no evidence is not negative evidence.
+      through: no evidence is not negative evidence;
+    * ``compression_band=(lo, hi)`` arms the cheap Gopher-family
+      repetition/noise gate (operators/compression.py) right after
+      the scrub: documents whose deflate ratio falls outside the
+      band drop BEFORE the classifier spends training and scoring on
+      boilerplate; empty docs pass (the length gates own empties).
     """
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
@@ -106,7 +112,7 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     try:
         return _curate(spark, raw, stats, out_path, train_frac_mod,
                        n_shards, frontiers, wide_hash, seen_filter,
-                       n_filter_shards, lm_max_ppl)
+                       n_filter_shards, lm_max_ppl, compression_band)
     finally:
         # release the cached frontiers on every exit path — a failed
         # stage must not leave corpus-sized blocks pinned for the rest
@@ -119,7 +125,8 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             out_path: str, train_frac_mod: int, n_shards: int,
             frontiers: list[DataFrame], wide_hash: bool,
             seen_filter: DataFrame | None, n_filter_shards: int,
-            lm_max_ppl: float | None = None) -> dict:
+            lm_max_ppl: float | None = None,
+            compression_band: tuple[float, float] | None = None) -> dict:
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         frontiers.append(df)
@@ -151,6 +158,19 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     clean = _persist(scrubbed)
     if seen_filter is not None:
         stats["after_seen_filter"] = clean.count()
+
+    # 1c. optional compression-band gate: the Gopher repetition/noise
+    #     heuristic — one narrow Arrow pass, dropped docs never reach
+    #     classifier training or any dedup join
+    if compression_band is not None:
+        from myhadoop_spark.operators.compression import (
+            filter_by_compression,
+        )
+
+        lo, hi = compression_band
+        clean = _persist(filter_by_compression(clean, min_ratio=lo,
+                                               max_ratio=hi))
+        stats["after_compression_gate"] = clean.count()
 
     # 2. classifier-filtered quality: train on the deterministic even
     #    split of the scrubbed corpus, keep pred-positive docs.

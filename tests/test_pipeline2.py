@@ -204,3 +204,34 @@ def test_lm_gate_knob(spark, tmp_path):
              if len([w for w in r.text.split() if w]) < 2}
     for r in exported.select("doc_id").collect():
         assert r.doc_id in gate_pass or r.doc_id in short
+
+def test_compression_gate_knob(spark, tmp_path):
+    """compression_band=(0, inf) must be output-identical to the
+    default run (empties pass; every ratio is in-band); a real band
+    shrinks the funnel monotonically and every exported doc's deflate
+    ratio verifiably sits inside it."""
+    import math
+
+    from myhadoop_spark.operators.compression import compression_signals
+
+    base = curate(spark, SF_SMOKE, str(tmp_path / "d"))
+    loose = curate(spark, SF_SMOKE, str(tmp_path / "l"),
+                   compression_band=(0.0, math.inf))
+    assert loose.pop("after_compression_gate") == base["raw"]
+    assert loose == base
+    a = spark.read.parquet(str(tmp_path / "d"))
+    b = spark.read.parquet(str(tmp_path / "l"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    band = (0.3, 0.8)
+    tight = curate(spark, SF_SMOKE, str(tmp_path / "t"),
+                   compression_band=band)
+    assert tight["after_compression_gate"] <= tight["raw"]
+    assert tight["after_quality"] <= tight["after_compression_gate"]
+    exported = spark.read.parquet(str(tmp_path / "t")).select(
+        "doc_id", "text")
+    sig = compression_signals(exported).collect()
+    assert sig, "tight band emptied the export — band not exercised"
+    assert all(r.n_bytes == 0
+               or band[0] <= r.compression_ratio <= band[1]
+               for r in sig)
