@@ -50,14 +50,18 @@ def _compress_stats_udf():
 
         import pandas as pd
 
+        from collections import Counter
+
         def one(t):
             b = ("" if t is None else t).encode("utf-8")
             if not b:
                 return (0, 0, 0.0)
             z = len(zlib.compress(b, ZLIB_LEVEL))
-            counts: dict[int, int] = {}
-            for x in b:
-                counts[x] = counts.get(x, 0) + 1
+            # Counter(bytes) counts at C speed; its iteration order is
+            # first-encounter order — the same order a manual dict
+            # fold would produce, so the float entropy sum is
+            # bit-stable against the Python model in tests
+            counts = Counter(b)
             n = len(b)
             ent = -sum((c / n) * math.log2(c / n)
                        for c in counts.values())
@@ -98,9 +102,15 @@ def filter_by_compression(docs: DataFrame, *, id_col: str = "doc_id",
     slightly over 1.0 is possible — zlib framing overhead on already-
     high-entropy bytes). Empty documents are kept (ratio 0 is the
     no-bytes sentinel, not repetition; length gates own empties)."""
-    sig = compression_signals(docs, id_col=id_col, text_col=text_col)
-    keep = sig.filter(
-        (F.col("n_bytes") == 0)
-        | ((F.col("compression_ratio") >= min_ratio)
-           & (F.col("compression_ratio") <= max_ratio))).select(id_col)
-    return docs.join(keep, id_col)
+    s = _compress_stats_udf()(F.col(text_col))
+    ratio = F.when(F.col("_s.n_bytes") > 0,
+                   F.col("_s.z_bytes")
+                   / F.col("_s.n_bytes")).otherwise(0.0)
+    # inline filter, NOT a join back on the id: the verdict is a pure
+    # per-row function of the text, so the face stays narrow end to
+    # end (plan-asserted) — no shuffle enters the pipeline for this
+    # gate
+    return (docs.withColumn("_s", s)
+            .filter((F.col("_s.n_bytes") == 0)
+                    | ((ratio >= min_ratio) & (ratio <= max_ratio)))
+            .drop("_s"))

@@ -173,6 +173,17 @@ def read_meta(spark: SparkSession, path: str) -> dict:
         raise ValueError(
             f"LSH index at {path} has format {meta.get('format')}; "
             f"this build reads format {_FORMAT} — rebuild the index")
+    # hash-family drift guard: a probe computed under a different
+    # minhash family or banding would produce band_sigs that never
+    # match history — every near-dup silently admitted. Fail loudly
+    # instead (meta records the build-time family for exactly this).
+    if (meta.get("n_hashes") != len(MINHASH_FAM)
+            or meta.get("band_rows") != MINHASH_BAND_ROWS):
+        raise ValueError(
+            f"LSH index at {path} was built with "
+            f"{meta.get('n_hashes')} hashes x {meta.get('band_rows')}"
+            f"-row bands; this build uses {len(MINHASH_FAM)} x "
+            f"{MINHASH_BAND_ROWS} — rebuild the index")
     return meta
 
 
@@ -230,6 +241,16 @@ def probe_lsh_index(new_docs: DataFrame, path: str, *,
         rows = signature_rows(new_docs, id_col=meta["id_col"],
                               text_col=text_col,
                               n_buckets=meta["n_buckets"]).localCheckpoint()
+    else:
+        # caller-supplied rows may have been built with a different
+        # n_buckets than THIS index — recompute the shard from the
+        # index's own meta (cheap narrow expression) so the partition
+        # pruning below can never read the wrong directories
+        rows = rows.withColumn(
+            "sbucket",
+            hash_bucket(F.concat_ws(":", F.col("band").cast("string"),
+                                    "band_sig"),
+                        meta["n_buckets"]).cast("int"))
     # bounded driver-side collect: ≤ n_buckets distinct shard values —
     # the partition-pruning step (ivf_index probed-buckets discipline)
     buckets = sorted(r.sbucket for r in

@@ -250,7 +250,6 @@ from myhadoop_spark.queries.dedup import (  # noqa: E402
     MINHASH_BAND_ROWS,
     MINHASH_FAM,
     MINHASH_P,
-    _TOKS,
 )
 
 

@@ -159,6 +159,12 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     if seen_filter is not None:
         stats["after_seen_filter"] = clean.count()
 
+    # the decontam benchmark and LM reference are the doc_id%20 split
+    # of the SCRUBBED corpus (the documented invariant) — captured
+    # BEFORE any optional gate below so arming a gate can never shrink
+    # the reference and let a verbatim benchmark copy ship unexcised
+    reference = clean
+
     # 1c. optional compression-band gate: the Gopher repetition/noise
     #     heuristic — one narrow Arrow pass, dropped docs never reach
     #     classifier training or any dedup join
@@ -196,7 +202,7 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
         )
 
         lm = train_bigram_lm(
-            clean.filter(F.col("doc_id") % 20 == 0).select("text"))
+            reference.filter(F.col("doc_id") % 20 == 0).select("text"))
         too_perplexing = (score_perplexity(kept, lm, broadcast_lm=True)
                           .filter(F.col("ppl") > lm_max_ppl)
                           .select("doc_id"))
@@ -221,7 +227,8 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     #    pattern (email/phone) would no longer match the bench windows
     #    and that contamination would be missed. Docs emptied by the
     #    cut (pure benchmark copies) drop out of the export
-    bench = clean.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    bench = reference.filter(F.col("doc_id") % 20 == 0).select("doc_id",
+                                                               "text")
     surgically = _persist(remove_overlap_spans(
         deduped.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
         bench,

@@ -81,7 +81,7 @@ def main() -> None:
              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
                      "text").localCheckpoint())
 
-    def record(phase: str, idx: str, probe_docs) -> dict:
+    def record(phase: str, idx: str, probe_docs) -> set:
         files = count_data_files(
             spark, [u for _, u in
                     list_partition_dirs(spark, f"{idx}/sigs", "sbucket")])

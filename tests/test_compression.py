@@ -82,10 +82,13 @@ def test_behavioral_bands(spark):
 
 def test_plan_is_arrow_and_narrow(spark):
     docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        compression_signals(docs).explain("formatted")
-    plan = buf.getvalue()
-    assert "ArrowEvalPython" in plan, plan      # vectorized, not per-row
-    assert "BatchEvalPython" not in plan, plan
-    assert "Exchange" not in plan, plan          # narrow end to end
+    for face in (compression_signals(docs),
+                 filter_by_compression(docs)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            face.explain("formatted")
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" in plan, plan  # vectorized, not per-row
+        assert "BatchEvalPython" not in plan, plan
+        assert "Exchange" not in plan, plan      # narrow end to end
+        assert "Join" not in plan, plan          # inline verdict, no rejoin

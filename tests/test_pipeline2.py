@@ -228,10 +228,34 @@ def test_compression_gate_knob(spark, tmp_path):
                    compression_band=band)
     assert tight["after_compression_gate"] <= tight["raw"]
     assert tight["after_quality"] <= tight["after_compression_gate"]
-    exported = spark.read.parquet(str(tmp_path / "t")).select(
-        "doc_id", "text")
-    sig = compression_signals(exported).collect()
+    # the gate judged the PRE-surgery scrubbed text (decontam surgery
+    # later rewrites documents and shifts their ratios — the same
+    # re-scoring discipline as the lm test above), so verify the band
+    # against the scrubbed originals of the exported ids
+    from myhadoop_spark.catalog import load as _load
+    from myhadoop_spark.operators.scrub import scrub_text
+
+    exported_ids = spark.read.parquet(str(tmp_path / "t")).select("doc_id")
+    gated_text = (_load(spark, SF_SMOKE, "documents")
+                  .join(exported_ids, "doc_id")
+                  .select("doc_id", scrub_text("text").alias("text")))
+    sig = compression_signals(gated_text).collect()
     assert sig, "tight band emptied the export — band not exercised"
     assert all(r.n_bytes == 0
                or band[0] <= r.compression_ratio <= band[1]
                for r in sig)
+
+    # the decontam benchmark must be the doc_id%20 split of the FULL
+    # scrubbed corpus — arming the gate must not shrink it (a dropped
+    # benchmark doc's verbatim copies would otherwise ship unexcised):
+    # no exported doc may contain a verbatim window of ANY benchmark
+    # doc, including benchmark docs the gate dropped from the corpus
+    from myhadoop_spark.operators.substring import substring_decontam
+
+    bench_all = (_load(spark, SF_SMOKE, "documents")
+                 .filter("doc_id % 20 = 0")
+                 .select("doc_id", scrub_text("text").alias("text")))
+    exported = spark.read.parquet(str(tmp_path / "t")).select(
+        "doc_id", "text")
+    leaks = substring_decontam(exported, bench_all)
+    assert leaks.count() == 0, leaks.limit(5).collect()
