@@ -61,6 +61,15 @@ than the Bloom face's no-false-negative convergence. A replayed
 append's duplicate rows are verdict-neutral (pairs are distinct-ed)
 and collapsed physically by compaction.
 
+Skew discipline: a band signature shared by m documents is m(m-1)/2
+candidate pairs and an m-row fan per colliding probe — the quadratic
+blowup banding cannot prevent when boilerplate collapses onto one
+signature. The STOP-SIGNATURE guard (``max_bucket`` /
+``refresh_hot_sigs`` / probes' ``use_hot``) bans over-cap buckets
+from candidate generation, the same declared recall trade as max_df
+boilerplate pruning (operators/substring.py); the list refreshes at
+compaction cadence.
+
 Reference analog: none — §2.3 extension surface (SURVEY.md §2.3);
 Leskovec/Rajaraman/Ullman §3.4 banding; the verify-by-signature
 agreement estimator is the standard MinHash unbiased Jaccard
@@ -74,7 +83,11 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myhadoop_spark.fsutil import read_small_file, write_small_file
+from myhadoop_spark.fsutil import (
+    hadoop_fs,
+    read_small_file,
+    write_small_file,
+)
 from myhadoop_spark.operators.compaction import compact_partitions
 from myhadoop_spark.queries.dedup import (
     MINHASH_BAND_ROWS,
@@ -215,6 +228,45 @@ def append_to_lsh_index(docs: DataFrame, path: str, *,
     _write_sigs(rows, path, append_id, "append")
 
 
+def _hot_buckets(rows: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, band_sig) buckets holding more than ``max_bucket`` rows —
+    the stop signatures. Bounded output: ≤ total_rows / max_bucket."""
+    return (rows.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "band_sig"))
+
+
+def _drop_hot(rows: DataFrame, hot: DataFrame) -> DataFrame:
+    return rows.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+
+
+def refresh_hot_sigs(spark: SparkSession, path: str, *,
+                     max_bucket: int) -> dict:
+    """Maintenance pass: recount the index's bucket sizes (one scan +
+    partial agg) and persist the stop-signature list to ``<path>/hot``
+    — probes then skip those buckets (``use_hot``). Appends grow
+    buckets between refreshes, so pair this with compaction cadence
+    (``compact_lsh_index(refresh_hot_over=...)`` /
+    ``start_lsh_dedup_stream(max_bucket=...)``). Returns
+    {hot_buckets}."""
+    rows = spark.read.schema(_SIGS_SCHEMA).parquet(f"{path}/sigs")
+    hot = _hot_buckets(rows, max_bucket)
+    n = hot.count()
+    (hot.coalesce(1).write.mode("overwrite").parquet(f"{path}/hot"))
+    return {"hot_buckets": n}
+
+
+def load_hot_sigs(spark: SparkSession, path: str) -> DataFrame | None:
+    """The persisted stop-signature list, or None before the first
+    refresh (existence via the Hadoop FS API — works on any scheme)."""
+    fs, p = hadoop_fs(spark, f"{path}/hot")
+    if not fs.exists(p):
+        return None
+    return spark.read.schema("band int, band_sig string").parquet(
+        f"{path}/hot")
+
+
 def _read_sigs(spark: SparkSession, path: str,
                buckets: list[int]) -> DataFrame:
     return (spark.read.schema(_SIGS_SCHEMA)
@@ -227,14 +279,20 @@ def probe_lsh_index(new_docs: DataFrame, path: str, *,
                     threshold: float = THRESHOLD,
                     text_col: str = "text",
                     exclude_append_id: str | None = None,
-                    rows: DataFrame | None = None) -> DataFrame:
+                    rows: DataFrame | None = None,
+                    use_hot: bool = True) -> DataFrame:
     """(doc_id, hist_id, est_jaccard): which incoming documents
     near-duplicate something already indexed. One partition-pruned
     scan of history with the batch BROADCAST into it; the only shuffle
     is the final distinct over MATCHES (bounded by output, not
     history). ``rows`` short-circuits the signature computation when
     the caller already built them (dedup_incoming shares one
-    localCheckpoint across probe + self-join + append)."""
+    localCheckpoint across probe + self-join + append).
+
+    ``use_hot`` (default on) skips batch rows whose band signature is
+    in the persisted stop-signature list (refresh_hot_sigs) — a hot
+    history bucket of m rows would otherwise fan every colliding batch
+    doc into m candidate rows. No hot list on disk → no-op."""
     spark = new_docs.sparkSession
     meta = read_meta(spark, path)
     if rows is None:
@@ -251,6 +309,10 @@ def probe_lsh_index(new_docs: DataFrame, path: str, *,
             hash_bucket(F.concat_ws(":", F.col("band").cast("string"),
                                     "band_sig"),
                         meta["n_buckets"]).cast("int"))
+    if use_hot:
+        hot = load_hot_sigs(spark, path)
+        if hot is not None:
+            rows = _drop_hot(rows, hot)
     # bounded driver-side collect: ≤ n_buckets distinct shard values —
     # the partition-pruning step (ivf_index probed-buckets discipline)
     buckets = sorted(r.sbucket for r in
@@ -272,15 +334,29 @@ def probe_lsh_index(new_docs: DataFrame, path: str, *,
 
 def signature_pairs(docs: DataFrame, *, threshold: float = THRESHOLD,
                     id_col: str = "doc_id", text_col: str = "text",
-                    rows: DataFrame | None = None) -> DataFrame:
+                    rows: DataFrame | None = None,
+                    max_bucket: int | None = None) -> DataFrame:
     """The one-shot twin (doc1 < doc2, est_jaccard): banded candidate
     self-join + inline signature-agreement verify over a whole corpus —
     exactly the relation the incremental faces materialize batch by
     batch (the equivalence invariant in tests/test_lsh_index.py), and
-    the body of the ungated DuckDB oracle ``signature_neardup``."""
+    the body of the ungated DuckDB oracle ``signature_neardup``.
+
+    ``max_bucket`` arms the STOP-SIGNATURE guard: a band signature
+    shared by m documents contributes m(m-1)/2 candidate pairs — the
+    quadratic blowup banding cannot protect against when boilerplate
+    or near-empty documents collapse onto one signature. Buckets over
+    the cap are banned from candidate generation entirely (one cheap
+    partial-agg count over the 4-rows-per-doc relation; the banned
+    set is ≤ rows/cap entries, broadcastable by construction). The
+    declared trade: pairs INSIDE a banned bucket are not reported —
+    the same discipline as max_df boilerplate pruning
+    (operators/substring.py) and PPJoin's frequency ordering."""
     if rows is None:
         rows = signature_rows(docs, id_col=id_col,
                               text_col=text_col).localCheckpoint()
+    if max_bucket is not None:
+        rows = _drop_hot(rows, _hot_buckets(rows, max_bucket))
     left = rows.select(F.col("doc_id").alias("doc1"), "band", "band_sig",
                        F.col("sig").alias("_s1"))
     right = rows.select(F.col("doc_id").alias("doc2"), "band", "band_sig",
@@ -294,7 +370,8 @@ def signature_pairs(docs: DataFrame, *, threshold: float = THRESHOLD,
 
 
 def _dedup_core(new_docs: DataFrame, path: str, *, append_id: str,
-                threshold: float, text_col: str
+                threshold: float, text_col: str,
+                max_bucket: int | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, signature rows): the shared probe + within-batch
     pass. One localCheckpoint of the batch signatures feeds the history
@@ -308,7 +385,8 @@ def _dedup_core(new_docs: DataFrame, path: str, *, append_id: str,
     hist_hits = (probe_lsh_index(new_docs, path, threshold=threshold,
                                  exclude_append_id=append_id, rows=rows)
                  .select("doc_id").distinct())
-    within = (signature_pairs(new_docs, threshold=threshold, rows=rows)
+    within = (signature_pairs(new_docs, threshold=threshold, rows=rows,
+                              max_bucket=max_bucket)
               .select(F.col("doc2").alias("doc_id")).distinct())
     dropped = hist_hits.unionByName(within).distinct()
     survivors = new_docs.join(
@@ -319,7 +397,9 @@ def _dedup_core(new_docs: DataFrame, path: str, *, append_id: str,
 
 def dedup_incoming(new_docs: DataFrame, path: str, *,
                    append_id: str, threshold: float = THRESHOLD,
-                   text_col: str = "text") -> tuple[DataFrame, dict]:
+                   text_col: str = "text",
+                   max_bucket: int | None = None) -> tuple[DataFrame,
+                                                           dict]:
     """Batch face: (survivors, stats). A document survives iff it
     matches neither history (probe) nor an earlier-id document within
     its own batch (oriented self-join — non-chainy: i<j counts even if
@@ -329,7 +409,8 @@ def dedup_incoming(new_docs: DataFrame, path: str, *,
     The append is last, so a crashed call can simply be re-run with
     the same append_id (the probe excludes it — exact idempotence)."""
     survivors, rows = _dedup_core(new_docs, path, append_id=append_id,
-                                  threshold=threshold, text_col=text_col)
+                                  threshold=threshold, text_col=text_col,
+                                  max_bucket=max_bucket)
     # survivors is lazy, but the append below cannot leak into it even
     # if executed later: the probe pinned its file listing at read time
     # (eager InMemoryFileIndex), and the append_id exclusion filters
@@ -339,19 +420,26 @@ def dedup_incoming(new_docs: DataFrame, path: str, *,
 
 
 def compact_lsh_index(spark: SparkSession, path: str, *,
-                      max_files_per_shard: int = 4) -> dict:
+                      max_files_per_shard: int = 4,
+                      refresh_hot_over: int | None = None) -> dict:
     """Selective shard compaction (shared operators/compaction.py):
     long-running ingest appends one file set per batch per touched
     shard; rewrite fragmented shards to one band_sig-sorted file each.
     Probe results across a compaction are pinned identical in
-    tests/test_lsh_index.py."""
+    tests/test_lsh_index.py. ``refresh_hot_over`` re-derives the
+    stop-signature list at the same maintenance moment (appends grow
+    buckets between refreshes — compaction is the natural cadence)."""
     stats = compact_partitions(spark, f"{path}/sigs", "sbucket",
                                max_files_per_part=max_files_per_shard,
                                max_rows_per_file=MAX_ROWS_PER_FILE,
                                sort_cols=("band_sig",))
-    return {"compacted_shards": stats["compacted_parts"],
-            "files_before": stats["files_before"],
-            "files_after": stats["files_after"]}
+    out = {"compacted_shards": stats["compacted_parts"],
+           "files_before": stats["files_before"],
+           "files_after": stats["files_after"]}
+    if refresh_hot_over is not None:
+        out.update(refresh_hot_sigs(spark, path,
+                                    max_bucket=refresh_hot_over))
+    return out
 
 
 def start_lsh_dedup_stream(stream_docs: DataFrame, *, path: str,
@@ -359,7 +447,8 @@ def start_lsh_dedup_stream(stream_docs: DataFrame, *, path: str,
                            threshold: float = THRESHOLD,
                            text_col: str = "text",
                            compact_every: int | None = None,
-                           max_files_per_shard: int = 4):
+                           max_files_per_shard: int = 4,
+                           max_bucket: int | None = None):
     """Streaming face: per micro-batch, drop documents that
     near-duplicate the durable history (or an earlier doc in the same
     batch), emit survivors, then index the whole batch. Requires a
@@ -379,13 +468,17 @@ def start_lsh_dedup_stream(stream_docs: DataFrame, *, path: str,
         append_id = f"b{batch_id}"
         survivors, rows = _dedup_core(batch, path, append_id=append_id,
                                       threshold=threshold,
-                                      text_col=text_col)
+                                      text_col=text_col,
+                                      max_bucket=max_bucket)
         (survivors.write.mode("overwrite")
          .parquet(f"{out_path}/batch_id={batch_id}"))
         _write_sigs(rows, path, append_id, "append")
         if compact_every and (batch_id + 1) % compact_every == 0:
+            # refresh the stop-signature list at the compaction
+            # cadence when the guard is armed — appends grow buckets
             compact_lsh_index(batch.sparkSession, path,
-                              max_files_per_shard=max_files_per_shard)
+                              max_files_per_shard=max_files_per_shard,
+                              refresh_hot_over=max_bucket)
 
     return (stream_docs.writeStream
             .foreachBatch(_process)

@@ -198,3 +198,86 @@ def test_stream_face_matches_batch(spark, docs, tmp_path):
         if d not in order  # token-less: no signature, always survives
         or not any(order[a] < order[d] for a in matches.get(d, ())))
     assert got == expected
+
+
+def _hot_corpus(spark, docs):
+    """Fixture docs + 300 planted copies of one boilerplate text (a
+    degenerate band bucket) with ids in a reserved high range."""
+    hot = spark.range(300).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.lit("terms of service apply to all content "
+              "all rights reserved contact us").alias("text"))
+    return docs.unionByName(hot), {r.doc_id for r in hot.collect()}
+
+
+def test_stop_signature_guard_batch(spark, docs):
+    """max_bucket bans over-cap buckets from candidate generation.
+    Exact model: regenerate candidates driver-side from ONLY the
+    under-cap buckets — the capped pair set must equal the uncapped
+    pairs restricted to those candidates (no hot-id pair survives;
+    fixture-internal over-cap buckets are banned too)."""
+    from collections import defaultdict
+
+    corpus, hot_ids = _hot_corpus(spark, docs)
+    uncapped = {(r.doc1, r.doc2): r.est_jaccard
+                for r in L.signature_pairs(corpus).collect()}
+    capped = {(r.doc1, r.doc2): r.est_jaccard
+              for r in L.signature_pairs(corpus,
+                                         max_bucket=50).collect()}
+    assert any(a in hot_ids or b in hot_ids for a, b in uncapped)
+    assert not any(a in hot_ids or b in hot_ids for a, b in capped)
+    buckets = defaultdict(set)
+    for r in L.signature_rows(corpus).collect():
+        buckets[(r.band, r.band_sig)].add(r.doc_id)
+    allowed = set()
+    for members in buckets.values():
+        if len(members) <= 50:
+            ms = sorted(members)
+            allowed |= {(a, b) for i, a in enumerate(ms)
+                        for b in ms[i + 1:]}
+    expected = {p: e for p, e in uncapped.items() if p in allowed}
+    assert capped == expected
+
+
+def test_stop_signature_guard_probe(spark, docs, tmp_path):
+    """refresh_hot_sigs persists the stop list; probes then skip the
+    hot bucket (a batch doc colliding only with boilerplate matches
+    nothing) while cold near-dups are still found; use_hot=False
+    shows the fan the guard removed."""
+    path = str(tmp_path / "idx")
+    corpus, hot_ids = _hot_corpus(spark, docs)
+    L.build_lsh_index(corpus, path)
+    stats = L.refresh_hot_sigs(spark, path, max_bucket=50)
+    assert stats["hot_buckets"] >= 1
+    probe = spark.createDataFrame(
+        [(9_000_000, "terms of service apply to all content "
+                     "all rights reserved contact us")],
+        "doc_id bigint, text string")
+    guarded = L.probe_lsh_index(probe, path).collect()
+    assert guarded == []
+    unguarded = L.probe_lsh_index(probe, path, use_hot=False).collect()
+    assert len(unguarded) >= 300  # the fan the guard removed
+    # cold near-dups still probe through the guard
+    sample = docs.limit(1)
+    cold = L.probe_lsh_index(sample, path).collect()
+    assert any(r.hist_id not in hot_ids for r in cold)
+
+
+def test_stream_with_guard_runs(spark, docs, tmp_path):
+    """Stream face with the guard + compaction cadence armed: runs
+    green and leaves a refreshed hot list on disk."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "idx")
+    corpus, _ = _hot_corpus(spark, docs)
+    for i, b in enumerate(_batches(corpus, n=2)):
+        b.coalesce(1).write.parquet(f"{src}/b{i}")
+    L.build_lsh_index(corpus.limit(0), path)
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = L.start_lsh_dedup_stream(
+        stream, path=path, out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        compact_every=2, max_bucket=50)
+    q.awaitTermination(120)
+    assert L.load_hot_sigs(spark, path) is not None
+    assert spark.read.parquet(str(tmp_path / "out")).count() > 0
