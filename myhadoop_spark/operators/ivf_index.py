@@ -66,26 +66,34 @@ def _write_lists(assigned: DataFrame, path: str, mode: str) -> None:
 
 def build_index(emb: DataFrame, path: str, *, k: int = 16,
                 iterations: int = 5, vec_col: str = "v",
-                id_col: str = "vec_id") -> list[list[float]]:
+                id_col: str = "vec_id",
+                payload_cols: tuple[str, ...] = ()) -> list[list[float]]:
     """Train centroids, assign every vector, write the index tables.
-    Returns the centroid list (also persisted under the index)."""
+    Returns the centroid list (also persisted under the index).
+
+    ``payload_cols`` stores extra metadata columns alongside each
+    vector — the substrate for FILTERED ANN (``search_index(where=)``):
+    the predicate then pushes into the pruned parquet scan instead of
+    post-filtering ranked results (which silently shrinks top-k)."""
     cents = train_centroids(emb, vec_col=vec_col, id_col=id_col, k=k,
                             iterations=iterations)
     spark = emb.sparkSession
     (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
                            "bucket int, centroid array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
-    _write_lists(_assign(emb, cents, vec_col, id_col), path, "overwrite")
+    _write_lists(_assign(emb, cents, vec_col, id_col, payload_cols),
+                 path, "overwrite")
     return cents
 
 
 def _assign(emb: DataFrame, cents: list[list[float]], vec_col: str,
-            id_col: str) -> DataFrame:
+            id_col: str,
+            payload_cols: tuple[str, ...] = ()) -> DataFrame:
     return (assign_buckets(
         emb.withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))),
         cents, vec_col=vec_col)
         .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-                "nrm", "bucket"))
+                "nrm", "bucket", *payload_cols))
 
 
 def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
@@ -95,16 +103,21 @@ def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
 
 
 def append_to_index(new_emb: DataFrame, path: str, *,
-                    vec_col: str = "v", id_col: str = "vec_id") -> None:
+                    vec_col: str = "v", id_col: str = "vec_id",
+                    payload_cols: tuple[str, ...] = ()) -> None:
     """Assign new vectors under the STORED centroids and append their
-    bucket partitions — no retrain, existing lists untouched."""
+    bucket partitions — no retrain, existing lists untouched.
+    ``payload_cols`` must match the build's (a schema mismatch would
+    splinter the lists)."""
     cents = load_centroids(new_emb.sparkSession, path)
-    _write_lists(_assign(new_emb, cents, vec_col, id_col), path, "append")
+    _write_lists(_assign(new_emb, cents, vec_col, id_col, payload_cols),
+                 path, "append")
 
 
 def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
                  n_probe: int = 4, top_k: int = 5,
-                 exclude_self: bool = True) -> DataFrame:
+                 exclude_self: bool = True,
+                 where: str | None = None) -> DataFrame:
     """queries[q_id, qv, qnrm] → per-query top-k cosine neighbors among
     the probed inverted lists. The probed bucket set (≤ n_probe ×
     |queries| distinct values, collected driver-side — bounded like the
@@ -116,7 +129,16 @@ def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
     corpus (the self-match carries no information). Pass
     ``exclude_self=False`` when query ids live in a separate id space:
     an accidental numeric collision would otherwise silently drop a
-    legitimate neighbor."""
+    legitimate neighbor.
+
+    ``where`` is FILTERED ANN over the stored payload columns
+    (``build_index(payload_cols=...)``): a SQL predicate string
+    applied to the vectors BEFORE ranking, so each query's top-k is
+    drawn from the matching vectors — NOT a post-filter of ranked
+    results, which silently returns fewer than k (the vector-database
+    pre-filter semantics). Simple comparisons reach the parquet scan
+    as PushedFilters (row-group stats skipping); results equal a
+    same-centroid search over only the matching vectors (tested)."""
     from pyspark.sql import Window
 
     cents = load_centroids(spark, path)
@@ -125,6 +147,8 @@ def search_index(spark: SparkSession, path: str, queries: DataFrame, *,
                      probed.select("bucket").distinct().collect())
     vectors = (spark.read.parquet(f"{path}/vectors")
                .filter(F.col("bucket").isin(buckets)))
+    if where is not None:
+        vectors = vectors.filter(where)
     cand = vectors.join(F.broadcast(probed), "bucket")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("q_id"))

@@ -203,3 +203,75 @@ def test_retrain_equals_fresh_build(spark, tmp_path):
     q = _queries(emb)
     assert _res(search_index(spark, inc, q, top_k=TOP_K)) == \
         _res(search_index(spark, fresh, q, top_k=TOP_K))
+
+
+def test_filtered_ann_prefilter_semantics(spark, tmp_path):
+    """where= is vector-database PRE-filter semantics: each query's
+    top-k over an index with payload metadata must equal search over
+    a same-centroid index holding ONLY the matching vectors — never a
+    post-filter of ranked results (which under-fills top-k). The
+    predicate must also reach the parquet scan as a PushedFilter."""
+    emb = (load(spark, SF_SMOKE, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("v"),
+                   (F.col("vec_id") % 3).alias("shard_tag"))
+           .localCheckpoint())
+    path = str(tmp_path / "idx")
+    cents = build_index(emb, path, k=K, payload_cols=("shard_tag",))
+    q = _queries(emb)
+    got = _res(search_index(spark, path, q, top_k=TOP_K,
+                            where="shard_tag = 1"))
+
+    # twin: same centroids, index holding only the matching vectors
+    from myhadoop_spark.operators.ivf_index import _assign, _write_lists
+
+    twin = str(tmp_path / "twin")
+    (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
+                           "bucket int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{twin}/centroids"))
+    _write_lists(_assign(emb.filter("shard_tag = 1"), cents, "v",
+                         "vec_id"), twin, "overwrite")
+    want = _res(search_index(spark, twin, q, top_k=TOP_K))
+    assert got == want and got
+    # every neighbor satisfies the predicate
+    assert all(nid % 3 == 1 for (_, nid) in got)
+
+    # the predicate reaches the scan (row-group pruning substrate)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search_index(spark, path, q, top_k=TOP_K,
+                     where="shard_tag = 1").explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("shard_tag" in ln for ln in pushed), plan
+
+
+def test_filtered_append_carries_payload(spark, tmp_path):
+    """Appends with matching payload_cols keep the filtered search
+    exact over the union."""
+    emb = (load(spark, SF_SMOKE, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("v"),
+                   (F.col("vec_id") % 3).alias("shard_tag"))
+           .localCheckpoint())
+    path = str(tmp_path / "idx")
+    build_index(emb.filter("vec_id % 2 = 0"), path, k=K,
+                payload_cols=("shard_tag",))
+    append_to_index(emb.filter("vec_id % 2 = 1"), path,
+                    payload_cols=("shard_tag",))
+    q = _queries(emb)
+    got = _res(search_index(spark, path, q, top_k=TOP_K,
+                            where="shard_tag = 2"))
+    whole = str(tmp_path / "whole")
+    cents = load_centroids(spark, path)
+    from myhadoop_spark.operators.ivf_index import _assign, _write_lists
+
+    (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
+                           "bucket int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{whole}/centroids"))
+    _write_lists(_assign(emb.filter("shard_tag = 2"), cents, "v",
+                         "vec_id"), whole, "overwrite")
+    want = _res(search_index(spark, whole, q, top_k=TOP_K))
+    assert got == want and got
