@@ -16,6 +16,11 @@ Claims under test:
      the files at unchanged rows. compact_lsh_index restores the
      fresh shape, probe verdicts bit-identical (asserted here AND in
      tests/test_lsh_index.py).
+  3. THE STOP-SIGNATURE GUARD KILLS THE HOT-BUCKET FAN. 5,000 planted
+     boilerplate copies in history x a 200-doc batch carrying the
+     same text = 1M candidate rows unguarded; after refresh_hot_sigs
+     the bucket is skipped (rows_out drops to the cold matches only —
+     the declared recall trade on stop signatures).
 
 Metric caveat: REST inputBytes on a local filesystem under-counts
 parquet page reads in absolute terms and the probe re-reads the
@@ -133,6 +138,28 @@ def main() -> None:
     compacted = record("after_compact", idx, batch)
     assert compacted == frag, "compaction changed probe verdicts!"
     print("probe verdicts identical across compaction: OK")
+
+    # --- claim 3: the stop-signature guard kills the hot-bucket fan --
+    # plant 5,000 copies of one boilerplate text in history and probe a
+    # batch of 200 docs carrying that text: unguarded, every probe doc
+    # fans into 5,000 candidate rows; with the hot list the bucket is
+    # skipped entirely (the declared recall trade on stop signatures)
+    idx = f"{base}/idx_hot"
+    boiler = ("terms of service apply to all content all rights "
+              "reserved contact us for details")
+    hot_hist = spark.range(5_000).selectExpr(
+        "id + 20000000 as doc_id", f"'{boiler}' as text")
+    build_lsh_index(synthetic_docs(spark, n, zipf=True)
+                    .unionByName(hot_hist), idx)
+    hot_batch = (spark.range(200).selectExpr(
+        "id + 30000000 as doc_id", f"'{boiler}' as text")
+        .localCheckpoint())
+    probe_lsh_index(hot_batch, idx, use_hot=False).count()  # warm
+    record("hot_unguarded", idx, hot_batch)
+    from myhadoop_spark.operators.lsh_index import refresh_hot_sigs
+
+    print("refresh_hot:", refresh_hot_sigs(spark, idx, max_bucket=100))
+    record("hot_guarded", idx, hot_batch)
     os.system(f"rm -rf {base}")
     spark.stop()
 
