@@ -301,3 +301,57 @@ def signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return signature_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# percolation (reverse search) — operators/percolate.py
+# ---------------------------------------------------------------------------
+
+# the standing-query fixture: alert subscriptions over the corpus
+# vocabulary (mirrored verbatim in the oracle VALUES)
+PERCOLATE_QUERIES = [
+    (1, ["scan", "column", "window"], 2),
+    (2, ["join", "merge", "hash", "sort"], 3),
+    (3, ["customer", "order", "part"], 2),
+    (4, ["nonexistent_term_xyzzy", "filter"], 1),
+    (5, ["batch", "row", "value", "key", "line"], 4),
+]
+
+
+@register(
+    "percolate",
+    oracle=f"""
+    WITH q AS (SELECT * FROM (VALUES {', '.join(
+        "(%d, %s, %d)" % (qid, "[" + ", ".join(f"'{t}'" for t in terms)
+                          + "]", msm)
+        for qid, terms, msm in PERCOLATE_QUERIES)})
+               AS q(query_id, terms, min_should_match)),
+    qt AS (SELECT query_id, min_should_match,
+                  unnest(list_distinct(terms)) AS term FROM q),
+    dt AS (SELECT doc_id,
+                  unnest(list_distinct(list_filter(
+                      string_split_regex(text, '\\s+'), t -> t <> '')))
+                      AS term
+           FROM documents),
+    hits AS (SELECT dt.doc_id, qt.query_id, qt.min_should_match,
+                    COUNT(*) AS n_matched
+             FROM dt JOIN qt USING (term)
+             GROUP BY dt.doc_id, qt.query_id, qt.min_should_match)
+    SELECT doc_id, query_id, n_matched
+    FROM hits WHERE n_matched >= min_should_match
+    """,
+    tags=("percolate", "extension", "streaming"),
+    gate=False,
+)
+def percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search: which standing alert queries does each document
+    trigger (operators/percolate.py — the Elasticsearch percolator
+    shape as a broadcast join; the query table never shuffles the
+    corpus token stream). Integer match counts → bitwise DuckDB
+    differential."""
+    from myhadoop_spark.operators.percolate import percolate_docs
+
+    queries = spark.createDataFrame(
+        PERCOLATE_QUERIES,
+        "query_id int, terms array<string>, min_should_match int")
+    return percolate_docs(load(spark, sf_dir, "documents"), queries)
