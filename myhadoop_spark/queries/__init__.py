@@ -23,6 +23,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     merge_query,
     phrase,
     pipeline,
+    quality_checks,
     reference_parity,
     relational,
     relational2,
