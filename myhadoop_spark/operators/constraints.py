@@ -22,8 +22,12 @@ helpers):
   * ``satisfies(name, sql)``     — violations = rows where the SQL
                                    boolean predicate is not TRUE;
   * ``unique(*cols)``            — violations = rows beyond the first
-                                   of each duplicated key
-                                   (n_rows − n_distinct_keys);
+                                   of each duplicated NON-NULL key,
+                                   plus every row with a NULL key
+                                   component (an unknown key cannot
+                                   be attested unique — and this is
+                                   the COUNT(DISTINCT col) convention
+                                   the SQL twin uses);
   * ``foreign_key(col, ref, ref_col)`` — violations = rows whose col
                                    has no match in the reference
                                    table (NULL FK violates — model
@@ -79,24 +83,42 @@ def foreign_key(col: str, ref: DataFrame, ref_col: str) -> tuple:
     return (f"foreign_key({col})", "fk", (col, ref, ref_col))
 
 
+def row_battery(df: DataFrame, constraints: list[tuple]) -> DataFrame:
+    """The ONE aggregation all row-kind constraints share: total row
+    count plus one conditional sum per check, over one scan. Exposed
+    so the one-scan plan claim is asserted against the PRODUCTION
+    aggregation (tests/test_constraints.py), not a copy. Sums are
+    coalesced to 0 — an empty table reports zero violations, it does
+    not crash the gate."""
+    row_cs = [(n, cond) for n, k, cond in constraints if k == "row"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, cond) in enumerate(row_cs):
+        aggs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
+                               F.lit(0)).cast("long").alias(f"_v{i}"))
+    return df.agg(*aggs)
+
+
 def check_constraints(df: DataFrame,
                       constraints: list[tuple]) -> DataFrame:
     """Evaluate the suite; returns the report DataFrame
     (constraint, violations, n_rows, passed) in suite order.
 
     Pass structure: all row-kind constraints + the total row count
-    run as ONE aggregation over ONE scan; each unique() adds one
-    aggregate over the same scan; each foreign_key() adds one
-    anti-join count against its reference. Results are assembled
-    driver-side (a bounded, suite-sized collect) so the report is a
-    small local relation — the Deequ report shape."""
+    run as ONE aggregation over ONE scan (``row_battery``); each
+    unique() adds one aggregate over the same scan; each
+    foreign_key() adds one anti-join count against its reference.
+    Results are assembled driver-side (a bounded, suite-sized
+    collect) so the report is a small local relation — the Deequ
+    report shape. Duplicate constraint names are rejected (the
+    report is keyed by name; a silent collapse could report a
+    failing check as passing)."""
     spark = df.sparkSession
+    names = [n for n, _, _ in constraints]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate constraint names: {dupes}")
     row_cs = [(n, cond) for n, k, cond in constraints if k == "row"]
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, (_, cond) in enumerate(row_cs):
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
-                    .cast("long").alias(f"_v{i}"))
-    base = df.agg(*aggs).first()
+    base = row_battery(df, constraints).first()
     n_rows = int(base["_n"])
 
     results: dict[str, int] = {}
@@ -104,7 +126,11 @@ def check_constraints(df: DataFrame,
         results[name] = int(base[f"_v{i}"])
     for name, kind, payload in constraints:
         if kind == "unique":
-            distinct = df.select(*payload).distinct().count()
+            # distinct over NON-NULL keys: a NULL key component makes
+            # the row a violation (cannot attest uniqueness of an
+            # unknown key) — the COUNT(DISTINCT) convention
+            distinct = (df.select(*payload).na.drop("any")
+                        .distinct().count())
             results[name] = n_rows - distinct
         elif kind == "fk":
             col, ref, ref_col = payload

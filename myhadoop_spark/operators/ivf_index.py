@@ -227,12 +227,16 @@ def retrain_index(spark: SparkSession, path: str, *,
 
     if k is None:
         k = len(load_centroids(spark, path))
-    emb = spark.read.parquet(f"{path}/vectors").select("vec_id", "v")
+    emb = spark.read.parquet(f"{path}/vectors").drop("nrm", "bucket")
+    # carry the stored payload columns through the rebuild — dropping
+    # them would break every filtered search after a routine retrain
+    payload = tuple(c for c in emb.columns if c not in ("vec_id", "v"))
     staging = f"{path}/.retrain"
     fs, staging_p = hadoop_fs(spark, staging)
     if fs.exists(staging_p):
         fs.delete(staging_p, True)
-    cents = build_index(emb, staging, k=k, iterations=iterations)
+    cents = build_index(emb, staging, k=k, iterations=iterations,
+                        payload_cols=payload)
     jvm = spark._jvm
     for sub in ("centroids", "vectors"):
         live = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
@@ -249,6 +253,7 @@ def retrain_index(spark: SparkSession, path: str, *,
 def start_index_ingest_stream(stream_emb: DataFrame, *, path: str,
                               checkpoint: str, vec_col: str = "v",
                               id_col: str = "vec_id",
+                              payload_cols: tuple[str, ...] = (),
                               compact_every: int | None = None,
                               max_files_per_bucket: int = 4):
     """Streaming face: each micro-batch of new embeddings is assigned
@@ -267,7 +272,8 @@ def start_index_ingest_stream(stream_emb: DataFrame, *, path: str,
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_to_index(batch, path, vec_col=vec_col, id_col=id_col)
+        append_to_index(batch, path, vec_col=vec_col, id_col=id_col,
+                        payload_cols=payload_cols)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_index(batch.sparkSession, path,
                           max_files_per_bucket=max_files_per_bucket)

@@ -252,8 +252,11 @@ def refresh_hot_sigs(spark: SparkSession, path: str, *,
     {hot_buckets}."""
     rows = spark.read.schema(_SIGS_SCHEMA).parquet(f"{path}/sigs")
     hot = _hot_buckets(rows, max_bucket)
-    n = hot.count()
+    # write first, count the (tiny) written table — counting the
+    # aggregate before writing would re-run the full index scan twice
     (hot.coalesce(1).write.mode("overwrite").parquet(f"{path}/hot"))
+    n = spark.read.schema("band int, band_sig string").parquet(
+        f"{path}/hot").count()
     return {"hot_buckets": n}
 
 

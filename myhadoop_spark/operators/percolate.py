@@ -37,12 +37,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.operators.bm25 import _tokens
+
 
 def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.filter(F.split(F.col(text_col), r"\s+"),
-                    lambda t: t != F.lit(""))
+    # the repo's ONE tokenization convention (operators/bm25.py) — a
+    # local copy would silently desynchronize percolation verdicts
+    # from the indexes built over the same corpus
     return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.array_distinct(toks)).alias("term"))
+                       F.explode(F.array_distinct(_tokens(text_col)))
+                       .alias("term"))
 
 
 def percolate_docs(docs: DataFrame, queries: DataFrame, *,
@@ -52,9 +56,22 @@ def percolate_docs(docs: DataFrame, queries: DataFrame, *,
     document triggers. ``queries`` needs (query_id, terms
     array<string>, min_should_match int); duplicate terms within a
     query count once (distinct-term semantics on both sides)."""
-    q_terms = (queries.select("query_id", "min_should_match",
-                              F.explode(F.array_distinct("terms"))
-                              .alias("term")))
+    # a row-level guard, not a driver collect: min_should_match < 1
+    # would claim "match everything" semantics this join-based plan
+    # cannot express (docs sharing no term produce no row) — reject
+    # loudly instead of silently under-matching. The guard lives
+    # INSIDE the used column (an assert_true on a dropped column gets
+    # column-pruned away and never evaluates).
+    msm = F.when(F.col("min_should_match") >= 1,
+                 F.col("min_should_match")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("percolate: min_should_match must be >= 1 (a "
+                  "threshold of 0 would match every document — "
+                  "filter nothing instead); got "),
+            F.col("min_should_match").cast("string"))))
+    q_terms = (queries.select(
+        "query_id", msm.alias("min_should_match"),
+        F.explode(F.array_distinct("terms")).alias("term")))
     hits = (_doc_tokens(docs, id_col, text_col)
             .join(F.broadcast(q_terms), "term")
             .groupBy("doc_id", "query_id", "min_should_match")

@@ -96,15 +96,24 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
                                chunk_tokens: int = 128,
                                overlap: int = 16,
                                threshold: float = 0.5,
-                               max_bucket: int | None = None):
+                               max_bucket: int | None = None,
+                               compact_every: int | None = None):
     """The maintenance loop described in the module docstring.
     Requires ``bootstrap_hybrid`` (or equivalent one-shot builds) to
     have run; fails loudly otherwise via each index's own meta
-    guard."""
+    guard.
+
+    ``compact_every=N`` runs each index's own compaction after every
+    N batches — sigs shards, BM25 postings buckets, IVF lists — so a
+    long-running ingest can't fragment any surface unboundedly; when
+    ``max_bucket`` is also set, the LSH stop-signature list refreshes
+    at the same cadence (refresh_hot_sigs), arming the probe-side
+    hot-bucket guard against HISTORY, not just within-batch pairs."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        spark = batch.sparkSession
         append_id = f"b{batch_id}"
         survivors, rows = _dedup_core(
             batch.select("doc_id", "text"), lsh_path,
@@ -121,6 +130,19 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
                         .select("vec_id", "v"), ivf_path)
         # 3. LSH history last — next batches dedup against this one
         _write_sigs(rows, lsh_path, append_id, "append")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from myhadoop_spark.operators.bm25_index import (
+                compact_bm25_index,
+            )
+            from myhadoop_spark.operators.ivf_index import compact_index
+            from myhadoop_spark.operators.lsh_index import (
+                compact_lsh_index,
+            )
+
+            compact_lsh_index(spark, lsh_path,
+                              refresh_hot_over=max_bucket)
+            compact_bm25_index(spark, bm25_path)
+            compact_index(spark, ivf_path)
 
     return (stream_docs.writeStream
             .foreachBatch(_process)

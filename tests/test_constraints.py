@@ -52,7 +52,9 @@ def test_planted_violations_counted_exactly(spark):
         "matches(email)": (2, 5, False),            # 'bad' and NULL
         # price<25: rows 30.0 and NULL fail (NULL predicate violates)
         "satisfies(price_lt_25)": (2, 5, False),
-        "unique(k)": (1, 5, False),                 # one duplicated 1
+        # one duplicated 1 + the NULL-key row (unknown keys cannot be
+        # attested unique — the COUNT(DISTINCT) convention)
+        "unique(k)": (2, 5, False),
         # k=2 missing from ref, NULL k violates
         "foreign_key(k)": (2, 5, False),
     }
@@ -72,17 +74,15 @@ def test_clean_table_passes(spark):
 def test_row_battery_is_one_scan(spark):
     """Every row-level constraint folds into ONE aggregation over ONE
     scan — never a job per check (the Deequ unified-computation
-    claim, asserted on the physical plan of the combined agg)."""
-    from pyspark.sql import functions as F
+    claim, asserted on the PRODUCTION aggregation the checker runs,
+    operators/constraints.py::row_battery)."""
+    from myhadoop_spark.operators.constraints import row_battery
 
     df = _df(spark)
-    row_cs = [not_null("k"), in_range("price", 0, 100),
-              accepted_values("status", ["O", "F", "P"]),
-              matches("email", r".+@.+")]
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, (_, _, cond) in enumerate(row_cs):
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_v{i}"))
-    plan_df = df.agg(*aggs)
+    plan_df = row_battery(df, [
+        not_null("k"), in_range("price", 0, 100),
+        accepted_values("status", ["O", "F", "P"]),
+        matches("email", r".+@.+")])
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
@@ -92,3 +92,23 @@ def test_row_battery_is_one_scan(spark):
     scan_nodes = re.findall(r"^\(\d+\) Scan", plan, re.M)
     assert len(scan_nodes) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_empty_table_reports_zero_violations(spark):
+    """An empty input (routine for a partition-scoped gate) must
+    report passed suites, not crash on NULL sums."""
+    df = spark.createDataFrame([], "k int, price double")
+    rep = check_constraints(df, [not_null("k"),
+                                 in_range("price", 0, 9),
+                                 unique("k")]).collect()
+    assert [(r.violations, r.n_rows, r.passed) for r in rep] == \
+        [(0, 0, True)] * 3
+
+
+def test_duplicate_constraint_names_rejected(spark):
+    import pytest
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="duplicate constraint names"):
+        check_constraints(df, [satisfies("x", "price > 0"),
+                               satisfies("x", "k > 0")])

@@ -69,8 +69,14 @@ def test_stream_maintains_all_three_indexes(spark, tmp_path):
     q = start_hybrid_ingest_stream(
         stream, lsh_path=lsh, bm25_path=bm25, ivf_path=ivf,
         chunks_path=chunks_out, checkpoint=str(tmp_path / "ckpt"),
-        embed=embed, chunk_tokens=32, overlap=4)
+        embed=embed, chunk_tokens=32, overlap=4,
+        compact_every=2, max_bucket=500)
     q.awaitTermination(180)
+
+    # the compaction cadence ran and armed the probe-side hot guard
+    from myhadoop_spark.operators.lsh_index import load_hot_sigs
+
+    assert load_hot_sigs(spark, lsh) is not None
 
     # ------ the dedup gate dropped exactly the verbatim repeats ------
     streamed = spark.read.parquet(chunks_out)

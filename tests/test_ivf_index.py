@@ -275,3 +275,49 @@ def test_filtered_append_carries_payload(spark, tmp_path):
                          "vec_id"), whole, "overwrite")
     want = _res(search_index(spark, whole, q, top_k=TOP_K))
     assert got == want and got
+
+
+def test_retrain_preserves_payload_and_stream_appends_payload(spark,
+                                                              tmp_path):
+    """The lifecycle must not destroy filtered ANN: retrain_index
+    rebuilds with the stored payload columns intact, and the ingest
+    stream threads payload_cols so appended files keep one schema."""
+    from myhadoop_spark.operators.ivf_index import (
+        retrain_index,
+        start_index_ingest_stream,
+    )
+
+    emb = (load(spark, SF_SMOKE, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("v"),
+                   (F.col("vec_id") % 3).alias("shard_tag"))
+           .localCheckpoint())
+    path = str(tmp_path / "idx")
+    build_index(emb.filter("vec_id % 2 = 0"), path, k=K,
+                payload_cols=("shard_tag",))
+
+    # streamed appends carry the payload
+    src = str(tmp_path / "src")
+    (emb.filter("vec_id % 2 = 1").repartition(3).write.parquet(src))
+    stream = (spark.readStream
+              .schema("vec_id long, v array<double>, shard_tag long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_index_ingest_stream(stream, path=path,
+                                  checkpoint=str(tmp_path / "ckpt"),
+                                  payload_cols=("shard_tag",))
+    q.awaitTermination(120)
+    cols = set(spark.read.parquet(f"{path}/vectors").columns)
+    assert "shard_tag" in cols
+    qdf = _queries(emb)
+    before = _res(search_index(spark, path, qdf, top_k=TOP_K,
+                               where="shard_tag = 1"))
+    assert before
+
+    # retrain keeps the payload (geometry may change; the FILTER must
+    # still work and respect the predicate)
+    retrain_index(spark, path)
+    after = _res(search_index(spark, path, qdf, top_k=TOP_K,
+                              where="shard_tag = 1"))
+    assert after
+    assert all(nid % 3 == 1 for (_, nid) in after)

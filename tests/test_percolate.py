@@ -86,3 +86,14 @@ def test_stream_equals_batch_and_replay(spark, tmp_path):
     again = {(r.doc_id, r.query_id, r.n_matched)
              for r in spark.read.parquet(out).collect()}
     assert again == want
+
+def test_min_should_match_below_one_rejected(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(0, "alpha beta")],
+                                 "doc_id long, text string")
+    bad = spark.createDataFrame([(1, ["alpha"], 0)],
+                                "query_id int, terms array<string>, "
+                                "min_should_match int")
+    with pytest.raises(Exception, match="min_should_match"):
+        percolate_docs(docs, bad).collect()
