@@ -194,3 +194,82 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("bigint").alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_users"))
             .orderBy("cohort", "day_offset"))
+
+
+# ---------------------------------------------------------------------------
+# rollup anomaly detection — z-score of hourly event counts vs a
+# trailing window (the monitoring face of the continuous aggregate)
+# ---------------------------------------------------------------------------
+
+_ANOM_W = 24          # trailing buckets (one day of hours)
+_ANOM_Z = 2.0         # |z| flag threshold
+_ANOM_EPS = "1e-9"    # variance floor (degenerate constant windows)
+
+
+@register(
+    "rollup_anomaly",
+    oracle=f"""
+    WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                        COUNT(*) AS n_events
+                 FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    win AS (SELECT event_type, bucket, n_events,
+                   SUM(n_events) OVER w AS s1,
+                   SUM(n_events * n_events) OVER w AS s2,
+                   COUNT(*) OVER w AS m
+            FROM agg
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN {_ANOM_W} PRECEDING
+                                  AND 1 PRECEDING))
+    SELECT event_type, bucket, n_events,
+           (CAST(n_events AS DOUBLE)
+            - CAST(s1 AS DOUBLE) / {_ANOM_W})
+           / sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / {_ANOM_W}) / {_ANOM_W}
+                  + {_ANOM_EPS}) AS z
+    FROM win
+    WHERE m = {_ANOM_W}
+      AND abs((CAST(n_events AS DOUBLE)
+               - CAST(s1 AS DOUBLE) / {_ANOM_W})
+              / sqrt((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * s1 / {_ANOM_W}) / {_ANOM_W}
+                     + {_ANOM_EPS})) > {_ANOM_Z}
+    """,
+    tags=("events", "anomaly", "extension"),
+    gate=False,
+)
+def rollup_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket anomaly flags: hourly event counts whose z-score
+    against the TRAILING {W}-bucket window (current bucket excluded —
+    an anomaly must not suppress its own detection) exceeds the
+    threshold. The monitoring face of the continuous aggregate: at
+    scale this consumes rollup rows (operators/continuous_agg.py),
+    never raw events — here derived from events directly so the
+    oracle sees identical input.
+
+    Bitwise discipline: mean and variance come from INTEGER window
+    sums (Σc, Σc² over longs — exact, association-free), and the
+    float z expression is mirrored token for token in the SQL twin,
+    so every double operation sees identical operands on both
+    engines; rows with an incomplete trailing window are excluded
+    (m = W) rather than scored against a shrunken baseline."""
+    from pyspark.sql import Window
+
+    agg = (load(spark, sf_dir, "events")
+           .groupBy("event_type", F.date_trunc("hour", "ts")
+                    .alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-_ANOM_W, -1))
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    m = F.count(F.lit(1)).over(w)
+    win = agg.select("event_type", "bucket", "n_events",
+                     s1.alias("s1"), s2.alias("s2"), m.alias("m"))
+    z = ((F.col("n_events").cast("double")
+          - F.col("s1").cast("double") / _ANOM_W)
+         / F.sqrt((F.col("s2").cast("double")
+                   - F.col("s1").cast("double") * F.col("s1") / _ANOM_W)
+                  / _ANOM_W + float(_ANOM_EPS)))
+    return (win.filter(F.col("m") == _ANOM_W)
+            .select("event_type", "bucket", "n_events", z.alias("z"))
+            .filter(F.abs(F.col("z")) > _ANOM_Z))

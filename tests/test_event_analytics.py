@@ -86,3 +86,51 @@ def test_funnel_plan_shares_one_partitioning(spark, monkeypatch):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "user_id" in ln, ln
+
+
+def test_rollup_anomaly_flags_planted_spike(spark):
+    """A flat 10-events-per-hour series with one 100-event hour: only
+    the spike hour is flagged (positive z), and the hours AFTER it are
+    not dragged into false alarms by their contaminated baseline
+    (24-bucket window dilutes one spike below the threshold)."""
+    import datetime as dt
+
+    from myhadoop_spark.queries.event_analytics import (
+        _ANOM_W,
+        rollup_anomaly,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(80):
+        n = 100 if h == 50 else 10
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=i % 60),
+                         eid % 7, "tick", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    import myhadoop_spark.catalog as catalog
+
+    orig = catalog.load
+    try:
+        catalog.load = lambda s, sf, name: df  # the query's one input
+        import myhadoop_spark.queries.event_analytics as ea
+
+        ea_load = ea.load
+        ea.load = lambda s, sf, name: df
+        try:
+            out = rollup_anomaly(spark, "unused").collect()
+        finally:
+            ea.load = ea_load
+    finally:
+        catalog.load = orig
+    flagged = {(r.bucket.hour + (r.bucket.day - 1) * 24): r.z
+               for r in out}
+    assert 50 in flagged and flagged[50] > 2.0
+    assert all(h == 50 for h in flagged), flagged
+    # warm-up hours (incomplete trailing window) are never scored
+    assert all(h >= _ANOM_W for h in flagged)
