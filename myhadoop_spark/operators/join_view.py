@@ -143,3 +143,24 @@ def query_view(spark: SparkSession, path: str) -> DataFrame:
     """The materialized view: union of every refresh's delta rows."""
     return (spark.read.option("basePath", f"{path}/view")
             .parquet(f"{path}/view").drop("append_id"))
+
+
+def start_join_view_stream(stream_left: DataFrame, *, path: str,
+                           key: str, checkpoint: str):
+    """Streaming face: each micro-batch of LEFT-side appends refreshes
+    the view (dimension-side appends keep using refresh_join_view
+    directly — the fact-stream / dimension-feed asymmetry). Replay of
+    a crashed batch rewrites its own append_id partitions — exact
+    idempotence, inherited from refresh_join_view."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_join_view(path, key=key, append_id=f"b{batch_id}",
+                          delta_left=batch)
+
+    return (stream_left.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

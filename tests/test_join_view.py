@@ -106,3 +106,84 @@ def test_column_overlap_rejected(spark, tmp_path):
     b = spark.createDataFrame([(1, "y")], "k long, name string")
     with pytest.raises(ValueError, match="share non-key columns"):
         build_join_view(a, b, str(tmp_path / "v"), key="k")
+
+def test_stream_face_matches_batch(spark, tmp_path):
+    orders, cust = _sources(spark)
+    path = str(tmp_path / "v")
+    build_join_view(orders.filter("o_orderkey % 4 = 0"), cust,
+                    path, key="custkey")
+    from myhadoop_spark.operators.join_view import start_join_view_stream
+
+    src = str(tmp_path / "src")
+    for i in range(1, 4):
+        (orders.filter(f"o_orderkey % 4 = {i}")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in orders.schema.fields)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_join_view_stream(stream, path=path, key="custkey",
+                               checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = query_view(spark, path).count()
+    want = orders.join(cust, "custkey").count()
+    assert got == want and got > 0
+
+
+def test_composes_with_continuous_aggregate(spark, tmp_path):
+    """The end-to-end incremental pipeline: the join view's per-refresh
+    delta rows feed the continuous aggregate's incremental refresh —
+    after interleaved appends, the rollup query face equals the
+    one-shot daily aggregation over the full join, bitwise (both IVM
+    layers compose without recomputing either input)."""
+    from myhadoop_spark.operators.continuous_agg import (
+        query_rollup,
+        refresh_rollup,
+    )
+
+    orders = (load(spark, SF_SMOKE, "orders")
+              .select("o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderdate")
+              .withColumnRenamed("o_custkey", "custkey")
+              .localCheckpoint())
+    vpath = str(tmp_path / "v")
+    rpath = str(tmp_path / "r")
+
+    def to_events(view_rows):
+        # o_orderdate → ts, mktsegment → key, totalprice → value
+        return view_rows.select(
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+            F.col("custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("event_type"),
+            F.col("o_totalprice").cast("double").alias("value"))
+
+    cust2 = (load(spark, SF_SMOKE, "customer")
+             .select("c_custkey", "c_mktsegment")
+             .withColumnRenamed("c_custkey", "custkey").localCheckpoint())
+    build_join_view(orders.filter("o_orderkey % 3 = 0"), cust2,
+                    vpath, key="custkey")
+    # seed the rollup from the base view (deltas whose ts spans years:
+    # a wide lateness keeps every refresh inside the horizon)
+    kw = dict(bucket="1 day", keys=["event_type"],
+              lateness="3650 days")
+    refresh_rollup(to_events(query_view(spark, vpath)), rpath, **kw)
+    for i, aid in ((1, "a1"), (2, "a2")):
+        delta = refresh_join_view(
+            vpath, key="custkey", append_id=aid,
+            delta_left=orders.filter(f"o_orderkey % 3 = {i}"))
+        refresh_rollup(to_events(delta), rpath, **kw)
+
+    all_events = to_events(query_view(spark, vpath)).localCheckpoint()
+    got = sorted(
+        (r.bucket, r.event_type, r.n_events, r.sum_value)
+        for r in query_rollup(spark, all_events, rpath,
+                              bucket="1 day",
+                              keys=["event_type"]).collect())
+    want = sorted(
+        (r.bucket, r.event_type, r.n_events, r.sum_value)
+        for r in all_events
+        .withColumn("bucket", F.date_trunc("day", "ts"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value")).collect())
+    assert got == want and got
