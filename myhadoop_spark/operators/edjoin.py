@@ -1,0 +1,162 @@
+"""Ed-Join: edit-distance similarity join (Xiao, Wang & Lin 2008,
+"Ed-Join: an efficient algorithm for similarity joins with edit
+distance constraints", PVLDB).
+
+The character-level member of the dedup/candidate-generation family —
+every other generator in this engine is token/set-based (minhash
+bands, PPJoin prefixes, sign-LSH, IVF buckets); this one answers
+"which STRINGS are within d edits", the fuzzy-matching / entity-
+resolution primitive (near-identical product names, typo'd titles,
+OCR noise).
+
+Candidate generation is the Ed-Join q-gram prefix filter:
+
+  * each edit operation destroys at most q of a string's positional
+    q-grams, so two strings within edit distance d must share at
+    least one gram among the (q*d + 1) GLOBALLY-RAREST grams of each
+    (pigeonhole over the ordered gram multisets) — an equi-join on
+    prefix grams is exact-recall, never all-pairs;
+  * the length filter abs(len1 - len2) <= d composes on the same
+    candidate rows for free (length difference is a lower bound on
+    edit distance);
+  * strings with fewer than q*d + 1 grams (len < q*(d+1)) fall
+    outside the pigeonhole: they route through a SHORT BLOCK that
+    joins them to every string within +-d length via an exploded
+    target-length equi-join. Exactness never depends on short
+    strings being rare — only cost does (documented trade; at
+    q=2, d=2 "short" means len <= 5).
+
+Verification is Spark's built-in ``levenshtein(l, r, threshold)``
+(JVM-side banded DP, early-exits past the threshold); the emitted
+``dist`` is the exact distance, bitwise-comparable to DuckDB's
+``levenshtein``.
+
+Scale shape: one gram document-frequency aggregation (shuffle
+proportional to the gram vocabulary), one per-string window for the
+rarity ranking (shuffle proportional to total grams — the same
+cardinality any gram explode pays), one equi-join on prefix grams
+(banded by construction), then the verify join rides the candidate
+pairs only. No cartesian product anywhere (plan-asserted in
+tests/test_edjoin.py).
+
+Reference analog: none — SURVEY.md §2.3 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _base(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(str_col).alias("s"))
+            .filter(F.col("s").isNotNull())
+            .withColumn("len", F.length("s")))
+
+
+def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
+                             max_dist: int = 2, q: int = 2) -> DataFrame:
+    """Exact-recall candidate (id_a, id_b) pairs for
+    levenshtein <= max_dist — the Ed-Join prefix join plus the
+    short-string block (module docstring). Deduplicated; every true
+    pair is present (pinned in tests/test_edjoin.py)."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    d, pref_len = max_dist, q * max_dist + 1
+    base = _base(df, id_col, str_col)
+
+    # --- long strings: Ed-Join prefix-gram candidates -----------------
+    longs = base.filter(F.col("len") >= q * (d + 1))
+    ex = longs.select(
+        "id", "len",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, len - {q - 1}), p -> substring(s, p, {q}))"
+        )).alias("pos", "gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                         F.col("gram").asc(),
+                                         F.col("pos").asc())
+    pref = (ex.join(freq, "gram")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= pref_len)
+            .select("id", "len", "gram"))
+    a = pref.select(F.col("id").alias("id_a"), F.col("len").alias("len_a"),
+                    "gram")
+    b = pref.select(F.col("id").alias("id_b"), F.col("len").alias("len_b"),
+                    "gram")
+    long_cand = (a.join(b, "gram")
+                 .filter((F.col("id_a") < F.col("id_b"))
+                         & (F.abs(F.col("len_a") - F.col("len_b")) <= d))
+                 .select("id_a", "id_b"))
+
+    # --- short strings: exploded target-length equi-join --------------
+    # every (short, any) pair within +-d length is a candidate; emitted
+    # once per pair via the (short side has the smaller-or-equal
+    # length, tie broken by id) convention.
+    shorts = base.filter(F.col("len") < q * (d + 1))
+    probe = shorts.select(
+        F.col("id").alias("id_s"), F.col("len").alias("len_s"),
+        F.explode(F.sequence(F.col("len"), F.col("len") + d))
+        .alias("len"))
+    tgt = base.select(F.col("id").alias("id_t"), "len")
+    short_cand = (probe.join(tgt, "len")
+                  .filter((F.col("len") > F.col("len_s"))
+                          | (F.col("id_s") != F.col("id_t")))
+                  .select(F.least("id_s", "id_t").alias("id_a"),
+                          F.greatest("id_s", "id_t").alias("id_b")))
+
+    # the two families are disjoint (long-long vs short-involving), so
+    # one distinct dedupes everything in a single exchange
+    return long_cand.unionByName(short_cand).distinct()
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
+                        max_dist: int = 2, q: int = 2) -> DataFrame:
+    """All (id_a, id_b, dist) pairs with id_a < id_b and
+    levenshtein(str_a, str_b) <= max_dist. Exact (recall pinned
+    against brute force in tests/test_edjoin.py).
+
+    DEDUPE-FIRST: the prefix join and the DP verify run over DISTINCT
+    string values only (one representative per value), and the result
+    expands back through the duplicate groups — within-group pairs are
+    dist 0 by identity, cross-group pairs inherit their
+    representatives' distance. On duplicate-heavy tables (real catalog
+    data; the part fixture is 20k rows / 8.4k values at sf0.1) this
+    shrinks the quadratic-prone candidate stage by the square of the
+    duplication factor while the expansion stays output-bound
+    (measured: 30.1M -> 5.1M candidates at sf0.1, edjoin_study.tsv).
+
+    ``q`` trades prefix length (q*max_dist + 1 grams per string)
+    against gram selectivity; q=2 suits short names, q>=3 longer
+    strings with a larger alphabet.
+    """
+    base = _base(df, id_col, str_col)
+    members = base.select("id", "s")
+    reps = members.groupBy("s").agg(F.min("id").alias("id"))
+
+    cand = edit_distance_candidates(reps, "id", "s",
+                                    max_dist=max_dist, q=q)
+
+    # --- verify (representatives only): banded DP, exact distance ------
+    sa = reps.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = reps.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("dist", F.levenshtein("s_a", "s_b"))
+                 .filter(F.col("dist") <= max_dist)
+                 .select("s_a", "s_b", "dist"))
+
+    # --- expand through duplicate groups (output-bound) ----------------
+    ma = members.select(F.col("id").alias("ia"), F.col("s").alias("s_a"))
+    mb = members.select(F.col("id").alias("ib"), F.col("s").alias("s_b"))
+    cross = (rep_pairs.join(ma, "s_a").join(mb, "s_b")
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"), "dist"))
+    within = (ma.join(mb, F.col("s_a") == F.col("s_b"))
+              .filter(F.col("ia") < F.col("ib"))
+              .select(F.col("ia").alias("id_a"),
+                      F.col("ib").alias("id_b"),
+                      F.lit(0).cast("int").alias("dist")))
+    return cross.unionByName(within)

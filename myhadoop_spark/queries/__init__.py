@@ -18,6 +18,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dedup_ext,
     drift,
     event_analytics,
+    fuzzy,
     lm,
     media,
     merge_query,
