@@ -143,9 +143,14 @@ def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
     # --- verify (representatives only): banded DP, exact distance ------
     sa = reps.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = reps.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    # threshold form = banded DP with early exit (returns -1 past the
+    # band), O(d·|s|) per candidate instead of O(|s_a|·|s_b|); kept
+    # pairs carry the exact distance, so the bitwise oracle is
+    # unaffected (the module docstring's contract, wired r7)
     rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("dist", F.levenshtein("s_a", "s_b"))
-                 .filter(F.col("dist") <= max_dist)
+                 .withColumn("dist",
+                             F.levenshtein("s_a", "s_b", max_dist))
+                 .filter(F.col("dist") >= 0)
                  .select("s_a", "s_b", "dist"))
 
     # --- expand through duplicate groups (output-bound) ----------------

@@ -131,13 +131,37 @@ def rarest_gram_rarity(grams: DataFrame) -> float:
     return float(avg_min) / n_docs
 
 
+# (application id, caller-chosen corpus key) → verdict. The statistic
+# is a constant of the corpus, so re-probing on every query execution
+# is pure overhead (the r6 bench regression: the probe added ~0.6 s to
+# each ngram_jaccard run at sf0.1). Both generators are exact-recall,
+# so a cached verdict can NEVER change output — only cost. Keyed by
+# applicationId like catalog._df_cache so a stopped session's entries
+# are evicted rather than leaking across restarts.
+_verdict_cache: dict[tuple[str, str], str] = {}
+
+
 def choose_generator(grams: DataFrame, *,
-                     threshold: float = PREFIX_RARITY_THRESHOLD) -> str:
+                     threshold: float = PREFIX_RARITY_THRESHOLD,
+                     cache_key: str | None = None) -> str:
     """'ppjoin_prefix' when rare grams are genuinely rare (heavy-head
     corpora), else 'size_ratio'. Both are exact-recall — the choice
-    affects cost only."""
-    return ("ppjoin_prefix" if rarest_gram_rarity(grams) < threshold
-            else "size_ratio")
+    affects cost only. ``cache_key`` (e.g. ``f"{sf_dir}::documents"``)
+    memoizes the verdict per session so the corpus probe runs once at
+    first use instead of per query execution."""
+    if cache_key is not None:
+        app_id = grams.sparkSession.sparkContext.applicationId
+        key = (app_id, cache_key)
+        hit = _verdict_cache.get(key)
+        if hit is not None:
+            return hit
+        for stale in [k for k in _verdict_cache if k[0] != app_id]:
+            del _verdict_cache[stale]
+    verdict = ("ppjoin_prefix" if rarest_gram_rarity(grams) < threshold
+               else "size_ratio")
+    if cache_key is not None:
+        _verdict_cache[key] = verdict
+    return verdict
 
 
 def jaccard_pairs(grams: DataFrame, tau: float) -> DataFrame:

@@ -394,7 +394,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_candidates,
     )
 
-    if choose_generator(grams) == "ppjoin_prefix":
+    # verdict memoized per (session, corpus): the probe is a constant
+    # of the corpus and output is generator-invariant, so first use
+    # pays the probe and every later run skips it (r6 bench finding)
+    if choose_generator(
+            grams, cache_key=f"{sf_dir}::documents") == "ppjoin_prefix":
         cand = prefix_candidates(grams, 0.75, block_col="source")
     else:
         n_buckets = 16
