@@ -416,14 +416,20 @@ def read_raw_store(spark: SparkSession, path: str, *,
 
 
 def sweep_raw_store(spark: SparkSession, path: str, *,
-                    bucket: str = BUCKET) -> int:
+                    bucket: str = BUCKET,
+                    watermark: str | None = None) -> int:
     """Delete raw_bucket directories STRICTLY below the watermark's
     bucket floor: the watermark is monotonic and refresh reads only
     ts >= floor, so swept directories can never be read again. This is
     what bounds the landing store — and every refresh's listing — to
     the lateness horizon instead of the full stream history. Returns
-    the number of directories deleted."""
-    wm = read_watermark(spark, path)
+    the number of directories deleted.
+
+    ``watermark`` overrides the stored fine watermark — the stream
+    face passes a CLAMPED value when a hierarchy is armed, because the
+    coarse query face's raw tail reaches back to the coarse level's
+    own (lagging) watermark floor, not the fine one's."""
+    wm = watermark if watermark is not None else read_watermark(spark, path)
     if wm is None:
         return 0
     floor = _raw_floor_epoch(spark, wm, bucket)
@@ -512,11 +518,27 @@ def start_rollup_stream(stream_events: DataFrame, *, path: str,
                                          empty_schema=batch.schema)
         refresh_stats = refresh_rollup(raw, path, bucket=bucket, keys=keys,
                                        lateness=lateness)
-        # with a hierarchy, sweep at COARSE granularity: the coarse
-        # query face's raw tail reaches back to the coarse bucket floor
-        swept = (sweep_raw_store(
-            spark, path, bucket=coarse_bucket if coarse_path else bucket)
-            if sweep else 0)
+        # with a hierarchy, sweep at COARSE granularity AND clamp to the
+        # COARSE watermark: the coarse query face's raw tail reaches
+        # back to coarse-floor(coarse watermark), which lags the fine
+        # watermark between coarse refreshes (coarse_every > 1) — a
+        # fine watermark crossing a coarse bucket boundary on a batch
+        # that skips refresh_coarser must NOT delete raw dirs the
+        # coarse face still needs. No coarse watermark yet → no sweep
+        # (nothing is provably unreadable by the coarse face).
+        swept = 0
+        if sweep:
+            if coarse_path:
+                dst_wm = read_watermark(spark, coarse_path)
+                if dst_wm is not None:
+                    fine_wm = refresh_stats["watermark"]
+                    clamped = (dst_wm if fine_wm is None
+                               else min(fine_wm, dst_wm))
+                    swept = sweep_raw_store(spark, path,
+                                            bucket=coarse_bucket,
+                                            watermark=clamped)
+            else:
+                swept = sweep_raw_store(spark, path, bucket=bucket)
         if coarse_path and (batch_id + 1) % coarse_every == 0:
             refresh_coarser(spark, path, coarse_path,
                             dst_bucket=coarse_bucket, keys=keys)

@@ -400,6 +400,63 @@ def test_retention_clamped_by_hierarchy(spark, tmp_path):
     assert got_raw == want
 
 
+def test_sweep_clamped_to_coarse_watermark(spark, tmp_path):
+    """The r7 verdict's wrong-answer window: with coarse_every > 1 the
+    fine watermark can cross a COARSE bucket boundary on a batch that
+    skips refresh_coarser. The raw sweep must floor at the COARSE
+    watermark (which lags at the previous coarse refresh), not the
+    fine one — otherwise it deletes raw directories the coarse query
+    face's raw tail still needs, and the in-progress coarse bucket
+    undercounts until the next coarse refresh.
+
+    Five 6-hour batches, coarse_every=2: coarse refreshes run after
+    batches 1 and 3; batch 4 crosses the day-1 boundary WITHOUT a
+    coarse refresh. The coarse face served from the raw store alone
+    must still equal the one-shot daily aggregation."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.continuous_agg import start_rollup_stream
+
+    n_batches = 5  # ends on a batch where refresh_coarser is SKIPPED
+    src = str(tmp_path / "src")
+    waves = []
+    for b in range(n_batches):
+        wave = [_ev(b * 6 * 60 + m, (b + m) % 6, "click", float(m % 5))
+                for m in range(0, 6 * 60, 20)]
+        waves.append(wave)
+        spark.createDataFrame(wave, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/w{b:02d}")
+
+    fine = str(tmp_path / "hourly")
+    coarse = str(tmp_path / "daily")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_rollup_stream(stream, path=fine,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            coarse_path=coarse, coarse_every=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the sweep must have kept every raw dir the coarse face can read:
+    # coarse wm recorded at batch 3 is ~23.5h → coarse floor = day 0,
+    # so NOTHING below day 0 exists to sweep and all dirs survive
+    raw_dirs = list(Path(fine, "raw").glob("raw_bucket=*"))
+    assert raw_dirs, "raw store was swept past the coarse watermark"
+
+    all_events = spark.createDataFrame(
+        [e for w in waves for e in w], SCHEMA)
+    want = _canon(_bucketed(all_events, "1 day", ["event_type"]))
+
+    # the documented coarse monitoring face: raw STORE only (no replay
+    # of history) — this is what the unclamped sweep corrupted
+    raw = (spark.read.option("basePath", f"{fine}/raw")
+           .parquet(f"{fine}/raw").drop("raw_bucket", "batch_id"))
+    got_raw = _canon(query_rollup(spark, raw, coarse, bucket="1 day"))
+    assert got_raw == want and len(want) == 2
+
+
 def test_streaming_retention_drops_old_buckets(spark, tmp_path):
     """retention='N hours' in the stream face: rollup buckets older
     than watermark − N are dropped as the stream advances, and the
