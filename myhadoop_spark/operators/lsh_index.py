@@ -252,22 +252,53 @@ def refresh_hot_sigs(spark: SparkSession, path: str, *,
     {hot_buckets}."""
     rows = spark.read.schema(_SIGS_SCHEMA).parquet(f"{path}/sigs")
     hot = _hot_buckets(rows, max_bucket)
-    # write first, count the (tiny) written table — counting the
-    # aggregate before writing would re-run the full index scan twice
-    (hot.coalesce(1).write.mode("overwrite").parquet(f"{path}/hot"))
+    # staged write → delete → rename (the ivf_index.py retrain-swap
+    # idiom): an in-place overwrite first deletes <path>/hot, so a
+    # crash mid-write would leave an empty/partial stop-list and
+    # probes would fan into exactly the hot buckets the guard exists
+    # to prevent. The staging dir carries Spark's _SUCCESS marker,
+    # which load_hot_sigs uses to survive the delete→rename window.
+    staging = f"{path}/hot.tmp"
+    (hot.coalesce(1).write.mode("overwrite").parquet(staging))
+    # count the (tiny) staged table — counting the aggregate before
+    # writing would re-run the full index scan twice
     n = spark.read.schema("band int, band_sig string").parquet(
-        f"{path}/hot").count()
+        staging).count()
+    fs, live = hadoop_fs(spark, f"{path}/hot")
+    if fs.exists(live):
+        fs.delete(live, True)
+    _, staged = hadoop_fs(spark, staging)
+    if not fs.rename(staged, live):
+        raise OSError(f"hot-list swap failed: {staging} -> {path}/hot; "
+                      f"completed copy preserved at {staging}")
     return {"hot_buckets": n}
+
+
+def _complete_parquet_dir(fs, spark: SparkSession, uri: str) -> bool:
+    """A directory written to completion by a Spark job (its _SUCCESS
+    marker committed) — partial crash leftovers fail this check."""
+    jvm = spark._jvm
+    return (fs.exists(jvm.org.apache.hadoop.fs.Path(uri))
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{uri}/_SUCCESS")))
 
 
 def load_hot_sigs(spark: SparkSession, path: str) -> DataFrame | None:
     """The persisted stop-signature list, or None before the first
-    refresh (existence via the Hadoop FS API — works on any scheme)."""
-    fs, p = hadoop_fs(spark, f"{path}/hot")
-    if not fs.exists(p):
-        return None
-    return spark.read.schema("band int, band_sig string").parquet(
-        f"{path}/hot")
+    refresh (existence via the Hadoop FS API — works on any scheme).
+
+    Crash-window recovery mirrors fsutil.read_small_file: a crash in
+    refresh_hot_sigs between delete(hot) and rename leaves only the
+    COMPLETE staging copy (its _SUCCESS committed) — fall back to it,
+    so that window can never read as 'no stop-list' and re-open the
+    hot-bucket fan-out. A crash mid-staged-write leaves no _SUCCESS in
+    the staging dir and the previous live list is served normally."""
+    fs, _ = hadoop_fs(spark, f"{path}/hot")
+    for uri in (f"{path}/hot", f"{path}/hot.tmp"):
+        if _complete_parquet_dir(fs, spark, uri):
+            return spark.read.schema("band int, band_sig string").parquet(
+                uri)
+    return None
 
 
 def _read_sigs(spark: SparkSession, path: str,

@@ -263,6 +263,54 @@ def test_stop_signature_guard_probe(spark, docs, tmp_path):
     assert any(r.hist_id not in hot_ids for r in cold)
 
 
+def test_hot_list_refresh_is_crash_safe(spark, docs, tmp_path):
+    """The r7 ADVICE finding: refresh_hot_sigs must never leave the
+    index without a usable stop-list. Staged write → delete → rename,
+    with _SUCCESS-gated fallback on the read side: (a) a crash
+    mid-staged-write (partial hot.tmp, no _SUCCESS) still serves the
+    previous live list; (b) a crash between delete(hot) and rename
+    (only the COMPLETE staging copy on disk) serves the staged list;
+    (c) the next refresh converges to a clean live list either way."""
+    import shutil
+    from pathlib import Path
+
+    path = str(tmp_path / "idx")
+    corpus, _ = _hot_corpus(spark, docs)
+    L.build_lsh_index(corpus, path)
+    stats = L.refresh_hot_sigs(spark, path, max_bucket=50)
+    assert stats["hot_buckets"] >= 1
+    want = sorted(map(tuple, L.load_hot_sigs(spark, path).collect()))
+    hot, tmp = Path(path, "hot"), Path(path, "hot.tmp")
+    assert hot.exists() and not tmp.exists()  # clean swap, no leftover
+
+    # (a) crash mid-staged-write: partial staging dir, live intact
+    shutil.copytree(hot, tmp)
+    (tmp / "_SUCCESS").unlink()
+    got = L.load_hot_sigs(spark, path)
+    assert got is not None and sorted(map(tuple, got.collect())) == want
+
+    # (b) crash between delete(hot) and rename: only the complete
+    # staging copy survives — the window the old in-place overwrite
+    # turned into 'stop-list gone, probes fan into hot buckets'
+    shutil.rmtree(tmp)
+    hot.rename(tmp)
+    got = L.load_hot_sigs(spark, path)
+    assert got is not None and sorted(map(tuple, got.collect())) == want
+    # the guard still actually guards from the fallback list
+    probe = spark.createDataFrame(
+        [(9_000_000, "terms of service apply to all content "
+                     "all rights reserved contact us")],
+        "doc_id bigint, text string")
+    assert L.probe_lsh_index(probe, path).collect() == []
+
+    # (c) re-running the refresh converges to a clean live list
+    stats2 = L.refresh_hot_sigs(spark, path, max_bucket=50)
+    assert stats2 == stats
+    assert hot.exists() and not tmp.exists()
+    assert sorted(map(tuple,
+                      L.load_hot_sigs(spark, path).collect())) == want
+
+
 def test_stream_with_guard_runs(spark, docs, tmp_path):
     """Stream face with the guard + compaction cadence armed: runs
     green and leaves a refreshed hot list on disk."""
