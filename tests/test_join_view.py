@@ -130,6 +130,197 @@ def test_stream_face_matches_batch(spark, tmp_path):
     assert got == want and got > 0
 
 
+def _oneshot_rows(spark):
+    orders, cust = _sources(spark)
+    return sorted(tuple(r) for r in orders.join(cust, "custkey")
+                  .select("custkey", "o_orderkey", "o_totalprice",
+                          "c_name", "c_acctbal").collect())
+
+
+def _view_rows(spark, path):
+    return sorted(tuple(r) for r in query_view(spark, path)
+                  .select("custkey", "o_orderkey", "o_totalprice",
+                          "c_name", "c_acctbal").collect())
+
+
+def test_reserved_namespace_rejected(spark, tmp_path):
+    """The r7 ADVICE finding: a manual append_id of 'b2'-style could
+    silently overwrite a stream batch's partitions. Stream batches now
+    live under 'stream-*' and both it and compaction's 'gen-*' are
+    rejected for manual refreshes/builds."""
+    import pytest
+
+    orders, cust = _sources(spark)
+    path = str(tmp_path / "v")
+    build_join_view(orders.limit(50), cust, path, key="custkey")
+    for bad in ("stream-2", "gen-1"):
+        with pytest.raises(ValueError, match="reserved"):
+            refresh_join_view(path, key="custkey", append_id=bad,
+                              delta_left=orders.limit(5))
+        with pytest.raises(ValueError, match="reserved"):
+            build_join_view(orders.limit(5), cust,
+                            str(tmp_path / "v2"), key="custkey",
+                            append_id=bad)
+
+
+def test_compaction_bitwise_and_bounded(spark, tmp_path):
+    """compact_join_view folds every committed append into one
+    generation partition per table: query_view is bitwise unchanged
+    across the fold, the store shrinks to one directory per table,
+    and a refresh AFTER compaction (joining the folded mirrors) still
+    lands exactly on the one-shot join."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.join_view import compact_join_view
+
+    orders, cust = _sources(spark)
+    path = str(tmp_path / "v")
+    build_join_view(orders.filter("o_orderkey % 3 = 0"),
+                    cust.filter("custkey % 2 = 0"),
+                    path, key="custkey")
+    refresh_join_view(path, key="custkey", append_id="a1",
+                      delta_left=orders.filter("o_orderkey % 3 = 1"))
+    refresh_join_view(path, key="custkey", append_id="a2",
+                      delta_right=cust.filter("custkey % 2 = 1"))
+    before = _view_rows(spark, path)
+
+    stats = compact_join_view(spark, path)
+    assert stats["view"]["folded"] == 3  # base + a1 + a2
+    assert _view_rows(spark, path) == before
+    for side in ("view", "left", "right"):
+        dirs = [p.name for p in Path(path, side).glob("append_id=*")]
+        assert dirs == ["append_id=gen-1"], (side, dirs)
+
+    # post-compaction refresh joins against the folded mirrors
+    refresh_join_view(path, key="custkey", append_id="a3",
+                      delta_left=orders.filter("o_orderkey % 3 = 2"))
+    assert _view_rows(spark, path) == _oneshot_rows(spark)
+
+    # idempotent second fold: a1..a3-era content now folds into gen-2
+    compact_join_view(spark, path)
+    assert _view_rows(spark, path) == _oneshot_rows(spark)
+
+
+def test_compaction_crash_windows_are_invisible(spark, tmp_path):
+    """Every fold crash window leaves readers on one complete copy:
+    (a) a stale non-live generation (crash between write and manifest
+    flip) is excluded; (b) an unswept folded source (crash between
+    flip and sweep) is excluded; the next compaction sweeps both."""
+    import shutil
+    from pathlib import Path
+
+    from myhadoop_spark.operators.join_view import compact_join_view
+
+    orders, cust = _sources(spark)
+    path = str(tmp_path / "v")
+    build_join_view(orders.filter("o_orderkey % 2 = 0"), cust,
+                    path, key="custkey")
+    refresh_join_view(path, key="custkey", append_id="a1",
+                      delta_left=orders.filter("o_orderkey % 2 = 1"))
+    want = _oneshot_rows(spark)
+    # keep a copy of a1's view partition to replant post-fold
+    backup = tmp_path / "a1_backup"
+    shutil.copytree(Path(path, "view", "append_id=a1"), backup)
+
+    compact_join_view(spark, path)
+    assert _view_rows(spark, path) == want
+
+    # (a) stale generation: a completed-but-never-flipped gen-99
+    shutil.copytree(Path(path, "view", "append_id=gen-1"),
+                    Path(path, "view", "append_id=gen-99"))
+    assert _view_rows(spark, path) == want
+
+    # (b) unswept source: a1's directory back on disk; the manifest's
+    # folded list (written before the sweep) must exclude it
+    shutil.copytree(backup, Path(path, "view", "append_id=a1"))
+    assert _view_rows(spark, path) == want
+
+    # the next compaction's cleanup sweeps both leftovers
+    compact_join_view(spark, path)
+    assert not Path(path, "view", "append_id=gen-99").exists()
+    assert not Path(path, "view", "append_id=a1").exists()
+    assert _view_rows(spark, path) == want
+
+
+def test_retention_drop_view_appends(spark, tmp_path):
+    """drop_view_appends retires whole refreshes: rows gone from the
+    query face, manifest mirrors the drop BEFORE directories die (a
+    partial delete still serves the retained window only), and later
+    refreshes join only the retained mirrors."""
+    from pathlib import Path
+
+    from myhadoop_spark.fsutil import write_small_file
+    from myhadoop_spark.operators.join_view import drop_view_appends
+
+    orders, cust = _sources(spark)
+    path = str(tmp_path / "v")
+    build_join_view(orders.filter("o_orderkey % 3 = 0"), cust,
+                    path, key="custkey")
+    refresh_join_view(path, key="custkey", append_id="a1",
+                      delta_left=orders.filter("o_orderkey % 3 = 1"))
+    refresh_join_view(path, key="custkey", append_id="a2",
+                      delta_left=orders.filter("o_orderkey % 3 = 2"))
+
+    res = drop_view_appends(spark, path, ["a1"])
+    assert res["deleted_dirs"] == 2  # view + left (a1 had no right)
+    keep = (orders.filter("o_orderkey % 3 != 1")
+            .join(cust, "custkey"))
+    want = sorted(tuple(r) for r in keep
+                  .select("custkey", "o_orderkey", "o_totalprice",
+                          "c_name", "c_acctbal").collect())
+    assert _view_rows(spark, path) == want
+    assert not Path(path, "view", "append_id=a1").exists()
+
+    # crash-sim: the manifest names a doomed id whose directories are
+    # still on disk — readers must already exclude it
+    import json
+
+    write_small_file(spark, f"{path}/_dropped",
+                     json.dumps({"dropped": ["a1", "a2"]}))
+    want2 = sorted(
+        tuple(r) for r in orders.filter("o_orderkey % 3 = 0")
+        .join(cust, "custkey")
+        .select("custkey", "o_orderkey", "o_totalprice",
+                "c_name", "c_acctbal").collect())
+    assert _view_rows(spark, path) == want2
+    # re-run finishes the delete idempotently
+    drop_view_appends(spark, path, ["a2"])
+    assert not Path(path, "view", "append_id=a2").exists()
+    assert _view_rows(spark, path) == want2
+
+
+def test_stream_face_compacts(spark, tmp_path):
+    """compact_every in the stream face: the store stays at a bounded
+    directory count across streamed refreshes and the final view still
+    equals the one-shot join."""
+    from pathlib import Path
+
+    from myhadoop_spark.operators.join_view import start_join_view_stream
+
+    orders, cust = _sources(spark)
+    path = str(tmp_path / "v")
+    build_join_view(orders.filter("o_orderkey % 5 = 0"), cust,
+                    path, key="custkey")
+    src = str(tmp_path / "src")
+    for i in range(1, 5):
+        (orders.filter(f"o_orderkey % 5 = {i}")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in orders.schema.fields)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_join_view_stream(stream, path=path, key="custkey",
+                               checkpoint=str(tmp_path / "ckpt"),
+                               compact_every=2)
+    q.awaitTermination(120)
+    assert _view_rows(spark, path) == _oneshot_rows(spark)
+    # 4 batches, folds after stream-1 and stream-3: ≤ gen + in-flight
+    # + the last un-folded batch, never one dir per refresh
+    dirs = sorted(p.name for p in Path(path, "view")
+                  .glob("append_id=*"))
+    assert len(dirs) <= 3, dirs
+
+
 def test_composes_with_continuous_aggregate(spark, tmp_path):
     """The end-to-end incremental pipeline: the join view's per-refresh
     delta rows feed the continuous aggregate's incremental refresh —
