@@ -11,10 +11,14 @@ Methodology (r2+): $SPARK_GRAFT_BENCH_REPS warm repetitions per query
 (default 3) with the per-query MEDIAN reported — this machine's
 run-to-run variance is ±2× (BENCH_NOTES.md), so single-rep deltas are
 noise. r6: queries whose 3-rep median lands under
-$SPARK_GRAFT_BENCH_SUBSEC (default 1.0 s) get 2 extra reps (median of
-5) — the sub-second class is where Spark's ~0.2-0.7 s per-job floor
-makes 3-rep medians swing ±2-4× round-to-round (the r5 pivot_status
-adjudication); heavier queries amortize the floor and keep 3 reps. Per-query shuffle/spill/peak-memory telemetry is scraped from
+$SPARK_GRAFT_BENCH_SUBSEC get 2 extra reps (median of 5) — the
+short-query class is where Spark's ~0.2-0.7 s per-job floor makes
+3-rep medians swing ±2-4× round-to-round (the r5 pivot_status
+adjudication); heavier queries amortize the floor and keep 3 reps.
+r8 widens the threshold from 1.0 to 2.0 s: r7's sort_full (~1.25 s
+median, zero code change) moved 1.79× round-over-round on 3 noisy
+reps — the ~1-2 s band still doesn't amortize warm-up (its rep
+sequences descend), so it gets the 5-rep median too. Per-query shuffle/spill/peak-memory telemetry is scraped from
 the Spark UI REST API (the observability the reference exposes through
 its per-phase timing messages, /root/reference/datanode.py:346-370) and
 attached under "telemetry" + mirrored to bench_shuffle.json.
@@ -172,7 +176,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    subsec = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC", "1.0"))
+    subsec = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC", "2.0"))
     spark = get_spark("bench")
     # default: the 50 gated queries (the driver/baseline contract).
     # SPARK_GRAFT_BENCH_ONLY=a,b,c benches just those names, drawing
