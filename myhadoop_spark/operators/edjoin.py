@@ -19,12 +19,16 @@ Candidate generation is the Ed-Join q-gram prefix filter:
   * the length filter abs(len1 - len2) <= d composes on the same
     candidate rows for free (length difference is a lower bound on
     edit distance);
-  * strings with fewer than q*d + 1 grams (len < q*(d+1)) fall
-    outside the pigeonhole: they route through a SHORT BLOCK that
-    joins them to every string within +-d length via an exploded
-    target-length equi-join. Exactness never depends on short
-    strings being rare — only cost does (documented trade; at
-    q=2, d=2 "short" means len <= 5).
+  * strings with fewer than q*d + 1 q-grams (len < q*(d+1)) fall
+    outside the q-gram pigeonhole but not outside the THEOREM: the
+    filter holds for any gram width, so a MID tier (d+1 <= len <
+    q*(d+1)) re-applies it with q=1 — an equi-join on each string's
+    d+1 rarest characters, still exact recall (r8; the pre-r8
+    all-pairs-within-length short block was quadratic on
+    short-heavy corpora). Only strings with len <= d (where d edits
+    can rewrite everything) remain all-pairs within +-d length —
+    an irreducibly content-blind but BOUNDED class: at most
+    |alphabet|^d distinct values after dedupe-first.
 
 Verification is Spark's built-in ``levenshtein(l, r, threshold)``
 (JVM-side banded DP, early-exits past the threshold); the emitted
@@ -92,25 +96,69 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
                          & (F.abs(F.col("len_a") - F.col("len_b")) <= d))
                  .select("id_a", "id_b"))
 
-    # --- short strings: exploded target-length equi-join --------------
-    # every (short, any) pair within +-d length is a candidate; emitted
-    # once per pair via the (short side has the smaller-or-equal
-    # length, tie broken by id) convention.
-    shorts = base.filter(F.col("len") < q * (d + 1))
-    probe = shorts.select(
-        F.col("id").alias("id_s"), F.col("len").alias("len_s"),
+    # --- short strings: tiered exact-recall refinement (r8) -----------
+    # The pre-r8 block joined every short string to every string within
+    # +-d length — quadratic on short-heavy corpora (titles, product
+    # codes). The q-gram count filter holds for ANY gram width (each
+    # edit destroys at most q gram OCCURRENCES; shifted grams keep
+    # their content, and the join is on content), so the same ordered-
+    # prefix pigeonhole applies with q=1:
+    #
+    #   * MID tier, d+1 <= len < q*(d+1): two strings within d edits
+    #     share at least len - d >= 1 character occurrences, so they
+    #     share a character among each one's d+1 globally-rarest —
+    #     an equi-join on prefix CHARACTERS, exact recall. Partners
+    #     longer than q*(d+1) + d - 1 fail the length filter against
+    #     every mid string, so only that bounded slice explodes chars;
+    #   * TINY tier, len <= d: d edits can rewrite the whole string —
+    #     no content filter is sound, all pairs within +d length
+    #     remain. This is the irreducible remainder, and it is
+    #     BOUNDED: dedupe-first (edit_distance_pairs) leaves at most
+    #     sum_{l<=d} |alphabet|^l distinct tiny values regardless of
+    #     corpus size.
+    mid_top = q * (d + 1) + d - 1
+    mids = base.filter((F.col("len") >= d + 1) & (F.col("len") <= mid_top))
+    ex1 = mids.select(
+        "id", "len",
+        F.posexplode(F.expr(
+            "transform(sequence(1, len), p -> substring(s, p, 1))"
+        )).alias("pos", "gram"))
+    freq1 = ex1.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w1 = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                          F.col("gram").asc(),
+                                          F.col("pos").asc())
+    pref1 = (ex1.join(freq1, "gram")
+             .withColumn("rn", F.row_number().over(w1))
+             .filter(F.col("rn") <= d + 1)
+             .select("id", "len", "gram"))
+    a1 = pref1.select(F.col("id").alias("id_a"), F.col("len").alias("len_a"),
+                      "gram")
+    b1 = pref1.select(F.col("id").alias("id_b"), F.col("len").alias("len_b"),
+                      "gram")
+    # min-length < q*(d+1) keeps this tier disjoint from the long tier
+    # (pairs of two longs are its job); the length filter composes as
+    # in the long tier
+    mid_cand = (a1.join(b1, "gram")
+                .filter((F.col("id_a") < F.col("id_b"))
+                        & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+                        & (F.least("len_a", "len_b") < q * (d + 1)))
+                .select("id_a", "id_b"))
+
+    tiny = base.filter(F.col("len") <= d)
+    probe = tiny.select(
+        F.col("id").alias("id_s"),
         F.explode(F.sequence(F.col("len"), F.col("len") + d))
         .alias("len"))
     tgt = base.select(F.col("id").alias("id_t"), "len")
-    short_cand = (probe.join(tgt, "len")
-                  .filter((F.col("len") > F.col("len_s"))
-                          | (F.col("id_s") != F.col("id_t")))
-                  .select(F.least("id_s", "id_t").alias("id_a"),
-                          F.greatest("id_s", "id_t").alias("id_b")))
+    tiny_cand = (probe.join(tgt, "len")
+                 .filter(F.col("id_s") != F.col("id_t"))
+                 .select(F.least("id_s", "id_t").alias("id_a"),
+                         F.greatest("id_s", "id_t").alias("id_b")))
 
-    # the two families are disjoint (long-long vs short-involving), so
+    # the three tiers partition the pair space by min-length class, so
     # one distinct dedupes everything in a single exchange
-    return long_cand.unionByName(short_cand).distinct()
+    return (long_cand.unionByName(mid_cand).unionByName(tiny_cand)
+            .distinct())
 
 
 def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,

@@ -108,6 +108,39 @@ def test_no_cartesian_in_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_short_heavy_recall_and_pruning(spark):
+    """The r7 verdict's short-string finding: a short-heavy corpus
+    (product-code shape, len 3-6 at d=2/q=2 — every string below the
+    q-gram pigeonhole) must (a) keep exact recall through the r8
+    mid-tier character-prefix filter and (b) generate FEWER candidates
+    than the content-blind all-pairs-within-length block it replaced."""
+    import hashlib
+
+    from myhadoop_spark.operators.edjoin import edit_distance_candidates
+
+    rows = []
+    for i in range(120):
+        h = hashlib.sha1(str(i).encode()).hexdigest()
+        rows.append((i, h[:3 + i % 4].upper()))  # len 3..6, distinct-ish
+    rows = list({s: (i, s) for i, s in rows}.values())
+
+    got = _run(spark, rows, 2)
+    want = _brute(rows, 2)
+    assert got == want
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    n_cand = edit_distance_candidates(df, "id", "s", max_dist=2).count()
+    # the content-blind bound: every pair within +-2 length
+    by_len: dict[int, int] = {}
+    for _, s in rows:
+        by_len[len(s)] = by_len.get(len(s), 0) + 1
+    blind = sum(
+        by_len[a] * (by_len[a] - 1) // 2
+        + sum(by_len[a] * by_len.get(a + k, 0) for k in (1, 2))
+        for a in by_len)
+    assert n_cand < blind * 0.7, (n_cand, blind)
+
+
 def test_dist_matches_builtin(spark):
     # the emitted dist is Spark's levenshtein verbatim (the oracle
     # contract); spot-check the verify join kept the right value
