@@ -185,3 +185,26 @@ def test_hybrid_retrieval_over_curated_chunks(spark, tmp_path):
     row = chunks.filter(F.col("vec_id") == winner).collect()
     assert len(row) == 1
     assert row[0].chunk_uid == f"{row[0].doc_id}:{row[0].chunk_id}"
+
+
+def test_rankers_are_take_ordered(spark):
+    """bm25_rank and rrf_fuse window over a GLOBAL order; the rn <=
+    top_k filter must compile to TakeOrderedAndProject (per-partition
+    top-k) rather than sorting the corpus through one partition —
+    pinned per the r6 audit so a Spark/shape change can't silently
+    reintroduce the single-partition sort."""
+    import contextlib
+    import io
+
+    from myhadoop_spark.operators.bm25 import bm25_rank, rrf_fuse
+
+    docs = _fixture_docs(spark)
+    ranked = bm25_rank(docs, TERMS, top_k=5)
+    fused = rrf_fuse([ranked, ranked.withColumn("rn", F.col("rn"))],
+                     top_k=5)
+    for df in (ranked, fused):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan, plan

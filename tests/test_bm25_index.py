@@ -218,3 +218,20 @@ def test_phrase_search_index_equals_direct_count(spark, tmp_path):
         via_index = {r.doc_id: r.n_occurrences for r in
                      phrase_search_index(spark, cpath, phrase).collect()}
         assert via_index == want_map, (phrase, via_index)
+
+
+def test_index_ranker_is_take_ordered(spark, tmp_path):
+    """The top-k window on the index probe must compile to
+    TakeOrderedAndProject (Spark's rank-limit rewrite: per-partition
+    top-k, never a single-partition global sort) — pinned so a shape
+    change can't silently regress the ranker at scale (r6 audit
+    item)."""
+    docs = _fixture_docs(spark)
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=16)
+    plan_io = io.StringIO()
+    with contextlib.redirect_stdout(plan_io):
+        search_bm25_index(spark, path, TERMS, top_k=5).explain("formatted")
+    plan = plan_io.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
