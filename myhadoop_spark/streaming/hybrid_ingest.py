@@ -60,6 +60,33 @@ from myhadoop_spark.operators.lsh_index import (
 CHUNK_STRIDE = 1_000_000  # chunk_id headroom per document
 
 
+def hashed_bow(dim: int = 16) -> Callable[[str], Column]:
+    """Deterministic hashed bag-of-words embedder — the feature-
+    hashing trick (Weinberger et al. 2009, "Feature hashing for large
+    scale multitask learning") as a pure Column expression: token t
+    votes ±1 on axis d by hash parity, plus a constant bias axis so no
+    chunk ever embeds to the zero vector (a zero norm would poison
+    cosine scoring downstream). A real encoder replaces exactly this
+    callable (the module's ``embed`` contract); this one exists so the
+    RAG loop can be rehearsed and replay-asserted BITWISE with real
+    vector content — hash-derived, not synthetic projections — at any
+    scale with no model dependency."""
+
+    def _embed(text_col: str) -> Column:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                        lambda t: t != F.lit(""))
+        votes = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.aggregate(
+                toks, F.lit(0.0),
+                lambda acc, t: acc + F.when(
+                    F.pmod(F.hash(t, d.cast("string")), F.lit(2)) == 0,
+                    F.lit(1.0)).otherwise(F.lit(-1.0))))
+        return F.concat(votes, F.array(F.lit(1.0)))
+
+    return _embed
+
+
 def _chunk_with_ids(docs: DataFrame, *, chunk_tokens: int,
                     overlap: int) -> DataFrame:
     return (chunk_documents(docs.select("doc_id", "text"),
@@ -97,7 +124,8 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
                                overlap: int = 16,
                                threshold: float = 0.5,
                                max_bucket: int | None = None,
-                               compact_every: int | None = None):
+                               compact_every: int | None = None,
+                               stats: list | None = None):
     """The maintenance loop described in the module docstring.
     Requires ``bootstrap_hybrid`` (or equivalent one-shot builds) to
     have run; fails loudly otherwise via each index's own meta
@@ -108,11 +136,18 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
     long-running ingest can't fragment any surface unboundedly; when
     ``max_bucket`` is also set, the LSH stop-signature list refreshes
     at the same cadence (refresh_hot_sigs), arming the probe-side
-    hot-bucket guard against HISTORY, not just within-batch pairs."""
+    hot-bucket guard against HISTORY, not just within-batch pairs.
+
+    ``stats``: pass a list to receive one dict per processed batch —
+    {batch_id, docs_in, survivors, chunks, wall_s} — the flat-cost
+    monitoring face (rehearsed in scripts/hybrid_ingest_study.py)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        import time as _time
+
+        t0 = _time.time()
         spark = batch.sparkSession
         append_id = f"b{batch_id}"
         survivors, rows = _dedup_core(
@@ -143,6 +178,15 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
                               refresh_hot_over=max_bucket)
             compact_bm25_index(spark, bm25_path)
             compact_index(spark, ivf_path)
+        if stats is not None:
+            # counts from the CHECKPOINTED chunks — recounting
+            # `survivors` would re-run the dedup probe
+            stats.append({"batch_id": batch_id,
+                          "docs_in": batch.count(),
+                          "survivors": chunks.select("doc_id")
+                          .distinct().count(),
+                          "chunks": chunks.count(),
+                          "wall_s": round(_time.time() - t0, 3)})
 
     return (stream_docs.writeStream
             .foreachBatch(_process)

@@ -185,3 +185,64 @@ def test_replayed_batch_converges(spark, tmp_path):
     before = snapshot()
     run_batch(batches[1], 1)  # replay
     assert snapshot() == before
+
+def test_hashed_bow_ingest_recall_bound(spark, tmp_path):
+    """The r6/r8 embedding rehearsal's bound, pinned: driving the full
+    loop with the DETERMINISTIC hashed-BoW embedder (real hash-derived
+    vector content, not a synthetic projection), the shipped IVF
+    search's recall@5 against exact brute-force cosine over the same
+    stored vectors must hold ≥ 0.8 (measured 1.0 at the 10× study
+    scale, hybrid_ingest_study.tsv)."""
+    from pyspark.sql import Window
+
+    from myhadoop_spark.operators.ivf_index import search_index
+    from myhadoop_spark.streaming.hybrid_ingest import hashed_bow
+
+    seed, batches, _ = _corpus(spark)
+    lsh, bm25, ivf = (str(tmp_path / p) for p in ("lsh", "bm25", "ivf"))
+    chunks_out = str(tmp_path / "chunks")
+    embed = hashed_bow(16)
+    bootstrap_hybrid(seed, lsh_path=lsh, bm25_path=bm25, ivf_path=ivf,
+                     embed=embed, chunk_tokens=32, overlap=4)
+    src = str(tmp_path / "src")
+    for k, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/b{k}")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    stats: list[dict] = []
+    q = start_hybrid_ingest_stream(
+        stream, lsh_path=lsh, bm25_path=bm25, ivf_path=ivf,
+        chunks_path=chunks_out, checkpoint=str(tmp_path / "ckpt"),
+        embed=embed, chunk_tokens=32, overlap=4, stats=stats)
+    q.awaitTermination(180)
+    assert len(stats) == 3 and all(s["wall_s"] > 0 for s in stats)
+    # the first stream batch's five verbatim seed repeats (docs
+    # 45-49) were gated out
+    assert stats[0]["survivors"] <= stats[0]["docs_in"] - 5
+
+    emb = (spark.read.parquet(f"{ivf}/vectors")
+           .select("vec_id", "v").distinct().localCheckpoint())
+    _d = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    queries = (emb.orderBy("vec_id").limit(8)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("v").alias("qv"))
+               .withColumn("qnrm", F.sqrt(_d("qv", "qv")))
+               .localCheckpoint())
+    got = search_index(spark, ivf, queries, n_probe=2, top_k=5)
+    corpus = emb.withColumn("nrm", F.sqrt(_d("v", "v")))
+    dots = (corpus.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id",
+                    (_d("v", "qv") / (F.col("nrm") * F.col("qnrm")))
+                    .alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    exact = (dots.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).select("q_id", "vec_id"))
+    hits = (got.select("q_id", F.col("neighbor_id").alias("vec_id"))
+            .join(exact, ["q_id", "vec_id"]).count())
+    total = exact.count()
+    assert total == 40
+    assert hits / total >= 0.8, (hits, total)
