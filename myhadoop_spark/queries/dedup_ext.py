@@ -285,7 +285,8 @@ from myhadoop_spark.queries.dedup import (  # noqa: E402
     FROM agree WHERE n_agree * 2 >= {len(MINHASH_FAM)}
     """,
     tags=("dedup", "extension", "lsh", "index"),
-    gate=False,
+    # r8: promoted into the 50-slot gate window (the r6/r7 verdicts'
+    # standing ask) — bitwise at both SFs since r6
 )
 def signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot signature-agreement near-dup pairs — the relation the

@@ -34,7 +34,8 @@ _ED_Q = 2  # q-gram width
       AND levenshtein(a.nm, b.nm) <= {_ED_D}
     """,
     tags=("fuzzy", "dedup", "extension"),
-    gate=False,
+    # r8: promoted into the 50-slot gate window (the r6/r7 verdicts'
+    # standing ask) — bitwise at both SFs since r6
 )
 def edit_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All part pairs whose composite name (name + brand + type) is

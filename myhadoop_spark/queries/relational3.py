@@ -206,6 +206,10 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e
     """,
     tags=("scalar", "array", "higher-order"),
+    # r8: demoted from the gate window to make room for the promoted
+    # dedup queries — a pure expression battery with no shuffle/scale
+    # story, still a full ungated DuckDB differential in pytest
+    gate=False,
 )
 def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + higher-order function battery over the embedding column:

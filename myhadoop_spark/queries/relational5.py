@@ -157,6 +157,10 @@ def outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     """,
     tags=("scalar", "null"),
+    # r8: demoted from the gate window to make room for the promoted
+    # dedup queries — a pure expression battery with no shuffle/scale
+    # story, still a full ungated DuckDB differential in pytest
+    gate=False,
 )
 def null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL semantics battery: coalesce, nullif, IS NULL, null-safe
