@@ -32,6 +32,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     relational4,
     relational5,
     relational7,
+    repetition,
     sampling,
     simsearch,
     streaming_batch,
