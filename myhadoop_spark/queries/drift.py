@@ -53,7 +53,8 @@ _TOP = 10
                            THEN (0.5 * q) * ln(q / ((p + q) / 2.0))
                            ELSE 0.0 END)) * 1e6) / 1e6 AS js_contrib
           FROM d)
-    SELECT term, ref_cnt, cand_cnt, js_contrib FROM (
+    SELECT term, CAST(ref_cnt AS BIGINT) AS ref_cnt,
+           CAST(cand_cnt AS BIGINT) AS cand_cnt, js_contrib FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY js_contrib DESC,
                                    term ASC) AS rn FROM j)
     WHERE rn <= {_TOP}

@@ -165,12 +165,12 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM events GROUP BY user_id),
     activity AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
                  FROM events)
-    SELECT first.cohort,
+    SELECT strftime(first.cohort, '%Y-%m-%d') AS cohort,
            CAST(date_diff('day', first.cohort, activity.d) AS BIGINT)
              AS day_offset,
            COUNT(*) AS n_users
     FROM activity JOIN first ON activity.user_id = first.user_id
-    GROUP BY first.cohort, day_offset
+    GROUP BY 1, 2
     ORDER BY cohort, day_offset
     """,
     tags=("events", "extension"),
@@ -181,16 +181,20 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     their FIRST event; n_users = how many of each cohort were active
     day_offset days later (offset 0 = the cohort day itself)."""
     events = load(spark, sf_dir, "events").select("user_id", "ts")
-    # to_date, not date_trunc: DuckDB's date_trunc('day') yields DATE
-    # while Spark's yields TIMESTAMP — the hash gate compares types
+    # ISO string on both sides: Spark DATE reaches pandas as
+    # object-of-date while DuckDB's date_trunc stays TIMESTAMP →
+    # datetime64 — no temporal dtype survives every canonicalizer
+    # (tuple compare AND the pandas hash in driver_gate_check.py);
+    # a yyyy-MM-dd string is unambiguous in all of them
     first = (events.groupBy("user_id")
-             .agg(F.to_date(F.min("ts")).alias("cohort")))
+             .agg(F.to_date(F.min("ts")).alias("cohort_d")))
     activity = (events
                 .select("user_id", F.to_date("ts").alias("d"))
                 .distinct())
     return (activity.join(first, "user_id")
-            .groupBy("cohort",
-                     F.datediff("d", "cohort")
+            .groupBy(F.date_format("cohort_d", "yyyy-MM-dd")
+                     .alias("cohort"),
+                     F.datediff("d", "cohort_d")
                      .cast("bigint").alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_users"))
             .orderBy("cohort", "day_offset"))
