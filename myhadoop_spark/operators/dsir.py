@@ -1,0 +1,160 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023, arXiv:2302.03169): pick the raw-pool documents whose
+hashed-n-gram distribution looks most like a small trusted target
+corpus. The standard "make my crawl look like Wikipedia" selection
+step of LLM pretraining pipelines; complements the discriminative
+classifier gate (operators/classifier.py) with the paper's generative
+bag-of-hashed-ngrams formulation.
+
+Model (the paper's unigram-over-hashed-features estimator):
+
+    features(doc)  = unigrams ∪ bigrams, hashed into B buckets
+    p̂_t[b]         = (Ct_b + 1) / (T + B)      add-1 smoothed target
+    p̂_r[b]         = (Cr_b + 1) / (R + B)      add-1 smoothed raw
+    log w(doc)     = Σ_occurrences (ln p̂_t[b] − ln p̂_r[b])
+                   = Σ_occ (ln(Ct_b+1) − ln(Cr_b+1))
+                     + n_feats · (ln(R+B) − ln(T+B))
+
+The constant term is factored out so the per-bucket log-ratio table
+needs only the raw counts — ln of INTEGERS on both engines.
+
+Scale shape: feature extraction is one narrow codegen projection
+(split + slice/concat, no UDF); the bucket-count aggregation shuffles
+≤ B distinct keys (map-side combine makes the map outputs tiny); the
+log-ratio table is ≤ B rows → BROADCAST joined onto the exploded pool
+occurrences, so the only data-sized shuffle is the per-doc re-assembly
+groupBy(id). Top-k selection is TakeOrderedAndProject (partial top-k
+per partition), never a global sort. Identical plan at 500 docs and
+100 TB; B (default 4096; the paper uses 10k) bounds every broadcast.
+
+Float-determinism discipline (the lm_filter.py contract): a per-doc
+SUM over shuffled join output has no addition order, so the
+occurrence log-ratios are re-assembled sorted by bucket id and reduced
+with a left fold — bitwise-reproducible on any partitioning, and
+order-matched by the DuckDB oracle's ``list_reduce(list(lr ORDER BY
+b)))``. ln() itself is last-ulp-unsafe across engines, so the compared
+weight is floored at 1e-6 (the lm_perplexity / corpus_drift
+precedent); the bitwise contract is pinned against the pure-Python
+model in tests/test_dsir.py.
+
+Feature hashing uses the repo's engine-portable md5 bucket (the
+queries/sampling.py idiom) — xxhash64/murmur differ across engines.
+Unigram/bigram features need no type marker: tokens are
+whitespace-split, so a space-joined bigram can never collide with a
+unigram.
+
+Reference analog: none — §2.3 extension surface (project brief:
+training-data curation operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from myhadoop_spark.operators.bm25 import _tokens
+
+BUCKETS = 4096
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    """Engine-portable stable bucket: first 8 md5 hex digits mod N."""
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return h % F.lit(buckets)
+
+
+def hashed_features(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    buckets: int = BUCKETS) -> DataFrame:
+    """One row per feature OCCURRENCE: (id, b) — unigrams + bigrams of
+    the whitespace tokenization, hashed into ``buckets``. Narrow until
+    the explode; empty documents contribute nothing."""
+    toks = docs.select(F.col(id_col),
+                       _tokens(text_col).alias("_toks"))
+    toks = toks.filter(F.size("_toks") > 0)
+    feats = toks.select(
+        F.col(id_col),
+        F.concat(
+            F.col("_toks"),
+            F.when(
+                F.size("_toks") >= 2,
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                    F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b)))
+            .otherwise(F.array().cast("array<string>")),
+        ).alias("_feats"))
+    occ = feats.select(F.col(id_col), F.explode("_feats").alias("_f"))
+    return occ.select(F.col(id_col),
+                      hash_bucket(F.col("_f"), buckets).alias("b"))
+
+
+def bucket_log_ratios(target_occ: DataFrame, raw_occ: DataFrame,
+                      *, buckets: int = BUCKETS) -> dict:
+    """Fit the importance model from two occurrence tables
+    (hashed_features output). Returns
+    {"ratios": DF(b, lr), "totals": DF(t_total, r_total)} where
+    lr = ln(Ct_b+1) − ln(Cr_b+1) over buckets seen in EITHER corpus
+    (unseen buckets have lr = 0 by construction — coalesce at join
+    time). Both outputs are ≤ B rows / 1 row: always broadcastable."""
+    ct = target_occ.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    cr = raw_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    both = (ct.join(cr, "b", "full")
+            .select("b",
+                    F.coalesce("ct", F.lit(0)).alias("ct"),
+                    F.coalesce("cr", F.lit(0)).alias("cr")))
+    ratios = both.select(
+        "b",
+        (F.log((F.col("ct") + 1).cast("double"))
+         - F.log((F.col("cr") + 1).cast("double"))).alias("lr"))
+    totals = both.agg(F.sum("ct").alias("t_total"),
+                      F.sum("cr").alias("r_total"))
+    return {"ratios": ratios, "totals": totals, "buckets": buckets}
+
+
+def dsir_weights(pool_occ: DataFrame, model: dict,
+                 *, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_feats, logw): per-document importance log-weight of the
+    pool under the fitted model. ``pool_occ`` is a hashed_features
+    occurrence table (normally the same one the raw side of the model
+    was fitted on). Broadcast join + one groupBy(id) shuffle; the
+    per-doc fold runs over occurrence log-ratios sorted by bucket id
+    (ties carry identical values) so the sum is order-fixed."""
+    b = F.lit(model["buckets"]).cast("double")
+    terms = (pool_occ
+             .join(F.broadcast(model["ratios"]), "b", "left")
+             .select(F.col(id_col),
+                     F.col("b"),
+                     F.coalesce("lr", F.lit(0.0)).alias("lr")))
+    folded = (terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.reduce(
+            F.array_sort(F.collect_list(F.struct("b", "lr"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lr"]).alias("_core")))
+    return (folded.crossJoin(F.broadcast(model["totals"]))
+            .select(
+                F.col(id_col),
+                F.col("n_feats"),
+                (F.col("_core")
+                 + F.col("n_feats").cast("double")
+                 * (F.log(F.col("r_total").cast("double") + b)
+                    - F.log(F.col("t_total").cast("double") + b)))
+                .alias("logw")))
+
+
+def dsir_select(target_docs: DataFrame, pool_docs: DataFrame, k: int,
+                *, id_col: str = "doc_id", text_col: str = "text",
+                buckets: int = BUCKETS) -> DataFrame:
+    """The whole selection: fit on (target, pool), score the pool,
+    keep the k highest-weight documents (ties broken by id, ascending
+    — deterministic across partitionings). Returns
+    (id, n_feats, logw) with logw UN-floored; gate queries floor it
+    for the cross-engine compare."""
+    t_occ = hashed_features(target_docs, id_col=id_col,
+                            text_col=text_col, buckets=buckets)
+    p_occ = hashed_features(pool_docs, id_col=id_col,
+                            text_col=text_col, buckets=buckets)
+    model = bucket_log_ratios(t_occ, p_occ, buckets=buckets)
+    scored = dsir_weights(p_occ, model, id_col=id_col)
+    return scored.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)

@@ -17,6 +17,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dedup,
     dedup_ext,
     drift,
+    dsir,
     event_analytics,
     fuzzy,
     lm,
