@@ -1,13 +1,26 @@
-"""LM-perplexity quality gate query (operators/lm_filter.py) — the
-KenLM-shaped curation signal as an (ungated) DuckDB differential.
+"""LM-perplexity quality queries (operators/lm_filter.py) — the
+KenLM-shaped curation signals as (ungated) DuckDB differentials.
 
-Train the add-α bigram LM on the reference split (doc_id % 20 == 0,
-the curation_gate bench-split convention), score the remaining
-documents. ln/exp are last-ulp-unsafe across engines (the bm25
-measurement), so the compared ppl is floored at 1e-6 — the simsearch
-cosine precedent; the fixed-order fold itself is mirrored exactly
-(Spark F.reduce with 0.0 init ≡ DuckDB list_reduce, since
+``lm_perplexity``: train the add-α bigram LM on the reference split
+(doc_id % 20 == 0, the curation_gate bench-split convention), score
+the remaining documents. ln/exp are last-ulp-unsafe across engines
+(the bm25 measurement), so the compared ppl is floored at 1e-6 — the
+simsearch cosine precedent; the fixed-order fold itself is mirrored
+exactly (Spark F.reduce with 0.0 init ≡ DuckDB list_reduce, since
 0.0 + x == x for the strictly-negative log-probs).
+
+``ccnet_buckets``: the CCNet head/middle/tail split (Wenzek et al.
+2020, arXiv:1911.00359) over those perplexities — per-language tertile
+THRESHOLDS (exact interpolated quantiles of the floored ppl, a
+few-rows-per-language aggregate) broadcast back and applied by VALUE
+comparison. Deliberately not a rank window partitioned by language:
+with a handful of languages that window is a near-single-partition
+sort at 100 TB, while threshold-compare keeps the corpus side narrow —
+and value thresholds are what CCNet itself ships (thresholds computed
+once, applied per shard). Quantile inputs are the 1e-6-floored ppls,
+bitwise identical on both engines; Spark's exact ``percentile`` and
+DuckDB's ``quantile_cont`` share the h = p·(n−1) linear-interpolation
+definition.
 """
 
 from __future__ import annotations
@@ -25,11 +38,10 @@ from myhadoop_spark.registry import register
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
-
-@register(
-    "lm_perplexity",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# shared CTE chain: documents → add-α bigram LM on the doc_id%20==0
+# reference split → per-candidate floored perplexity in `scored`
+_PPL_CTES = f"""
+    t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
     ref AS (SELECT toks FROM t WHERE doc_id % 20 = 0 AND len(toks) > 0),
     uni AS (SELECT w1, count(*) AS c1
             FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY w1),
@@ -56,12 +68,34 @@ _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
            FROM pairs p
            LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
            LEFT JOIN uni u ON p.w1 = u.w1
-           CROSS JOIN v)
-    SELECT doc_id, n - 1 AS n_bigrams,
-           floor(exp(-(list_reduce(list(lp ORDER BY pos),
-                                   (a, b) -> a + b))
-                     / CAST(n - 1 AS DOUBLE)) * 1e6) / 1e6 AS ppl
-    FROM lp GROUP BY doc_id, n
+           CROSS JOIN v),
+    scored AS (SELECT doc_id, n - 1 AS n_bigrams,
+                 floor(exp(-(list_reduce(list(lp ORDER BY pos),
+                                         (a, b) -> a + b))
+                           / CAST(n - 1 AS DOUBLE)) * 1e6) / 1e6 AS ppl
+               FROM lp GROUP BY doc_id, n)
+"""
+
+_P1 = 1.0 / 3.0
+_P2 = 2.0 / 3.0
+
+
+def _floored_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, ppl): the Spark side of `scored`."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 20 == 0))
+    out = score_perplexity(docs.filter(F.col("doc_id") % 20 != 0),
+                           lm, broadcast_lm=True)
+    return out.select(
+        "doc_id", "n_bigrams",
+        (F.floor(F.col("ppl") * 1e6) / 1e6).alias("ppl"))
+
+
+@register(
+    "lm_perplexity",
+    oracle=f"""
+    WITH {_PPL_CTES}
+    SELECT doc_id, n_bigrams, ppl FROM scored
     """,
     tags=("lm", "extension"),
     gate=False,
@@ -70,10 +104,39 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, ppl): add-α bigram perplexity of the
     non-reference documents under the reference-split LM, ppl floored
     at 1e-6 for the cross-engine comparison."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 20 == 0))
-    scored = score_perplexity(docs.filter(F.col("doc_id") % 20 != 0),
-                              lm, broadcast_lm=True)
-    return scored.select(
-        "doc_id", "n_bigrams",
-        (F.floor(F.col("ppl") * 1e6) / 1e6).alias("ppl"))
+    return _floored_ppl(spark, sf_dir)
+
+
+@register(
+    "ccnet_buckets",
+    oracle=f"""
+    WITH {_PPL_CTES},
+    s AS (SELECT sc.doc_id, d.lang, sc.ppl
+          FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id),
+    th AS (SELECT lang,
+                  quantile_cont(ppl, {_P1!r}) AS t1,
+                  quantile_cont(ppl, {_P2!r}) AS t2
+           FROM s GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.ppl,
+           CASE WHEN s.ppl <= th.t1 THEN 'head'
+                WHEN s.ppl <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s JOIN th ON s.lang = th.lang
+    """,
+    tags=("lm", "curation", "extension"),
+    gate=False,
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ppl, bucket): every scored document labelled
+    head / middle / tail by per-language perplexity tertile thresholds
+    (lower perplexity = more reference-like = head)."""
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = _floored_ppl(spark, sf_dir).join(langs, "doc_id")
+    th = s.groupBy("lang").agg(
+        F.percentile("ppl", F.lit(_P1)).alias("t1"),
+        F.percentile("ppl", F.lit(_P2)).alias("t2"))
+    return (s.join(F.broadcast(th), "lang")
+            .select("doc_id", "lang", "ppl",
+                    F.when(F.col("ppl") <= F.col("t1"), "head")
+                    .when(F.col("ppl") <= F.col("t2"), "middle")
+                    .otherwise("tail").alias("bucket")))

@@ -241,3 +241,24 @@ def test_streaming_scoring_replay_is_idempotent(spark, tmp_path):
                    for r in spark.read.parquet(out)
                    .select("doc_id", "n_bigrams", "ppl").collect())
     assert again == first  # no duplicates — idempotent emit
+
+
+def test_ccnet_buckets_value_monotone(spark):
+    """CCNet tertile labels are VALUE-monotone per language: every
+    head ppl <= threshold < every middle ppl, and every middle <= t2 <
+    every tail (ties at a threshold all land on the lower bucket)."""
+    from myhadoop_spark.queries.lm import ccnet_buckets
+    from tests.conftest import SF_SMOKE
+
+    rows = ccnet_buckets(spark, SF_SMOKE).collect()
+    assert {r.bucket for r in rows} == {"head", "middle", "tail"}
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.ppl)
+    for lang, buckets in by_lang.items():
+        hi_head = max(buckets.get("head", [float("-inf")]))
+        lo_mid = min(buckets.get("middle", [float("inf")]))
+        hi_mid = max(buckets.get("middle", [float("-inf")]))
+        lo_tail = min(buckets.get("tail", [float("inf")]))
+        assert hi_head < lo_mid or not buckets.get("middle"), lang
+        assert hi_mid < lo_tail or not buckets.get("tail"), lang
