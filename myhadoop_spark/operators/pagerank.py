@@ -1,0 +1,108 @@
+"""PageRank (Page et al. 1999) over an edge-list DataFrame — the
+link-centrality signal large-scale curation pipelines attach to web
+documents (Common Crawl ships harmonic/PageRank centrality per page;
+quality filters and dedup canonical-pick steps consume it). Here it
+also serves the near-dup graph: within a duplicate family, the most
+central member is the natural canonical representative
+(queries/dedup_ext.py::neardup_pagerank).
+
+Algorithm (the standard power iteration, damping d):
+
+    r'(v) = (1−d)/N + d · ( Σ_{u→v} r(u)/outdeg(u) + dangling/N )
+
+with the dangling mass (rank sitting on nodes with no out-edges)
+redistributed uniformly — Σ r stays 1 every iteration (test-pinned).
+
+Scale shape: each iteration is one equi-join (ranks ⋈ edges on src —
+both sides partitioned by the SAME key, so a stable repartition makes
+later iterations shuffle-reuse) and one groupBy(dst) aggregation;
+per-iteration lineage is cut with localCheckpoint (the CC idiom), so
+plan size stays flat at any iteration count. Convergence is an L1
+delta computed in the SAME action that materializes the checkpoint —
+one action per iteration, plus one tiny dangling-mass aggregate.
+
+Float-determinism: the per-dst contribution SUM over shuffled join
+output has no addition order, so by default ranks are reproducible
+only to FP-commutativity (the tests' 1e-9 tolerance vs the numpy
+model). ``deterministic=True`` re-assembles each dst's contributions in
+sorted order and left-folds them (the lm_filter discipline) —
+bitwise-stable on any partitioning, at the cost of a per-dst
+collect_list bounded by max in-degree: use it when ranks feed a gate
+or an audit, the default when they feed a threshold. (The fold sorts
+the contribution VALUES — any fixed total order makes the sum
+partitioning-free; doubles sort is one.)
+
+Reference analog: none — §2.3 extension surface (iterative-algorithm
+family, next to operators/connected_components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iterations: int = 20,
+             tol: float = 1e-9, deterministic: bool = False,
+             stats: dict | None = None) -> DataFrame:
+    """[src, dst] edge list → [id, rank] over the nodes appearing in
+    any edge (union isolated nodes as self-loops upstream if needed;
+    duplicate edges count as parallel links). Stops when the L1 rank
+    change drops below ``tol`` or after ``max_iterations``. Pass
+    ``stats`` to receive {"iterations": n, "l1_curve": [...]}."""
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    e = e.localCheckpoint()
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # outdeg rides WITH the rank vector so the per-iteration join is
+    # ranks ⋈ edges only (deg is joined once, re-checkpointed per round)
+    ranks = (nodes.join(deg, nodes.id == deg.src, "left")
+             .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+             .withColumn("rank", F.lit(1.0 / n))
+             .localCheckpoint())
+
+    base = (1.0 - damping) / n
+    curve: list[float] = []
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        dangling = (ranks.filter(F.col("deg") == 0)
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        contrib = (e.join(ranks, e.src == ranks.id)
+                   .select(F.col("dst"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        if deterministic:
+            sums = (contrib.groupBy("dst").agg(
+                F.reduce(
+                    F.array_sort(F.collect_list("c")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x).alias("s")))
+        else:
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        new = (ranks.join(sums, ranks.id == sums.dst, "left")
+               .select(
+                   "id", "deg",
+                   F.col("rank").alias("prev"),
+                   (F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("s", F.lit(0.0))
+                       + F.lit(dangling / n))).alias("rank")))
+        new = new.localCheckpoint(eager=False)
+        l1 = (new.agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+              .collect()[0][0])
+        ranks = new.select("id", "deg", "rank")
+        curve.append(float(l1))
+        if l1 < tol:
+            break
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["l1_curve"] = curve
+    return ranks.select("id", "rank")

@@ -356,3 +356,36 @@ def percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         PERCOLATE_QUERIES,
         "query_id int, terms array<string>, min_should_match int")
     return percolate_docs(load(spark, sf_dir, "documents"), queries)
+
+
+@register(
+    "neardup_pagerank",
+    tags=("dedup", "graph", "extension"),
+    gate=False,
+)
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, rank): PageRank centrality over the near-duplicate graph
+    (operators/pagerank.py; minhash pairs as undirected edges — each
+    pair contributes both directions). Within a duplicate family the
+    highest-rank member is the canonical-representative pick; isolated
+    docs never enter the graph. Deterministic fold mode so the ranks
+    are partitioning-bitwise; rank floored at 1e-6 for display
+    stability. Rows-only (iterative — no one-query ANSI twin); the
+    numpy-model parity and invariant pins live in
+    tests/test_pagerank.py."""
+    from myhadoop_spark.operators.pagerank import pagerank
+    from myhadoop_spark.queries.dedup import (
+        _hashed_token_sets,
+        minhash_pairs,
+    )
+
+    sets = _hashed_token_sets(spark, sf_dir, wide=True).localCheckpoint()
+    pairs = minhash_pairs(spark, sets).select("doc1", "doc2")
+    edges = (pairs.select(F.col("doc1").alias("src"),
+                          F.col("doc2").alias("dst"))
+             .union(pairs.select(F.col("doc2").alias("src"),
+                                 F.col("doc1").alias("dst"))))
+    ranks = pagerank(edges, max_iterations=15, deterministic=True)
+    return ranks.select("id",
+                        (F.floor(F.col("rank") * 1e6) / 1e6)
+                        .alias("rank"))
