@@ -1,0 +1,94 @@
+"""Contiguous global index assignment — give every row a stable
+0..N−1 id in a total key order (the "number the training examples"
+step before sharding/packing/export; also the classic zipWithIndex).
+
+`monotonically_increasing_id` is NOT this: its ids are sparse,
+partitioning-dependent, and unstable across reruns. A window
+`row_number() OVER (ORDER BY key)` IS this semantically, but its
+physical plan is a single-partition sort — the one thing a 100 TB
+table can never do.
+
+Scale shape (the standard three-step):
+
+  1. range-partition + in-partition sort on the (unique) order key —
+     one range shuffle, the same machinery as the engine's total-order
+     `sort_full`;
+  2. per-partition row counts — a #partitions-sized aggregate
+     collected to the driver (bounded by cluster layout, not data) and
+     prefix-summed into per-partition offsets;
+  3. one Arrow `mapInPandas` pass that enumerates each partition's
+     rows in order and adds its offset — narrow, no further shuffle.
+
+The ranged data is materialized once (localCheckpoint) so steps 2 and
+3 see the SAME partitioning — range sampling must not re-run between
+the count pass and the numbering pass. (On a persistent cluster use
+persist(DISK_ONLY) for the same effect at TB scale.)
+
+Determinism contract: `order_cols` must be a UNIQUE total order
+(callers append a tie-breaker id column — enforced here by a
+duplicate-key check folded into the same counting aggregate, no extra
+pass). Under that contract the assigned index EQUALS the ANSI
+row_number rank, which is what the DuckDB differential
+(queries/relational7.py::global_index) pins bitwise.
+
+Reference analog: none — §2.3 extension surface (training-data
+pipeline family, next to operators/packing.py / export.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_global_index(df: DataFrame, order_cols: list[str],
+                        *, idx_col: str = "idx",
+                        num_partitions: int | None = None) -> DataFrame:
+    """df + a contiguous 0-based ``idx_col`` in ascending
+    ``order_cols`` order. ``order_cols`` must be duplicate-free
+    (raises otherwise). One range shuffle + one narrow Arrow pass."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+              .sortWithinPartitions(*order_cols)
+              .localCheckpoint())
+
+    # one bounded aggregate: per-partition row count AND the duplicate
+    # check (any partition with distinct(keys) < rows has a dup; range
+    # partitioning never splits equal keys across partitions)
+    stats = (ranged
+             .groupBy(F.spark_partition_id().alias("_pid"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.count_distinct(*[F.col(c) for c in order_cols])
+                  .alias("_d"))
+             .collect())
+    dups = [r for r in stats if r["_n"] != r["_d"]]
+    if dups:
+        raise ValueError(
+            f"order_cols {order_cols} are not a unique total order "
+            f"({sum(r['_n'] - r['_d'] for r in dups)} duplicate or NULL "
+            "keys) — append a tie-breaker id column (keys must be "
+            "non-null: count_distinct drops NULL tuples)")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    schema = with_pid.drop("_pid").schema.add(idx_col, "long")
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for b in batches:
+            if pos is None:
+                pos = offsets[int(b["_pid"].iloc[0])]
+            out = b.drop(columns=["_pid"])
+            out[idx_col] = range(pos, pos + len(b))
+            pos += len(b)
+            yield out
+
+    return with_pid.mapInPandas(number, schema)

@@ -113,3 +113,27 @@ def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(nat, F.col("nk").eqNullSafe(F.col("nk2")))
         .select("c_custkey", "n_name")
     )
+
+
+@register(
+    "global_index",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+             AS idx,
+           doc_id, lang
+    FROM documents
+    """,
+    tags=("indexing", "extension"),
+    gate=False,
+)
+def global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(idx, doc_id, lang): contiguous 0-based ids in (lang, doc_id)
+    order via the scalable three-step (operators/indexing.py — range
+    shuffle + bounded offset collect + narrow Arrow numbering), NEVER
+    the oracle's single-partition row_number window. Integer ids →
+    bitwise differential."""
+    from myhadoop_spark.operators.indexing import assign_global_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = assign_global_index(docs, ["lang", "doc_id"])
+    return out.select("idx", "doc_id", "lang")
