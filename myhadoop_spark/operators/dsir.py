@@ -158,3 +158,40 @@ def dsir_select(target_docs: DataFrame, pool_docs: DataFrame, k: int,
     model = bucket_log_ratios(t_occ, p_occ, buckets=buckets)
     scored = dsir_weights(p_occ, model, id_col=id_col)
     return scored.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)
+
+
+def save_dsir_model(model: dict, path: str) -> None:
+    """Persist the fitted importance model as a lakehouse asset (the
+    save_lm discipline: the ≤B-row ratio table as parquet, scalars in
+    a crash-safe metadata file) so one fit scores many pools/streams."""
+    import json
+
+    from myhadoop_spark.fsutil import write_small_file
+
+    spark = model["ratios"].sparkSession
+    model["ratios"].write.mode("overwrite").parquet(f"{path}/ratios")
+    t_total, r_total = model["totals"].collect()[0]
+    write_small_file(spark, f"{path}/meta.json",
+                     json.dumps({"buckets": model["buckets"],
+                                 "t_total": int(t_total),
+                                 "r_total": int(r_total)}))
+
+
+def load_dsir_model(spark, path: str) -> dict:
+    """Reload a persisted model; scoring under it is bitwise-identical
+    to scoring under the in-memory original (tested — the log-ratio
+    DOUBLES round-trip exactly through parquet, the totals are
+    integers)."""
+    import json
+
+    from myhadoop_spark.fsutil import read_small_file
+
+    raw = read_small_file(spark, f"{path}/meta.json")
+    if raw is None:
+        raise FileNotFoundError(f"no DSIR model at {path}")
+    meta = json.loads(raw)
+    totals = spark.createDataFrame(
+        [(meta["t_total"], meta["r_total"])],
+        "t_total long, r_total long")
+    return {"ratios": spark.read.parquet(f"{path}/ratios"),
+            "totals": totals, "buckets": meta["buckets"]}

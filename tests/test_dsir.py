@@ -129,3 +129,20 @@ def test_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan           # ratio join
     assert "BatchEvalPython" not in plan, plan         # no Python rows
     assert "CartesianProduct" not in plan, plan        # totals broadcast
+
+
+def test_model_roundtrip_bitwise(spark, tmp_path):
+    from myhadoop_spark.operators.dsir import (
+        load_dsir_model,
+        save_dsir_model,
+    )
+
+    t, p = _dfs(spark)
+    t_occ = hashed_features(t, buckets=B)
+    p_occ = hashed_features(p, buckets=B).localCheckpoint()
+    model = bucket_log_ratios(t_occ, p_occ, buckets=B)
+    before = sorted(map(tuple, dsir_weights(p_occ, model).collect()))
+    save_dsir_model(model, str(tmp_path / "m"))
+    loaded = load_dsir_model(spark, str(tmp_path / "m"))
+    after = sorted(map(tuple, dsir_weights(p_occ, loaded).collect()))
+    assert after == before  # exact: doubles round-trip through parquet
