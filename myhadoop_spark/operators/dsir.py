@@ -195,3 +195,33 @@ def load_dsir_model(spark, path: str) -> dict:
         "t_total long, r_total long")
     return {"ratios": spark.read.parquet(f"{path}/ratios"),
             "totals": totals, "buckets": meta["buckets"]}
+
+
+def start_dsir_scoring_stream(doc_stream: DataFrame, model: dict, *,
+                              out_path: str, checkpoint: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text"):
+    """Streaming face: weigh each micro-batch of arriving documents
+    under a STATIC fitted model (fit once — usually reloaded via
+    load_dsir_model — like the reference LM in start_lm_scoring_stream)
+    and land (id, n_feats, logw) per batch. foreachBatch because the
+    per-doc fold is a batch-shaped aggregation; no streaming state —
+    per-batch cost ∝ batch tokens, independent of history. Batches
+    land as OVERWRITTEN ``batch_id=<id>`` directories so a crash
+    replay cannot double-emit (the bloom_ingest discipline; replay is
+    tested)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        occ = hashed_features(batch, id_col=id_col, text_col=text_col,
+                              buckets=model["buckets"])
+        (dsir_weights(occ, model, id_col=id_col)
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+
+    return (doc_stream.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

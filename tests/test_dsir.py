@@ -146,3 +146,47 @@ def test_model_roundtrip_bitwise(spark, tmp_path):
     loaded = load_dsir_model(spark, str(tmp_path / "m"))
     after = sorted(map(tuple, dsir_weights(p_occ, loaded).collect()))
     assert after == before  # exact: doubles round-trip through parquet
+
+
+def test_streaming_scoring_matches_batch(spark, tmp_path):
+    """Micro-batched weighing through the stream face ≡ batch weighing
+    of the same documents, bitwise; replay from a fresh checkpoint
+    cannot double-emit."""
+    import time
+
+    from myhadoop_spark.operators.dsir import start_dsir_scoring_stream
+
+    t, p = _dfs(spark)
+    t_occ = hashed_features(t, buckets=B)
+    p_occ = hashed_features(p, buckets=B).localCheckpoint()
+    model = bucket_log_ratios(t_occ, p_occ, buckets=B)
+    model["ratios"] = model["ratios"].localCheckpoint()
+    model["totals"] = model["totals"].localCheckpoint()
+
+    src = str(tmp_path / "src")
+    p.repartition(3).write.parquet(src)
+    out = str(tmp_path / "scored")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_dsir_scoring_stream(stream, model, out_path=out,
+                                      checkpoint=str(tmp_path / ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            time.sleep(0.2)
+
+    run("ckpt1")
+    got = sorted((r.doc_id, r.n_feats, r.logw)
+                 for r in spark.read.parquet(out)
+                 .select("doc_id", "n_feats", "logw").collect())
+    want = sorted(map(tuple, dsir_weights(p_occ, model).collect()))
+    assert got == want  # BITWISE
+
+    run("ckpt2")  # fresh checkpoint => batch 0 REPLAYED, not appended
+    again = sorted((r.doc_id, r.n_feats, r.logw)
+                   for r in spark.read.parquet(out)
+                   .select("doc_id", "n_feats", "logw").collect())
+    assert again == got
