@@ -11,31 +11,36 @@ Model (the paper's unigram-over-hashed-features estimator):
     features(doc)  = unigrams ∪ bigrams, hashed into B buckets
     p̂_t[b]         = (Ct_b + 1) / (T + B)      add-1 smoothed target
     p̂_r[b]         = (Cr_b + 1) / (R + B)      add-1 smoothed raw
-    log w(doc)     = Σ_occurrences (ln p̂_t[b] − ln p̂_r[b])
-                   = Σ_occ (ln(Ct_b+1) − ln(Cr_b+1))
+    log w(doc)     = Σ_b c_b · (ln p̂_t[b] − ln p̂_r[b])
+                   = Σ_b c_b · (ln(Ct_b+1) − ln(Cr_b+1))
                      + n_feats · (ln(R+B) − ln(T+B))
 
 The constant term is factored out so the per-bucket log-ratio table
 needs only the raw counts — ln of INTEGERS on both engines.
 
 Scale shape: feature extraction is one narrow codegen projection
-(split + slice/concat, no UDF); the bucket-count aggregation shuffles
-≤ B distinct keys (map-side combine makes the map outputs tiny); the
-log-ratio table is ≤ B rows → BROADCAST joined onto the exploded pool
-occurrences, so the only data-sized shuffle is the per-doc re-assembly
-groupBy(id). Top-k selection is TakeOrderedAndProject (partial top-k
+(split + slice/concat, no UDF) feeding ONE (id, bucket) aggregation
+whose map-side combine compresses the shuffle from occurrences to
+distinct (doc, bucket) pairs; that count table is materialized once
+and read by both the fit and the scoring. The fit's joint bucket
+table is ≤ B rows by construction, so it is collected (bounded) and
+re-broadcast as a local DataFrame — one Spark job, nothing to
+recompute under the broadcast builds. Scoring is a broadcast join +
+one groupBy(id); selection is TakeOrderedAndProject (partial top-k
 per partition), never a global sort. Identical plan at 500 docs and
-100 TB; B (default 4096; the paper uses 10k) bounds every broadcast.
+100 TB; B (default 4096; the paper uses 10k) bounds every broadcast
+and the collect.
 
 Float-determinism discipline (the lm_filter.py contract): a per-doc
-SUM over shuffled join output has no addition order, so the
-occurrence log-ratios are re-assembled sorted by bucket id and reduced
-with a left fold — bitwise-reproducible on any partitioning, and
-order-matched by the DuckDB oracle's ``list_reduce(list(lr ORDER BY
-b)))``. ln() itself is last-ulp-unsafe across engines, so the compared
-weight is floored at 1e-6 (the lm_perplexity / corpus_drift
-precedent); the bitwise contract is pinned against the pure-Python
-model in tests/test_dsir.py.
+SUM over shuffled join output has no addition order, so the c·lr
+terms are re-assembled sorted by bucket id — a TOTAL order, buckets
+are distinct within a doc — and reduced with a left fold:
+bitwise-reproducible on any partitioning, and order-matched by the
+DuckDB oracle's ``list_reduce(list(c*lr ORDER BY b))``. ln() itself
+is last-ulp-unsafe across engines, so the compared weight is floored
+at 1e-6 (the lm_perplexity / corpus_drift precedent); the bitwise
+contract is pinned against the pure-Python model in
+tests/test_dsir.py.
 
 Feature hashing uses the repo's engine-portable md5 bucket (the
 queries/sampling.py idiom) — xxhash64/murmur differ across engines.
@@ -89,49 +94,81 @@ def hashed_features(docs: DataFrame, *, id_col: str = "doc_id",
                       hash_bucket(F.col("_f"), buckets).alias("b"))
 
 
-def bucket_log_ratios(target_occ: DataFrame, raw_occ: DataFrame,
+def doc_bucket_counts(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      buckets: int = BUCKETS) -> DataFrame:
+    """(id, b, c): per-document bucket multiplicities — the canonical
+    DSIR intermediate. One text pass + one (id, b) aggregation whose
+    map-side combine compresses the shuffle from feature OCCURRENCES
+    to distinct (doc, bucket) pairs (≤ min(doc_len, B) per doc); both
+    the fit and the scoring read THIS table, so the expensive
+    tokenize+md5 pipeline runs once when the caller materializes it
+    (dsir_select does)."""
+    occ = hashed_features(docs, id_col=id_col, text_col=text_col,
+                          buckets=buckets)
+    return occ.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def bucket_log_ratios(target_counts: DataFrame, raw_counts: DataFrame,
                       *, buckets: int = BUCKETS) -> dict:
-    """Fit the importance model from two occurrence tables
-    (hashed_features output). Returns
+    """Fit the importance model from two (id, b, c) count tables
+    (doc_bucket_counts output). Returns
     {"ratios": DF(b, lr), "totals": DF(t_total, r_total)} where
     lr = ln(Ct_b+1) − ln(Cr_b+1) over buckets seen in EITHER corpus
     (unseen buckets have lr = 0 by construction — coalesce at join
-    time). Both outputs are ≤ B rows / 1 row: always broadcastable."""
-    ct = target_occ.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    cr = raw_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    time).
+
+    The joint count table is ≤ B rows by construction, so it is
+    COLLECTED once (the bounded-driver-collect discipline — B caps it
+    at any corpus size) and ratios/totals are rebuilt as LOCAL
+    DataFrames: the fit is exactly one Spark job, and the two
+    broadcast builds downstream have no upstream to recompute.
+    ln stays a Spark expression over the local rows so the arithmetic
+    engine never changes."""
+    ct = target_counts.groupBy("b").agg(F.sum("c").alias("ct"))
+    cr = raw_counts.groupBy("b").agg(F.sum("c").alias("cr"))
     both = (ct.join(cr, "b", "full")
             .select("b",
                     F.coalesce("ct", F.lit(0)).alias("ct"),
                     F.coalesce("cr", F.lit(0)).alias("cr")))
-    ratios = both.select(
+    rows = [(r["b"], r["ct"], r["cr"]) for r in both.collect()]  # ≤ B
+    spark = target_counts.sparkSession
+    counts = spark.createDataFrame(rows or [(0, 0, 0)],
+                                   "b long, ct long, cr long")
+    if not rows:
+        counts = counts.filter(F.lit(False))
+    ratios = counts.select(
         "b",
         (F.log((F.col("ct") + 1).cast("double"))
          - F.log((F.col("cr") + 1).cast("double"))).alias("lr"))
-    totals = both.agg(F.sum("ct").alias("t_total"),
-                      F.sum("cr").alias("r_total"))
+    totals = spark.createDataFrame(
+        [(sum(r[1] for r in rows), sum(r[2] for r in rows))],
+        "t_total long, r_total long")
     return {"ratios": ratios, "totals": totals, "buckets": buckets}
 
 
-def dsir_weights(pool_occ: DataFrame, model: dict,
+def dsir_weights(pool_counts: DataFrame, model: dict,
                  *, id_col: str = "doc_id") -> DataFrame:
     """(id, n_feats, logw): per-document importance log-weight of the
-    pool under the fitted model. ``pool_occ`` is a hashed_features
-    occurrence table (normally the same one the raw side of the model
-    was fitted on). Broadcast join + one groupBy(id) shuffle; the
-    per-doc fold runs over occurrence log-ratios sorted by bucket id
-    (ties carry identical values) so the sum is order-fixed."""
+    pool under the fitted model. ``pool_counts`` is a
+    doc_bucket_counts table (normally the same one the raw side of
+    the model was fitted on). Broadcast join + one groupBy(id)
+    shuffle; the per-doc fold runs over c·lr terms sorted by bucket
+    id — a TOTAL order (buckets are distinct within a doc), so the
+    sum is order-fixed on any partitioning and mirrored exactly by
+    the oracle's ``list_reduce(list(c*lr ORDER BY b))``."""
     b = F.lit(model["buckets"]).cast("double")
-    terms = (pool_occ
+    terms = (pool_counts
              .join(F.broadcast(model["ratios"]), "b", "left")
-             .select(F.col(id_col),
-                     F.col("b"),
-                     F.coalesce("lr", F.lit(0.0)).alias("lr")))
+             .select(F.col(id_col), F.col("b"), F.col("c"),
+                     (F.col("c").cast("double")
+                      * F.coalesce("lr", F.lit(0.0))).alias("t")))
     folded = (terms.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("c").alias("n_feats"),
         F.reduce(
-            F.array_sort(F.collect_list(F.struct("b", "lr"))),
+            F.array_sort(F.collect_list(F.struct("b", "t"))),
             F.lit(0.0),
-            lambda acc, x: acc + x["lr"]).alias("_core")))
+            lambda acc, x: acc + x["t"]).alias("_core")))
     return (folded.crossJoin(F.broadcast(model["totals"]))
             .select(
                 F.col(id_col),
@@ -150,13 +187,18 @@ def dsir_select(target_docs: DataFrame, pool_docs: DataFrame, k: int,
     keep the k highest-weight documents (ties broken by id, ascending
     — deterministic across partitionings). Returns
     (id, n_feats, logw) with logw UN-floored; gate queries floor it
-    for the cross-engine compare."""
-    t_occ = hashed_features(target_docs, id_col=id_col,
-                            text_col=text_col, buckets=buckets)
-    p_occ = hashed_features(pool_docs, id_col=id_col,
-                            text_col=text_col, buckets=buckets)
-    model = bucket_log_ratios(t_occ, p_occ, buckets=buckets)
-    scored = dsir_weights(p_occ, model, id_col=id_col)
+    for the cross-engine compare.
+
+    The pool's count table is materialized once (localCheckpoint) —
+    the expensive tokenize+md5 text pass runs exactly ONCE, consumed
+    by the fit's bounded collect and then the scoring join."""
+    t_cnt = doc_bucket_counts(target_docs, id_col=id_col,
+                              text_col=text_col, buckets=buckets)
+    p_cnt = doc_bucket_counts(pool_docs, id_col=id_col,
+                              text_col=text_col,
+                              buckets=buckets).localCheckpoint()
+    model = bucket_log_ratios(t_cnt, p_cnt, buckets=buckets)
+    scored = dsir_weights(p_cnt, model, id_col=id_col)
     return scored.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)
 
 
@@ -214,9 +256,10 @@ def start_dsir_scoring_stream(doc_stream: DataFrame, model: dict, *,
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        occ = hashed_features(batch, id_col=id_col, text_col=text_col,
-                              buckets=model["buckets"])
-        (dsir_weights(occ, model, id_col=id_col)
+        cnt = doc_bucket_counts(batch, id_col=id_col,
+                                text_col=text_col,
+                                buckets=model["buckets"])
+        (dsir_weights(cnt, model, id_col=id_col)
          .write.mode("overwrite")
          .parquet(f"{out_path}/batch_id={batch_id}"))
 

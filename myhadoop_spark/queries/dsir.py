@@ -14,11 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myhadoop_spark.catalog import load
+from myhadoop_spark.catalog import load_wide
 from myhadoop_spark.operators.dsir import (
     bucket_log_ratios,
+    doc_bucket_counts,
     dsir_weights,
-    hashed_features,
 )
 from myhadoop_spark.registry import register
 
@@ -43,19 +43,23 @@ _SQL_BUCKET = ("CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT) "
     occ AS (SELECT doc_id, is_t,
                    {_SQL_BUCKET.format(col='ft')} AS b
             FROM (SELECT doc_id, is_t, unnest(feats) AS ft FROM f)),
+    pc AS (SELECT doc_id, is_t, b, COUNT(*) AS c
+           FROM occ GROUP BY doc_id, is_t, b),
     c AS (SELECT b,
-                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
-                 SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
-          FROM occ GROUP BY b),
+                 SUM(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+                 SUM(CASE WHEN is_t THEN 0 ELSE c END) AS cr
+          FROM pc GROUP BY b),
     lr AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE))
                       - ln(CAST(cr + 1 AS DOUBLE)) AS lr FROM c),
     tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t_total,
                    CAST(SUM(cr) AS DOUBLE) AS r_total FROM c),
-    terms AS (SELECT o.doc_id, o.b, coalesce(lr.lr, 0.0) AS lr
-              FROM occ o LEFT JOIN lr ON o.b = lr.b
-              WHERE NOT o.is_t),
-    w AS (SELECT doc_id, COUNT(*) AS n_feats,
-                 list_reduce(list(lr ORDER BY b), (a, x) -> a + x)
+    terms AS (SELECT p.doc_id, p.b,
+                     CAST(p.c AS DOUBLE) * coalesce(lr.lr, 0.0) AS t,
+                     p.c
+              FROM pc p LEFT JOIN lr ON p.b = lr.b
+              WHERE NOT p.is_t),
+    w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+                 list_reduce(list(t ORDER BY b), (a, x) -> a + x)
                    AS core
           FROM terms GROUP BY doc_id)
     SELECT doc_id, n_feats,
@@ -67,20 +71,29 @@ _SQL_BUCKET = ("CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT) "
     LIMIT {_K}
     """,
     tags=("dsir", "curation", "extension"),
-    gate=False,
+    # r8: gated on arrival — the named data-selection method of the
+    # LLM-curation surface, bitwise at both SFs in both local harnesses,
+    # with a real broadcast/shuffle scale story (dsir_scaling.tsv);
+    # unpivot_metrics rotates out to hold the 50-slot window
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_feats, logw): the {K} raw-pool documents whose
     hashed-n-gram distribution is most target-like, logw floored at
     1e-6. Target = English doc_id%10==0 slice; pool = everything
     else."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang",
-                                                   "text")
+    # load_wide: the md5-per-occurrence feature pipeline is compute-
+    # dense narrow work — widen the single-split fixture scan (no-op
+    # on real multi-file data)
+    docs = load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
     is_t = (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
-    t_occ = hashed_features(docs.filter(is_t), buckets=_B)
-    p_occ = hashed_features(docs.filter(~is_t), buckets=_B)
-    model = bucket_log_ratios(t_occ, p_occ, buckets=_B)
-    scored = dsir_weights(p_occ, model)
+    t_cnt = doc_bucket_counts(docs.filter(is_t), buckets=_B)
+    # ONE pool text pass: the count table is materialized and read by
+    # the fit's bounded collect and then the scoring join
+    p_cnt = doc_bucket_counts(docs.filter(~is_t),
+                              buckets=_B).localCheckpoint()
+    model = bucket_log_ratios(t_cnt, p_cnt, buckets=_B)
+    scored = dsir_weights(p_cnt, model)
     return (scored
             .select("doc_id", "n_feats",
                     (F.floor(F.col("logw") * 1e6) / 1e6).alias("logw"))

@@ -144,6 +144,11 @@ def median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM long GROUP BY metric
     """,
     tags=("unpivot",),
+    # r8: demoted from the gate window to make room for the promoted
+    # dsir_select — a reshape battery whose melt surface has no extra
+    # shuffle/scale story beyond the still-gated pivot_status inverse;
+    # remains a full ungated DuckDB differential in pytest
+    gate=False,
 )
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stack() unpivot of three measures into (metric, value) rows +

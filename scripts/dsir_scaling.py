@@ -32,8 +32,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from bench import StageMeter
 from myhadoop_spark.operators.dsir import (
     bucket_log_ratios,
+    doc_bucket_counts,
     dsir_weights,
-    hashed_features,
 )
 from myhadoop_spark.session import get_spark
 from myhadoop_spark.sources.synthetic import register as register_source
@@ -75,18 +75,18 @@ def main() -> None:
 
     # uncounted warm-up (Python/Arrow worker spawn)
     w = synthetic_docs(spark, 1_000)
-    hashed_features(w).count()
+    doc_bucket_counts(w).count()
 
     for n in counts:
         docs = synthetic_docs(spark, n)
-        t_occ = hashed_features(docs.filter("doc_id % 10 = 0"))
-        p_occ = hashed_features(docs.filter("doc_id % 10 <> 0"))
-        p_occ = p_occ.localCheckpoint()  # isolate fit vs score shuffles
+        t_cnt = doc_bucket_counts(docs.filter("doc_id % 10 = 0"))
+        p_cnt = doc_bucket_counts(docs.filter("doc_id % 10 <> 0"))
+        p_cnt = p_cnt.localCheckpoint()  # isolate fit vs score shuffles
 
         model = {}
 
         def _fit():
-            m = bucket_log_ratios(t_occ, p_occ)
+            m = bucket_log_ratios(t_cnt, p_cnt)
             m["ratios"] = m["ratios"].localCheckpoint()
             m["totals"] = m["totals"].localCheckpoint()
             model.update(m)
@@ -95,7 +95,7 @@ def main() -> None:
         run(n, "dsir_fit", _fit)
 
         def _score():
-            scored = dsir_weights(p_occ, model)
+            scored = dsir_weights(p_cnt, model)
             return scored, scored.count()
 
         run(n, "dsir_score", _score)

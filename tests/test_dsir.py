@@ -20,7 +20,7 @@ from myhadoop_spark.operators.dsir import (
     bucket_log_ratios,
     dsir_select,
     dsir_weights,
-    hashed_features,
+    doc_bucket_counts,
 )
 
 B = 128  # small bucket space so the tiny corpora collide a little
@@ -63,11 +63,12 @@ def _py_model(target_rows, pool_rows):
         fs = _feats(t)
         if not fs:
             continue
-        # fold in bucket-sorted order, exactly like the engine
-        terms = sorted((_bucket(f) for f in fs))
+        # fold c·lr per DISTINCT bucket in sorted order — the engine's
+        # (and the oracle's) exact arithmetic
+        doc_c = Counter(_bucket(f) for f in fs)
         core = 0.0
-        for b in terms:
-            core += log(ct[b] + 1.0) - log(cr[b] + 1.0)
+        for b in sorted(doc_c):
+            core += doc_c[b] * (log(ct[b] + 1.0) - log(cr[b] + 1.0))
         out[i] = (len(fs),
                   core + len(fs) * (log(r_tot + B) - log(t_tot + B)))
     return out
@@ -81,11 +82,11 @@ def _dfs(spark):
 
 def test_python_model_parity(spark):
     t, p = _dfs(spark)
-    t_occ = hashed_features(t, buckets=B)
-    p_occ = hashed_features(p, buckets=B)
-    model = bucket_log_ratios(t_occ, p_occ, buckets=B)
+    t_cnt = doc_bucket_counts(t, buckets=B)
+    p_cnt = doc_bucket_counts(p, buckets=B)
+    model = bucket_log_ratios(t_cnt, p_cnt, buckets=B)
     got = {r["doc_id"]: (r["n_feats"], r["logw"])
-           for r in dsir_weights(p_occ, model).collect()}
+           for r in dsir_weights(p_cnt, model).collect()}
     want = _py_model(TARGET, POOL)
     assert set(got) == set(want)
     for i, (n, w) in want.items():
@@ -106,12 +107,12 @@ def test_repartition_invariance(spark):
     t, p = _dfs(spark)
 
     def run(tp, pp):
-        t_occ = hashed_features(tp, buckets=B)
-        p_occ = hashed_features(pp, buckets=B)
-        m = bucket_log_ratios(t_occ, p_occ, buckets=B)
+        t_cnt = doc_bucket_counts(tp, buckets=B)
+        p_cnt = doc_bucket_counts(pp, buckets=B)
+        m = bucket_log_ratios(t_cnt, p_cnt, buckets=B)
         return sorted(
             (r["doc_id"], r["n_feats"], r["logw"])
-            for r in dsir_weights(p_occ, m).collect())
+            for r in dsir_weights(p_cnt, m).collect())
 
     a = run(t, p)
     b = run(t.repartition(7), p.repartition(5))
@@ -138,13 +139,13 @@ def test_model_roundtrip_bitwise(spark, tmp_path):
     )
 
     t, p = _dfs(spark)
-    t_occ = hashed_features(t, buckets=B)
-    p_occ = hashed_features(p, buckets=B).localCheckpoint()
-    model = bucket_log_ratios(t_occ, p_occ, buckets=B)
-    before = sorted(map(tuple, dsir_weights(p_occ, model).collect()))
+    t_cnt = doc_bucket_counts(t, buckets=B)
+    p_cnt = doc_bucket_counts(p, buckets=B).localCheckpoint()
+    model = bucket_log_ratios(t_cnt, p_cnt, buckets=B)
+    before = sorted(map(tuple, dsir_weights(p_cnt, model).collect()))
     save_dsir_model(model, str(tmp_path / "m"))
     loaded = load_dsir_model(spark, str(tmp_path / "m"))
-    after = sorted(map(tuple, dsir_weights(p_occ, loaded).collect()))
+    after = sorted(map(tuple, dsir_weights(p_cnt, loaded).collect()))
     assert after == before  # exact: doubles round-trip through parquet
 
 
@@ -157,9 +158,9 @@ def test_streaming_scoring_matches_batch(spark, tmp_path):
     from myhadoop_spark.operators.dsir import start_dsir_scoring_stream
 
     t, p = _dfs(spark)
-    t_occ = hashed_features(t, buckets=B)
-    p_occ = hashed_features(p, buckets=B).localCheckpoint()
-    model = bucket_log_ratios(t_occ, p_occ, buckets=B)
+    t_cnt = doc_bucket_counts(t, buckets=B)
+    p_cnt = doc_bucket_counts(p, buckets=B).localCheckpoint()
+    model = bucket_log_ratios(t_cnt, p_cnt, buckets=B)
     model["ratios"] = model["ratios"].localCheckpoint()
     model["totals"] = model["totals"].localCheckpoint()
 
@@ -182,7 +183,7 @@ def test_streaming_scoring_matches_batch(spark, tmp_path):
     got = sorted((r.doc_id, r.n_feats, r.logw)
                  for r in spark.read.parquet(out)
                  .select("doc_id", "n_feats", "logw").collect())
-    want = sorted(map(tuple, dsir_weights(p_occ, model).collect()))
+    want = sorted(map(tuple, dsir_weights(p_cnt, model).collect()))
     assert got == want  # BITWISE
 
     run("ckpt2")  # fresh checkpoint => batch 0 REPLAYED, not appended
