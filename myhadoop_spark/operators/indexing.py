@@ -92,3 +92,68 @@ def assign_global_index(df: DataFrame, order_cols: list[str],
             yield out
 
     return with_pid.mapInPandas(number, schema)
+
+
+def start_indexing_stream(doc_stream: DataFrame, order_cols: list[str],
+                          *, out_path: str, checkpoint: str,
+                          idx_col: str = "idx",
+                          num_partitions: int | None = None):
+    """Streaming face: assign ids that stay CONTIGUOUS across
+    micro-batches — batch N's ids start where batch N−1's ended (the
+    ingest-time "number the examples as they arrive" contract).
+
+    Crash-safe id stability: each batch's (start, count) is recorded
+    in a per-batch meta file (tmp+rename, the write_small_file idiom)
+    BEFORE the rows land, and a REPLAYED batch re-reads its own meta
+    instead of re-deriving the offset — so replay reproduces the SAME
+    ids even though later batches already advanced the counter, and
+    the batch_id=N output directory is overwritten, never appended.
+    Within a batch the assignment is assign_global_index (range
+    partition + bounded offsets), deterministic given the batch's
+    rows; ``order_cols`` must be unique per batch. The offset lookup
+    reads ONE meta file (the previous batch's) — O(1) driver work per
+    batch, not a listing of all history."""
+    import json
+
+    from myhadoop_spark.fsutil import read_small_file, write_small_file
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta_dir = f"{out_path}/_idx_meta"
+        own = read_small_file(spark, f"{meta_dir}/batch-{batch_id}.json")
+        if own is not None:
+            start = json.loads(own)["start"]  # replay: reuse the ids
+        elif batch_id == 0:
+            start = 0
+        else:
+            prev = read_small_file(spark,
+                                   f"{meta_dir}/batch-{batch_id - 1}.json")
+            if prev is None:
+                raise RuntimeError(
+                    f"indexing stream at batch {batch_id} found no meta "
+                    f"for batch {batch_id - 1} — offset chain broken")
+            p = json.loads(prev)
+            start = p["start"] + p["count"]
+        if batch.isEmpty():
+            write_small_file(spark, f"{meta_dir}/batch-{batch_id}.json",
+                             json.dumps({"start": start, "count": 0}))
+            return
+        numbered = assign_global_index(batch, order_cols,
+                                       idx_col=idx_col,
+                                       num_partitions=num_partitions)
+        numbered = numbered.withColumn(
+            idx_col, F.col(idx_col) + F.lit(start))
+        n = numbered.count()
+        # meta BEFORE data: a crash between them replays the batch,
+        # finds its own meta, and overwrites the partial output with
+        # the SAME ids
+        write_small_file(spark, f"{meta_dir}/batch-{batch_id}.json",
+                         json.dumps({"start": start, "count": n}))
+        (numbered.write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+
+    return (doc_stream.writeStream
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

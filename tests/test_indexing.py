@@ -58,3 +58,73 @@ def test_no_single_partition_window(spark):
     plan = buf.getvalue()
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan  # Arrow numbering only
+
+
+def _run_stream(spark, src, out, ckpt, n_files=1):
+    import time
+
+    from myhadoop_spark.operators.indexing import start_indexing_stream
+
+    stream = (spark.readStream.schema("doc_id long, src string")
+              .option("maxFilesPerTrigger", n_files).parquet(src))
+    q = start_indexing_stream(stream, ["doc_id"], out_path=out,
+                              checkpoint=ckpt, num_partitions=3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+
+
+def test_stream_ids_contiguous_across_batches(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ck1"))
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.idx for r in rows) == list(range(len(ROWS)))
+    # within every batch, ids follow the key order
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append((r.idx, r.doc_id))
+    assert len(by_batch) >= 2  # maxFilesPerTrigger=1 over 3 files
+    for b, rs in by_batch.items():
+        ordered = sorted(rs)
+        assert [d for _, d in ordered] == sorted(d for _, d in ordered), b
+
+
+def test_stream_replay_reproduces_ids(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ck1"))
+    first = sorted((r.doc_id, r.idx)
+                   for r in spark.read.parquet(out).collect())
+    _run_stream(spark, src, out, str(tmp_path / "ck2"))  # full replay
+    again = sorted((r.doc_id, r.idx)
+                   for r in spark.read.parquet(out).collect())
+    assert again == first
+
+
+def test_stream_crash_between_meta_and_data(spark, tmp_path):
+    """Meta written, data write crashed: the replayed batch reuses its
+    recorded start and overwrites the (missing) output with the same
+    ids."""
+    import shutil
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ck1"))
+    want = sorted((r.doc_id, r.idx)
+                  for r in spark.read.parquet(out).collect())
+    # simulate the crash window on the LAST batch: data gone, meta kept
+    batches = sorted(p.name for p in (tmp_path / "out").glob("batch_id=*"))
+    shutil.rmtree(tmp_path / "out" / batches[-1])
+    _run_stream(spark, src, out, str(tmp_path / "ck2"))
+    got = sorted((r.doc_id, r.idx)
+                 for r in spark.read.parquet(out).collect())
+    assert got == want
