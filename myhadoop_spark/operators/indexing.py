@@ -157,3 +157,27 @@ def start_indexing_stream(doc_stream: DataFrame, order_cols: list[str],
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def deterministic_shuffle(df: DataFrame, id_cols: list[str],
+                          *, seed: str = "0",
+                          idx_col: str = "shuffle_idx",
+                          num_partitions: int | None = None) -> DataFrame:
+    """df + a contiguous 0..N−1 ``idx_col`` in a PSEUDO-RANDOM but
+    fully reproducible order — the training-epoch shuffle: any engine,
+    any partitioning, any rerun yields the same permutation for the
+    same (rows, seed), and a different seed re-shuffles.
+
+    Order key = md5(seed ‖ id) — the repo's engine-portable hash — with
+    the ids as tie-breakers (md5 collisions on the 32-hex string are
+    not a practical concern, but the total order must be unique for
+    assign_global_index's contract, and the ids make it so). One range
+    shuffle + the bounded offset collect, same as the plain index."""
+    salted = df.withColumn(
+        "_shuffle_key",
+        F.md5(F.concat_ws("\x1f", F.lit(seed),
+                          *[F.col(c).cast("string") for c in id_cols])))
+    out = assign_global_index(salted, ["_shuffle_key", *id_cols],
+                              idx_col=idx_col,
+                              num_partitions=num_partitions)
+    return out.drop("_shuffle_key")

@@ -128,3 +128,25 @@ def test_stream_crash_between_meta_and_data(spark, tmp_path):
     got = sorted((r.doc_id, r.idx)
                  for r in spark.read.parquet(out).collect())
     assert got == want
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark):
+    from myhadoop_spark.operators.indexing import deterministic_shuffle
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a = {r.doc_id: r.shuffle_idx
+         for r in deterministic_shuffle(df, ["doc_id"]).collect()}
+    assert sorted(a.values()) == list(range(len(ROWS)))  # permutation
+    b = {r.doc_id: r.shuffle_idx
+         for r in deterministic_shuffle(df.repartition(5),
+                                        ["doc_id"]).collect()}
+    assert a == b                                # rerun/partitioning-stable
+    c = {r.doc_id: r.shuffle_idx
+         for r in deterministic_shuffle(df, ["doc_id"],
+                                        seed="7").collect()}
+    assert c != a                                # a seed re-shuffles
+    assert sorted(c.values()) == list(range(len(ROWS)))
+    # and it is a genuine shuffle, not the sorted order
+    sorted_order = {d: i for i, (d, _) in
+                    enumerate(sorted(ROWS, key=lambda r: r[0]))}
+    assert a != sorted_order
