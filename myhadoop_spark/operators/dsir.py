@@ -203,20 +203,42 @@ def dsir_select(target_docs: DataFrame, pool_docs: DataFrame, k: int,
 
 
 def save_dsir_model(model: dict, path: str) -> None:
-    """Persist the fitted importance model as a lakehouse asset (the
-    save_lm discipline: the ≤B-row ratio table as parquet, scalars in
-    a crash-safe metadata file) so one fit scores many pools/streams."""
+    """Persist the fitted importance model as a lakehouse asset so one
+    fit scores many pools/streams. EPOCH discipline, because a plain
+    in-place overwrite is not re-save-crash-safe (new ratios + stale
+    totals would load as a silently inconsistent model): each save
+    writes ratios to a fresh ``ratios-e{N}`` directory and then
+    commits by writing meta.json (tmp+rename, atomic) carrying the
+    epoch — a crash anywhere before the meta commit leaves the
+    previous (epoch, ratios, totals) triple fully consistent. Old
+    epoch directories are swept only AFTER the commit."""
     import json
 
-    from myhadoop_spark.fsutil import write_small_file
+    from myhadoop_spark.fsutil import hadoop_fs, read_small_file, \
+        write_small_file
 
     spark = model["ratios"].sparkSession
-    model["ratios"].write.mode("overwrite").parquet(f"{path}/ratios")
+    prev = read_small_file(spark, f"{path}/meta.json")
+    epoch = 0
+    if prev is not None:
+        try:
+            epoch = json.loads(prev).get("epoch", 0) + 1
+        except ValueError:
+            epoch = 0  # corrupt meta: nothing consistent to preserve
+    model["ratios"].write.mode("overwrite").parquet(
+        f"{path}/ratios-e{epoch}")
     t_total, r_total = model["totals"].collect()[0]
     write_small_file(spark, f"{path}/meta.json",
                      json.dumps({"buckets": model["buckets"],
                                  "t_total": int(t_total),
-                                 "r_total": int(r_total)}))
+                                 "r_total": int(r_total),
+                                 "epoch": epoch}))
+    fs, root = hadoop_fs(spark, path)
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if (name.startswith("ratios-e") and name != f"ratios-e{epoch}") \
+                or name == "ratios":  # legacy pre-epoch layout
+            fs.delete(status.getPath(), True)
 
 
 def load_dsir_model(spark, path: str) -> dict:
@@ -235,7 +257,11 @@ def load_dsir_model(spark, path: str) -> dict:
     totals = spark.createDataFrame(
         [(meta["t_total"], meta["r_total"])],
         "t_total long, r_total long")
-    return {"ratios": spark.read.parquet(f"{path}/ratios"),
+    # the meta's epoch names the ratios directory it was committed
+    # with ("ratios" = legacy pre-epoch layout)
+    ratios_dir = (f"{path}/ratios-e{meta['epoch']}"
+                  if "epoch" in meta else f"{path}/ratios")
+    return {"ratios": spark.read.parquet(ratios_dir),
             "totals": totals, "buckets": meta["buckets"]}
 
 

@@ -47,10 +47,15 @@ from pyspark.sql import functions as F
 
 def assign_global_index(df: DataFrame, order_cols: list[str],
                         *, idx_col: str = "idx",
-                        num_partitions: int | None = None) -> DataFrame:
+                        num_partitions: int | None = None,
+                        stats: dict | None = None) -> DataFrame:
     """df + a contiguous 0-based ``idx_col`` in ascending
     ``order_cols`` order. ``order_cols`` must be duplicate-free
-    (raises otherwise). One range shuffle + one narrow Arrow pass."""
+    (raises otherwise). One range shuffle + one narrow Arrow pass.
+    Pass a dict as ``stats`` to receive {"rows": N} — the total is
+    already known from the offset collect, so callers never need a
+    second action to count the output (the stream face relies on
+    this)."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
               .sortWithinPartitions(*order_cols)
@@ -59,13 +64,13 @@ def assign_global_index(df: DataFrame, order_cols: list[str],
     # one bounded aggregate: per-partition row count AND the duplicate
     # check (any partition with distinct(keys) < rows has a dup; range
     # partitioning never splits equal keys across partitions)
-    stats = (ranged
-             .groupBy(F.spark_partition_id().alias("_pid"))
-             .agg(F.count(F.lit(1)).alias("_n"),
-                  F.count_distinct(*[F.col(c) for c in order_cols])
-                  .alias("_d"))
-             .collect())
-    dups = [r for r in stats if r["_n"] != r["_d"]]
+    part_stats = (ranged
+                  .groupBy(F.spark_partition_id().alias("_pid"))
+                  .agg(F.count(F.lit(1)).alias("_n"),
+                       F.count_distinct(*[F.col(c) for c in order_cols])
+                       .alias("_d"))
+                  .collect())
+    dups = [r for r in part_stats if r["_n"] != r["_d"]]
     if dups:
         raise ValueError(
             f"order_cols {order_cols} are not a unique total order "
@@ -74,9 +79,11 @@ def assign_global_index(df: DataFrame, order_cols: list[str],
             "non-null: count_distinct drops NULL tuples)")
     offsets: dict[int, int] = {}
     acc = 0
-    for r in sorted(stats, key=lambda r: r["_pid"]):
+    for r in sorted(part_stats, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = acc
         acc += r["_n"]
+    if stats is not None:
+        stats["rows"] = acc
 
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     schema = with_pid.drop("_pid").schema.add(idx_col, "long")
@@ -121,8 +128,20 @@ def start_indexing_stream(doc_stream: DataFrame, order_cols: list[str],
         spark = batch.sparkSession
         meta_dir = f"{out_path}/_idx_meta"
         own = read_small_file(spark, f"{meta_dir}/batch-{batch_id}.json")
+        start = None
         if own is not None:
-            start = json.loads(own)["start"]  # replay: reuse the ids
+            # replay: reuse the recorded ids. An UNPARSEABLE own-meta
+            # is the crash-mid-tmp-write window (read_small_file serves
+            # the partial .tmp when the main file never landed) — the
+            # batch's data can't have been written either, so deriving
+            # the offset fresh is exactly right; parse failures must
+            # self-heal, not wedge the stream on every retry.
+            try:
+                start = json.loads(own)["start"]
+            except (ValueError, KeyError):
+                start = None
+        if start is not None:
+            pass
         elif batch_id == 0:
             start = 0
         else:
@@ -138,12 +157,15 @@ def start_indexing_stream(doc_stream: DataFrame, order_cols: list[str],
             write_small_file(spark, f"{meta_dir}/batch-{batch_id}.json",
                              json.dumps({"start": start, "count": 0}))
             return
+        idx_stats: dict = {}
         numbered = assign_global_index(batch, order_cols,
                                        idx_col=idx_col,
-                                       num_partitions=num_partitions)
+                                       num_partitions=num_partitions,
+                                       stats=idx_stats)
         numbered = numbered.withColumn(
             idx_col, F.col(idx_col) + F.lit(start))
-        n = numbered.count()
+        n = idx_stats["rows"]  # known from the offset collect — the
+        #                        write below is the ONLY numbering pass
         # meta BEFORE data: a crash between them replays the batch,
         # finds its own meta, and overwrites the partial output with
         # the SAME ids

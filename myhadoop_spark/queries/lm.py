@@ -131,7 +131,11 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     head / middle / tail by per-language perplexity tertile thresholds
     (lower perplexity = more reference-like = head)."""
     langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    s = _floored_ppl(spark, sf_dir).join(langs, "doc_id")
+    # materialize once: the threshold aggregate AND the final join both
+    # read `s` — without this the whole LM train+score pipeline (the
+    # expensive part) executes twice in one action
+    s = (_floored_ppl(spark, sf_dir).join(langs, "doc_id")
+         .localCheckpoint())
     th = s.groupBy("lang").agg(
         F.percentile("ppl", F.lit(_P1)).alias("t1"),
         F.percentile("ppl", F.lit(_P2)).alias("t2"))

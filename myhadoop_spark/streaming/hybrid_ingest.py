@@ -75,11 +75,20 @@ def hashed_bow(dim: int = 16) -> Callable[[str], Column]:
     def _embed(text_col: str) -> Column:
         toks = F.filter(F.split(F.col(text_col), r"\s+"),
                         lambda t: t != F.lit(""))
-        votes = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: F.aggregate(
-                toks, F.lit(0.0),
-                lambda acc, t: acc + F.when(
+        # ONE fold over the tokens building the whole vector — `toks`
+        # appears once in the expression tree, so the split+filter
+        # evaluates once per row (the HOF recompute trap named in
+        # queries/repetition.py: the earlier per-axis transform re-ran
+        # the tokenization dim times). Per axis the additions happen
+        # in the same token order as before, and every vote is ±1.0
+        # (exact in double), so the output is bitwise unchanged.
+        votes = F.aggregate(
+            toks,
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, t: F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda a, d: a + F.when(
                     F.pmod(F.hash(t, d.cast("string")), F.lit(2)) == 0,
                     F.lit(1.0)).otherwise(F.lit(-1.0))))
         return F.concat(votes, F.array(F.lit(1.0)))
@@ -154,6 +163,11 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
             batch.select("doc_id", "text"), lsh_path,
             append_id=append_id, threshold=threshold, text_col="text",
             max_bucket=max_bucket)
+        # materialize once: the chunker consumes it AND the stats face
+        # counts it — without this, counting survivors re-runs the
+        # dedup probe, and counting chunks instead undercounts
+        # zero-chunk survivors (empty/whitespace-only docs)
+        survivors = survivors.localCheckpoint()
         chunks = _chunk_with_ids(survivors, chunk_tokens=chunk_tokens,
                                  overlap=overlap).localCheckpoint()
         # 1. emit FIRST (overwritten per-batch dir: replay rewrites)
@@ -179,12 +193,10 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
             compact_bm25_index(spark, bm25_path)
             compact_index(spark, ivf_path)
         if stats is not None:
-            # counts from the CHECKPOINTED chunks — recounting
-            # `survivors` would re-run the dedup probe
+            # both counts read CHECKPOINTED frames — no recompute
             stats.append({"batch_id": batch_id,
                           "docs_in": batch.count(),
-                          "survivors": chunks.select("doc_id")
-                          .distinct().count(),
+                          "survivors": survivors.count(),
                           "chunks": chunks.count(),
                           "wall_s": round(_time.time() - t0, 3)})
 

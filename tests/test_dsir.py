@@ -191,3 +191,45 @@ def test_streaming_scoring_matches_batch(spark, tmp_path):
                    for r in spark.read.parquet(out)
                    .select("doc_id", "n_feats", "logw").collect())
     assert again == got
+
+
+def test_resave_crash_window_serves_previous_model(spark, tmp_path):
+    """A re-save that crashes after writing the new ratios directory
+    but BEFORE the meta commit must leave the previous model fully
+    consistent (the epoch discipline), and a completed re-save must
+    sweep the superseded epoch directory."""
+    import os
+
+    from myhadoop_spark.operators.dsir import (
+        load_dsir_model,
+        save_dsir_model,
+    )
+
+    t, p = _dfs(spark)
+    p_cnt = doc_bucket_counts(p, buckets=B).localCheckpoint()
+    m1 = bucket_log_ratios(doc_bucket_counts(t, buckets=B), p_cnt,
+                           buckets=B)
+    path = str(tmp_path / "m")
+    save_dsir_model(m1, path)
+    want = sorted(map(tuple, dsir_weights(
+        p_cnt, load_dsir_model(spark, path)).collect()))
+
+    # crash-sim: a refit wrote its new ratios dir (epoch 1) and died
+    # before the meta commit — fabricate it with DIFFERENT content
+    m2 = bucket_log_ratios(doc_bucket_counts(p, buckets=B),
+                           doc_bucket_counts(t, buckets=B), buckets=B)
+    m2["ratios"].write.mode("overwrite").parquet(f"{path}/ratios-e1")
+    got = sorted(map(tuple, dsir_weights(
+        p_cnt, load_dsir_model(spark, path)).collect()))
+    assert got == want  # still the epoch-0 model, bit for bit
+
+    # a COMPLETED re-save commits epoch 2 (epoch 1 dir exists but was
+    # never committed; the counter comes from the committed meta) ...
+    save_dsir_model(m2, path)
+    reloaded = load_dsir_model(spark, path)
+    assert reloaded["buckets"] == B
+    got2 = sorted(map(tuple, dsir_weights(p_cnt, reloaded).collect()))
+    assert got2 != want  # the refit genuinely took effect
+    # ... and sweeps every superseded ratios directory
+    dirs = [d for d in os.listdir(path) if d.startswith("ratios")]
+    assert len(dirs) == 1, dirs

@@ -150,3 +150,32 @@ def test_deterministic_shuffle_is_reproducible_permutation(spark):
     sorted_order = {d: i for i, (d, _) in
                     enumerate(sorted(ROWS, key=lambda r: r[0]))}
     assert a != sorted_order
+
+
+def test_stream_partial_own_meta_self_heals(spark, tmp_path):
+    """Crash mid-tmp-write of a batch's own meta (main file absent,
+    partial .tmp served by read_small_file): the replayed batch must
+    derive the offset fresh instead of wedging on the parse error."""
+    import os
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ck1"))
+    want = sorted((r.doc_id, r.idx)
+                  for r in spark.read.parquet(out).collect())
+    metas = sorted((tmp_path / "out" / "_idx_meta").glob("batch-*.json"))
+    last = metas[-1]
+    # simulate: data + meta of the last batch gone, a truncated .tmp
+    # left behind
+    import shutil
+    batches = sorted(p.name for p in (tmp_path / "out").glob("batch_id=*"))
+    shutil.rmtree(tmp_path / "out" / batches[-1])
+    (tmp_path / "out" / "_idx_meta" / (last.name + ".tmp")).write_text(
+        '{"start": 4')
+    os.remove(last)
+    _run_stream(spark, src, out, str(tmp_path / "ck2"))
+    got = sorted((r.doc_id, r.idx)
+                 for r in spark.read.parquet(out).collect())
+    assert got == want
