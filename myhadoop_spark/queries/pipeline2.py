@@ -71,7 +71,8 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
            seen_filter: DataFrame | None = None,
            n_filter_shards: int = 1,
            lm_max_ppl: float | None = None,
-           compression_band: tuple[float, float] | None = None) -> dict:
+           compression_band: tuple[float, float] | None = None,
+           dsir_budget: int | None = None) -> dict:
     """Run the full flow; returns {stage: row_count} + the export
     manifest under 'manifest'. Deterministic end to end: hash-based
     classifier split, content-hash shards, id-ordered dedup keeps.
@@ -103,7 +104,13 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
       repetition/noise gate (operators/compression.py) right after
       the scrub: documents whose deflate ratio falls outside the
       band drop BEFORE the classifier spends training and scoring on
-      boilerplate; empty docs pass (the length gates own empties).
+      boilerplate; empty docs pass (the length gates own empties);
+    * ``dsir_budget=k`` arms the FINAL selection stage (r8): DSIR
+      importance resampling (operators/dsir.py) keeps the k surviving
+      documents whose hashed-n-gram distribution looks most like the
+      trusted doc_id%20 reference slice — the "make the export look
+      like the target" step, applied LAST so the budget is spent on
+      documents that already cleared scrub/quality/dedup/decontam.
     """
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
@@ -112,7 +119,8 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     try:
         return _curate(spark, raw, stats, out_path, train_frac_mod,
                        n_shards, frontiers, wide_hash, seen_filter,
-                       n_filter_shards, lm_max_ppl, compression_band)
+                       n_filter_shards, lm_max_ppl, compression_band,
+                       dsir_budget)
     finally:
         # release the cached frontiers on every exit path — a failed
         # stage must not leave corpus-sized blocks pinned for the rest
@@ -126,7 +134,8 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             frontiers: list[DataFrame], wide_hash: bool,
             seen_filter: DataFrame | None, n_filter_shards: int,
             lm_max_ppl: float | None = None,
-            compression_band: tuple[float, float] | None = None) -> dict:
+            compression_band: tuple[float, float] | None = None,
+            dsir_budget: int | None = None) -> dict:
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         frontiers.append(df)
@@ -240,6 +249,23 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     final = (surgically.filter(F.length("text") > 0)
              .join(deduped.select("doc_id", "lang", "source"), "doc_id"))
     stats["after_decontam"] = final.count()
+
+    # 4b. optional DSIR budget selection (r8): importance-resample the
+    #     survivors toward the trusted reference slice — LAST, so the
+    #     budget buys documents that already cleared every gate. The
+    #     target is the same doc_id%20 slice the LM gate trusts and
+    #     decontamination protects (the CCNet stance: one curated
+    #     reference drives both filtering and selection).
+    if dsir_budget is not None:
+        from myhadoop_spark.operators.dsir import dsir_select
+
+        final = _persist(final)
+        target = (reference.filter(F.col("doc_id") % 20 == 0)
+                  .select("doc_id", "text"))
+        chosen = dsir_select(target, final.select("doc_id", "text"),
+                             k=dsir_budget).select("doc_id")
+        final = final.join(chosen, "doc_id")
+        stats["after_dsir"] = final.count()
 
     # 5. verifiable sharded export
     stats["manifest"] = export_shards(final, out_path, key="doc_id",

@@ -259,3 +259,23 @@ def test_compression_gate_knob(spark, tmp_path):
         "doc_id", "text")
     leaks = substring_decontam(exported, bench_all)
     assert leaks.count() == 0, leaks.limit(5).collect()
+
+
+def test_dsir_budget_knob(spark, tmp_path):
+    """dsir_budget=k exports exactly k target-like survivors (a strict
+    subset of the unarmed export), and the selection is deterministic."""
+    base = curate(spark, SF_SMOKE, str(tmp_path / "base"))
+    k = max(base["after_decontam"] // 2, 1)
+    s1 = curate(spark, SF_SMOKE, str(tmp_path / "a"), dsir_budget=k)
+    assert s1["after_dsir"] == k
+    assert s1["manifest"]["total_rows"] == k
+    chosen = {r.doc_id for r in
+              spark.read.parquet(str(tmp_path / "a")).collect()}
+    everyone = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "base")).collect()}
+    assert chosen < everyone  # strict subset of the unarmed export
+    s2 = curate(spark, SF_SMOKE, str(tmp_path / "b"), dsir_budget=k)
+    chosen2 = {r.doc_id for r in
+               spark.read.parquet(str(tmp_path / "b")).collect()}
+    assert chosen2 == chosen
+    assert s1["after_decontam"] == base["after_decontam"]  # gates equal
