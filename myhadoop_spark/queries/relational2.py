@@ -361,3 +361,62 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum_raw(SQL_REVENUE_TERM, 'revenue')}
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    tags=("join", "aggregate"),
+    gate=False,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume — the 6-table join with
+    the customer-and-supplier-same-nation cross condition. The
+    nation⋈region dimension prunes to one region and BROADCASTS into
+    the supplier side; the pruned supplier side is left to AQE's
+    size-based join pick (suppliers scale with the corpus — a forced
+    broadcast would be wrong at 100 TB). The output is ≤ #nations
+    rows, so the final order is a constant-size sort. Exact DECIMAL
+    revenue keeps the differential bitwise (functions/money.py)."""
+    dims = (load(spark, sf_dir, "nation")
+            .join(load(spark, sf_dir, "region")
+                  .filter(F.col("r_name") == "ASIA"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(dims),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    cust = load(spark, sf_dir, "customer").select("c_custkey",
+                                                  "c_nationkey")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supp,
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.sum(revenue_term()).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
