@@ -30,7 +30,12 @@ bitwise-stable on any partitioning, at the cost of a per-dst
 collect_list bounded by max in-degree: use it when ranks feed a gate
 or an audit, the default when they feed a threshold. (The fold sorts
 the contribution VALUES — any fixed total order makes the sum
-partitioning-free; doubles sort is one.)
+partitioning-free; doubles sort is one.) The two per-iteration
+SCALARS — dangling mass and the L1 stopping delta — get the same
+treatment in deterministic mode via a bucketed ordered fold
+(_ordered_scalar_sum): with ≥2 dangling nodes an unordered dangling
+sum would feed a partition-order-dependent constant into every rank,
+and an L1 within an ulp of tol could flip the stop iteration.
 
 Reference analog: none — §2.3 extension surface (iterative-algorithm
 family, next to operators/connected_components.py).
@@ -40,6 +45,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_SCALAR_BUCKETS = 4096
+
+
+def _ordered_scalar_sum(df: DataFrame, key: str, value) -> float:
+    """Partitioning-independent float sum of ``value`` over ``df``:
+    bucket rows by ``key`` % B, left-fold each bucket's SORTED values
+    (any fixed total order de-ambiguates float addition; doubles-sort
+    is one), then fold the ≤B bucket subtotals on the driver in
+    ascending bucket order. Per-bucket array is n/B values — bounded
+    executor-side; the driver sees only the subtotals."""
+    per_bucket = (df.select(
+        F.pmod(F.col(key), F.lit(_SCALAR_BUCKETS)).alias("_b"),
+        value.alias("_v"))
+        .groupBy("_b")
+        .agg(F.reduce(F.array_sort(F.collect_list("_v")), F.lit(0.0),
+                      lambda acc, x: acc + x).alias("_s")))
+    total = 0.0
+    for row in sorted(per_bucket.collect(), key=lambda r: r["_b"]):
+        total += row["_s"]
+    return total
 
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
@@ -73,9 +99,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        dangling = (ranks.filter(F.col("deg") == 0)
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+        if deterministic:
+            # unordered F.sum over ≥2 dangling nodes is partition-
+            # order-dependent, and the scalar feeds EVERY rank this
+            # iteration — fold it in a fixed order instead
+            dangling = _ordered_scalar_sum(
+                ranks.filter(F.col("deg") == 0), "id", F.col("rank"))
+        else:
+            dangling = (ranks.filter(F.col("deg") == 0)
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0])
         contrib = (e.join(ranks, e.src == ranks.id)
                    .select(F.col("dst"),
                            (F.col("rank") / F.col("deg")).alias("c")))
@@ -96,8 +129,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                     * (F.coalesce("s", F.lit(0.0))
                        + F.lit(dangling / n))).alias("rank")))
         new = new.localCheckpoint(eager=False)
-        l1 = (new.agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
-              .collect()[0][0])
+        if deterministic:
+            # the stop decision (l1 < tol) must not flip with
+            # partitioning when l1 sits within an ulp of tol
+            l1 = _ordered_scalar_sum(
+                new, "id", F.abs(F.col("rank") - F.col("prev")))
+        else:
+            l1 = (new.agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                  .collect()[0][0])
         ranks = new.select("id", "deg", "rank")
         curve.append(float(l1))
         if l1 < tol:

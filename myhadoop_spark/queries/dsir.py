@@ -34,7 +34,8 @@ _SQL_BUCKET = ("CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT) "
     "dsir_select",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
-    f AS (SELECT doc_id, (lang = 'en' AND doc_id % 10 = 0) AS is_t,
+    f AS (SELECT doc_id,
+                 (coalesce(lang, '') = 'en' AND doc_id % 10 = 0) AS is_t,
                  list_concat(toks,
                    list_transform(generate_series(1, len(toks) - 1),
                                   i -> toks[i] || ' ' || toks[i + 1]))
@@ -86,7 +87,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on real multi-file data)
     docs = load_wide(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text")
-    is_t = (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    # coalesce: a NULL lang must fall on the POOL side in BOTH engines
+    # (bare `lang == 'en'` is NULL there — Spark's filter(~is_t) would
+    # drop the row while the oracle's CASE/NOT branches disagree)
+    is_t = ((F.coalesce(F.col("lang"), F.lit("")) == "en")
+            & (F.col("doc_id") % 10 == 0))
     t_cnt = doc_bucket_counts(docs.filter(is_t), buckets=_B)
     # ONE pool text pass: the count table is materialized and read by
     # the fit's bounded collect and then the scoring join

@@ -69,6 +69,45 @@ def test_deterministic_mode_partitioning_bitwise(spark):
     assert a == b  # exact float equality — the fold has one order
 
 
+def test_deterministic_multi_dangling_bitwise(spark):
+    # ≥2 dangling nodes: the per-iteration dangling-mass SCALAR is an
+    # unordered float sum without the ordered fold — it feeds every
+    # rank, so a partition-order change would shift all ranks (the r8
+    # ADVICE finding; the original graph has only one dangling node)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 5), (4, 6), (1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")  # 5,6,7 dangle
+    runs = []
+    for parts in (1, 3, 11):
+        got = sorted(
+            (r.id, r.rank)
+            for r in pagerank(df.repartition(parts), max_iterations=7,
+                              tol=0.0, deterministic=True).collect())
+        runs.append(got)
+    assert runs[0] == runs[1] == runs[2]   # exact float equality
+    want = _numpy_pr(edges, 7)
+    for v, rank in runs[0]:
+        assert abs(rank - want[v]) < 1e-9
+
+
+def test_deterministic_tol_stop_partitioning_stable(spark):
+    # the stop decision must come from the SAME ordered-fold l1 on any
+    # partitioning: same iteration count and bitwise-equal ranks when
+    # tol actually fires mid-run
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 5), (4, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {}
+    for parts in (2, 9):
+        stats: dict = {}
+        ranks = sorted(
+            (r.id, r.rank)
+            for r in pagerank(df.repartition(parts), max_iterations=60,
+                              tol=1e-6, deterministic=True,
+                              stats=stats).collect())
+        out[parts] = (stats["iterations"], ranks)
+    assert out[2] == out[9]
+    assert out[2][0] < 60                    # tol actually fired
+
+
 def test_convergence_telemetry(spark):
     stats: dict = {}
     pagerank(_edges_df(spark), max_iterations=60, tol=1e-4,
