@@ -1,0 +1,133 @@
+"""UniMax language balancing (Chung et al., "UniMax: Fairer and More
+Effective Language Sampling for Large-Scale Multilingual Pretraining",
+ICLR 2023) — the named token-budget allocator multilingual pretraining
+pipelines use instead of temperature sampling: give every language its
+fair share of the token budget unless its whole corpus (capped at
+``epoch_cap`` epochs) is smaller, in which case take all of it and
+split the leftover among the bigger languages.
+
+The reference loop walks languages in ascending corpus order carrying
+(remaining budget, remaining languages). That sequential loop has a
+closed form under the water-filling invariant — once one language's
+capped corpus exceeds the current fair share, every later (larger)
+language does too, and the share stops changing:
+
+    order langs by c = min-cap tokens ascending;  cum = running Σc
+    t  = first i where c_i * (k-i+1) > B - cum_{i-1}
+    a_i = c_i                      for i < t  (take the whole corpus)
+    a_i = (B - cum_{t-1}) div (k-t+1)  for i ≥ t  (equal share)
+
+so the allocation is ONE window pass over the per-language totals (k
+rows — a single-partition window, bounded by the number of languages,
+the lsh_tuning driver-arithmetic discipline) — no loop, no collect.
+All arithmetic is INTEGER (token counts, floor division): the
+allocation is bitwise across engines and partitionings by
+construction, never within an ulp of a branch.
+
+Selection is the deterministic-sampling discipline (queries/
+sampling.py): within each language, documents are ranked by
+(md5-hash, doc_id) and the hash-prefix whose preceding cumulative
+token count is still under the language's budget is kept — stable
+under repartitioning, reproducible by any engine, and the same doc
+survives everywhere. One window per language partition; the
+allocation join is a broadcast (k rows).
+
+Scale shape at 100 TB: per-language totals are one partial-agg
+shuffle of k rows; allocation is driver-sized; selection is one
+window shuffle partitioned by lang — skew lives in the big-language
+partitions, which is exactly the hash-rank order's job (any prefix of
+a language is hash-uniform, so per-partition work balances after the
+lang repartition; for a single pathological language, pre-bucket the
+rank window by hash range the way operators/skew.py salts hot keys).
+
+Reference analog: none — §2.3 extension surface (data-mixing family,
+next to operators/mixture.py's acceptance sampling and
+operators/dsir.py's importance resampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rank_hash(col: Column, buckets: int = 1_000_000) -> Column:
+    """queries/sampling.py's engine-portable md5 bucket (inlined here:
+    operators must not import the queries package — circular)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("long") % buckets
+
+
+def doc_token_counts(docs: DataFrame, *, id_col: str = "doc_id",
+                     lang_col: str = "lang",
+                     text_col: str = "text") -> DataFrame:
+    """(lang, doc_id, n_tokens) — whitespace tokens per document.
+
+    NULL languages are kept as the empty-string language so every row
+    participates (the dsir.py NULL-lang lesson: a bare equality would
+    silently drop them from one engine and not the other)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return docs.select(
+        F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"))
+
+
+def unimax_allocate(doc_tokens: DataFrame, *, total_budget,
+                    epoch_cap: int = 1) -> DataFrame:
+    """Per-language token budgets: (lang, sz, cap, alloc).
+
+    ``total_budget`` is an int or an integer Column (so a budget
+    derived from the data — e.g. 80% of corpus tokens — stays inside
+    the plan). ``epoch_cap`` bounds any language at cap·sz tokens.
+    The window is single-partition over ONE ROW PER LANGUAGE —
+    bounded by the language count, not the corpus."""
+    sz = doc_tokens.groupBy("lang").agg(F.sum("n_tokens").alias("sz"))
+    budget = (F.lit(int(total_budget)).cast("long")
+              if isinstance(total_budget, int)
+              else total_budget.cast("long"))
+    sz = sz.withColumn("_B", budget)
+    c = (F.col("sz") * epoch_cap).cast("long")
+    w = Window.orderBy("cap", "lang")
+    wall = Window.orderBy("cap", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (sz.withColumn("cap", c)
+         .withColumn("_i", F.row_number().over(w))
+         .withColumn("_cum", F.sum("cap").over(w))
+         .withColumn("_prev", F.col("_cum") - F.col("cap"))
+         .withColumn("_k", F.count(F.lit(1)).over(wall))
+         .withColumn("_fail",
+                     F.col("cap") * (F.col("_k") - F.col("_i") + 1)
+                     > F.col("_B") - F.col("_prev"))
+         # first failing index and its preceding cum: _prev ascends
+         # with _i, so MIN over the failing rows is the value AT t
+         .withColumn("_t", F.min(F.when(F.col("_fail"), F.col("_i")))
+                     .over(wall))
+         .withColumn("_tprev",
+                     F.min(F.when(F.col("_fail"), F.col("_prev")))
+                     .over(wall)))
+    share = F.expr("(_B - _tprev) div (_k - _t + 1)")
+    alloc = (F.when(F.col("_t").isNull() | (F.col("_i") < F.col("_t")),
+                    F.col("cap"))
+             .otherwise(share).cast("long"))
+    return g.select("lang", "sz", "cap", alloc.alias("alloc"))
+
+
+def unimax_select(doc_tokens: DataFrame, alloc: DataFrame) -> DataFrame:
+    """The hash-prefix of each language's documents that fits its
+    budget: keep a doc while the tokens BEFORE it (in (md5, doc_id)
+    rank order) are under ``alloc`` — so budgets ≥ the corpus keep
+    everything and a zero budget keeps nothing.
+
+    Returns (lang, doc_id, n_tokens, lang_budget)."""
+    w = (Window.partitionBy("lang")
+         .orderBy(_rank_hash(F.col("doc_id")), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = doc_tokens.withColumn(
+        "_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")))
+    return (ranked
+            .join(F.broadcast(alloc.select("lang", "alloc")), "lang")
+            .filter(F.col("_before") < F.col("alloc"))
+            .select("lang", "doc_id", "n_tokens",
+                    F.col("alloc").alias("lang_budget")))

@@ -39,5 +39,6 @@ from myhadoop_spark.queries import (  # noqa: F401
     streaming_batch,
     text,
     udtf_demo,
+    unimax,
     wordcount,
 )

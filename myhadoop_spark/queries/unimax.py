@@ -1,0 +1,85 @@
+"""UniMax language-balancing query (operators/unimax.py) as a DuckDB
+differential: budget = 80% of corpus tokens, epoch cap 1 — on this
+corpus the four tail languages allocate in full and ``en`` (~43% of
+tokens) is truncated to the leftover equal share, so BOTH allocator
+branches are live in the oracle (a budget under the smallest fair
+share, or over the total, would leave one branch vacuous).
+
+Every number is an integer (token counts, floor division) computed
+identically on both sides — the compare is bitwise, no float floors
+needed. The total-token scalar is ONE bounded collect (the
+indexing.py offset-collect discipline) so the budget constant feeds
+both the allocation window and the oracle's CROSS JOIN tot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myhadoop_spark.catalog import load_wide
+from myhadoop_spark.operators.unimax import (
+    doc_token_counts,
+    unimax_allocate,
+    unimax_select,
+)
+from myhadoop_spark.registry import register
+
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_SQL_HASH = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+             "AS BIGINT) % 1000000")
+
+
+@register(
+    "unimax_select",
+    oracle=f"""
+    WITH dt AS (SELECT coalesce(lang, '') AS lang, doc_id,
+                       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents),
+    sz AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS cap
+           FROM dt GROUP BY lang),
+    tot AS (SELECT CAST(CAST(SUM(n_tokens) AS BIGINT) * 4 // 5 AS BIGINT)
+                     AS b
+            FROM dt),
+    g AS (SELECT lang, cap,
+                 ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+                 CAST(SUM(cap) OVER (ORDER BY cap, lang
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 COUNT(*) OVER () AS k
+          FROM sz),
+    g2 AS (SELECT g.*, cum - cap AS prev, b,
+                  (cap * (k - i + 1) > b - (cum - cap)) AS fail
+           FROM g CROSS JOIN tot),
+    g3 AS (SELECT *, MIN(CASE WHEN fail THEN i END) OVER () AS t,
+                  MIN(CASE WHEN fail THEN prev END) OVER () AS tprev
+           FROM g2),
+    a AS (SELECT lang,
+                 CAST(CASE WHEN t IS NULL OR i < t THEN cap
+                           ELSE (b - tprev) // (k - t + 1) END
+                      AS BIGINT) AS alloc
+          FROM g3),
+    r AS (SELECT lang, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY lang
+                        ORDER BY {_SQL_HASH} ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS bfr
+          FROM dt)
+    SELECT r.lang, r.doc_id, r.n_tokens, a.alloc AS lang_budget
+    FROM r JOIN a USING (lang)
+    WHERE bfr < alloc
+    ORDER BY lang, doc_id
+    """,
+    gate=False,
+    tags=("mixing", "curation", "extension"),
+)
+def unimax_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_tokens, lang_budget): the documents UniMax
+    keeps under an 80%-of-corpus token budget at epoch cap 1."""
+    docs = load_wide(spark, sf_dir, "documents")
+    dt = doc_token_counts(docs).localCheckpoint()
+    total = dt.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    alloc = unimax_allocate(dt, total_budget=int(total) * 4 // 5,
+                            epoch_cap=1)
+    return (unimax_select(dt, alloc)
+            .orderBy("lang", "doc_id"))

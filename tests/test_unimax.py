@@ -1,0 +1,123 @@
+"""UniMax (operators/unimax.py): closed-form window allocation vs the
+paper's SEQUENTIAL reference loop, budget/cap invariants, epoch-cap
+scaling, prefix-selection semantics, and partitioning invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myhadoop_spark.operators.unimax import (
+    doc_token_counts,
+    unimax_allocate,
+    unimax_select,
+)
+
+# (lang, doc_id, n_tokens) — skewed: 'en' dominates, 'tiny' is minute
+DOCS = (
+    [("en", i, 50 + (i * 7) % 40) for i in range(40)]
+    + [("de", 100 + i, 30 + (i * 5) % 25) for i in range(12)]
+    + [("fr", 200 + i, 20 + (i * 3) % 30) for i in range(10)]
+    + [("tiny", 300 + i, 5) for i in range(3)]
+)
+
+
+def _loop_unimax(sizes: dict[str, int], budget: int,
+                 epoch_cap: int = 1) -> dict[str, int]:
+    """The paper's sequential allocator: ascending capped-corpus order,
+    each language takes min(cap, remaining // remaining_langs)."""
+    caps = {l: s * epoch_cap for l, s in sizes.items()}
+    remaining, k = budget, len(caps)
+    out = {}
+    for lang in sorted(caps, key=lambda l: (caps[l], l)):
+        share = remaining // k
+        out[lang] = min(caps[lang], share)
+        remaining -= out[lang]
+        k -= 1
+    return out
+
+
+def _tok_df(spark):
+    return spark.createDataFrame(
+        DOCS, "lang string, doc_id long, n_tokens long")
+
+
+def _sizes():
+    out: dict[str, int] = {}
+    for lang, _, n in DOCS:
+        out[lang] = out.get(lang, 0) + n
+    return out
+
+
+def test_allocation_matches_sequential_loop(spark):
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    for budget, cap in ((total * 4 // 5, 1), (total // 3, 1),
+                        (total * 3 // 2, 2), (total * 10, 3)):
+        got = {r.lang: r.alloc
+               for r in unimax_allocate(dt, total_budget=budget,
+                                        epoch_cap=cap).collect()}
+        want = _loop_unimax(_sizes(), budget, cap)
+        assert got == want, (budget, cap)
+
+
+def test_allocation_invariants(spark):
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    budget = total * 4 // 5
+    rows = unimax_allocate(dt, total_budget=budget).collect()
+    assert sum(r.alloc for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r.alloc <= r.cap
+    # the dominated language is cut, the tiny one is kept whole
+    by = {r.lang: r for r in rows}
+    assert by["tiny"].alloc == by["tiny"].cap
+    assert by["en"].alloc < by["en"].cap
+
+
+def test_budget_edges(spark):
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    full = unimax_allocate(dt, total_budget=total * 2)
+    assert all(r.alloc == r.cap for r in full.collect())
+    assert all(r.alloc == 0
+               for r in unimax_allocate(dt, total_budget=0).collect())
+
+
+def test_selection_prefix_semantics(spark):
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    alloc = unimax_allocate(dt, total_budget=total * 4 // 5)
+    sel = unimax_select(dt, alloc).collect()
+    budgets = {r.lang: r.alloc for r in alloc.collect()}
+    picked: dict[str, int] = {}
+    for r in sel:
+        assert r.lang_budget == budgets[r.lang]
+        picked[r.lang] = picked.get(r.lang, 0) + r.n_tokens
+    max_doc = max(n for _, _, n in DOCS)
+    for lang, got in picked.items():
+        # prefix rule: everything before the last doc fits the budget
+        assert got < budgets[lang] + max_doc
+    # full-budget languages keep every document
+    n_tiny = sum(1 for l, _, _ in DOCS if l == "tiny")
+    assert sum(1 for r in sel if r.lang == "tiny") == n_tiny
+
+
+def test_selection_partitioning_invariant(spark):
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    alloc = unimax_allocate(dt, total_budget=total // 2)
+    a = sorted((r.lang, r.doc_id)
+               for r in unimax_select(dt, alloc).collect())
+    b = sorted((r.lang, r.doc_id)
+               for r in unimax_select(dt.repartition(13), alloc).collect())
+    assert a == b and len(a) > 0
+
+
+def test_doc_token_counts_null_lang(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", None), (2, "d e", "en")],
+        "doc_id long, text string, lang string")
+    rows = {r.doc_id: (r.lang, r.n_tokens)
+            for r in doc_token_counts(docs).collect()}
+    assert rows[1] == ("", 3)    # NULL lang kept as '' — never dropped
+    assert rows[2] == ("en", 2)
