@@ -277,3 +277,60 @@ def rollup_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (win.filter(F.col("m") == _ANOM_W)
             .select("event_type", "bucket", "n_events", z.alias("z"))
             .filter(F.abs(F.col("z")) > _ANOM_Z))
+
+
+_IV_DUR = "3600 + CAST(floor(value) AS BIGINT) * 30"
+_IV_W = 8192  # near the median interval length (the range_join rule)
+
+
+def _sql_intervals(event_type: str) -> str:
+    # floor(), not a bare CAST: DuckDB rounds DOUBLE→BIGINT while
+    # Spark's unix_timestamp truncates sub-second fractions
+    return (f"SELECT user_id, event_id AS id, "
+            f"CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo, "
+            f"CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) "
+            f"+ {_IV_DUR} AS hi "
+            f"FROM events WHERE event_type = '{event_type}'")
+
+
+@register(
+    "interval_overlap",
+    oracle=f"""
+    WITH iv AS ({_sql_intervals('view')}),
+    ck AS ({_sql_intervals('click')})
+    SELECT iv.user_id, iv.id AS a_id, ck.id AS b_id,
+           iv.lo AS a_lo, iv.hi AS a_hi, ck.lo AS b_lo, ck.hi AS b_hi,
+           greatest(iv.lo, ck.lo) AS ov_lo,
+           least(iv.hi, ck.hi) AS ov_hi
+    FROM iv JOIN ck
+      ON iv.user_id = ck.user_id AND iv.lo < ck.hi AND ck.lo < iv.hi
+    ORDER BY iv.user_id, a_id, b_id
+    """,
+    gate=False,
+    tags=("join", "events", "extension"),
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user overlapping (view, click) attention spans — the
+    interval × interval join (operators/interval_join.py): each event
+    opens a half-open integer window [epoch(ts), epoch(ts) + 3600 +
+    30·floor(value)); pairs overlapping on the same user are found by
+    the bucketized equi-join (owner-bucket dedup, no distinct), while
+    the oracle states the textbook overlap predicate directly.
+
+    All-integer interval endpoints → bitwise across engines."""
+    from myhadoop_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("long")
+    dur = F.lit(3600).cast("long") + F.floor("value").cast("long") * 30
+
+    def side(kind: str) -> DataFrame:
+        return (ev.filter(F.col("event_type") == kind)
+                .select("user_id", F.col("event_id").alias("id"),
+                        ep.alias("lo"), (ep + dur).alias("hi")))
+
+    return (interval_overlap_join(side("view"), side("click"),
+                                  keys=("user_id",), bucket_width=_IV_W)
+            .orderBy("user_id", "a_id", "b_id"))
