@@ -103,3 +103,44 @@ def cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "component",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
         .alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (r9): local clustering structure over the same
+# near-dup pair graph — the third graph-analytics face next to the CC
+# clusters and PageRank centrality. The engine orients edges by DEGREE
+# (operators/triangles.py — the compact-forward m^(3/2) bound); the
+# oracle orients by ID (a<b<c) — different orientation strategies MUST
+# produce the identical triangle set, which is exactly what the
+# differential pins.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""
+WITH pairs AS (
+  {_registry.get('embed_neardup').oracle}
+),
+e AS (SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM pairs WHERE id1 <> id2),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+m AS (SELECT unnest([a, b, c]) AS id FROM tri)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM m GROUP BY id ORDER BY id
+"""
+
+
+@register("triangle_count", oracle=_TRI_ORACLE,
+          tags=("graph", "dedup", "extension"), gate=False)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, triangles) over the embedding near-dup pair graph — how
+    clique-like each vector's duplicate neighborhood is (a high
+    triangle count marks a tight duplicate family; a member of many
+    triangle-free edges marks a hub worth auditing before dedup
+    collapses its whole neighborhood to one representative)."""
+    from myhadoop_spark.operators.triangles import vertex_triangle_counts
+
+    edges = simsearch.embed_neardup(spark, sf_dir).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    return vertex_triangle_counts(edges).orderBy("id")
