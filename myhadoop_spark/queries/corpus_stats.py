@@ -242,3 +242,67 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (quality-weighted sampling lives in the sampling battery,
 # queries/sampling.py — it shares the id-hash acceptance machinery with
 # the other deterministic samplers)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch point-frequency estimates (r9, operators/cms.py).
+# Deliberately UNDERSIZED (depth 4 x width 8 against a ~31-term
+# vocabulary) so bucket collisions are real and the min-over-rows
+# logic plus the est >= exact overshoot are live in the differential —
+# a full-width sketch would estimate exactly and test nothing.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 8
+
+
+def _sql_cms_bucket(j: int, term: str) -> str:
+    return (f"CAST(concat('0x', substr(md5(concat('{j}:', {term})), 1, 8)) "
+            f"AS BIGINT) % {_CMS_W}")
+
+
+@register(
+    "cms_freq",
+    oracle=f"""
+    WITH occ AS (SELECT unnest({_sql_tokens('text')}) AS term
+                 FROM documents),
+    exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_c
+              FROM occ GROUP BY term),
+    cms AS (SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS c FROM (
+              {' UNION ALL '.join(
+                  f"SELECT {j} AS j, {_sql_cms_bucket(j, 'term')} AS bucket,"
+                  f" 1 AS c FROM occ" for j in range(_CMS_D))})
+            GROUP BY j, bucket),
+    probe AS (SELECT term, exact_c, j.j AS j,
+                     {_sql_cms_bucket("j.j", 'term')
+                      .replace("'j.j:'", "concat(j.j, ':')")} AS bucket
+              FROM exact CROSS JOIN
+                   (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) j),
+    est AS (SELECT term, exact_c,
+                   CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS est_c
+            FROM probe LEFT JOIN cms USING (j, bucket)
+            GROUP BY term, exact_c)
+    SELECT term, exact_c, est_c, est_c - exact_c AS overcount
+    FROM est ORDER BY term
+    """,
+    gate=False,
+    tags=("sketch", "extension"),
+)
+def cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, exact_c, est_c, overcount) for every vocabulary term:
+    the Count-Min estimate vs the exact count. est >= exact ALWAYS
+    (every occurrence lands in one bucket per row); overcount is the
+    colliding mass the undersized sketch absorbs."""
+    from myhadoop_spark.operators.cms import cms_estimate, cms_table
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(_tokens()).alias("term"))
+    exact = occ.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_c"))
+    cms = cms_table(occ, "term", depth=_CMS_D, width=_CMS_W)
+    est = cms_estimate(cms, exact, "term", depth=_CMS_D, width=_CMS_W)
+    return (est.select("term", "exact_c",
+                       F.col("est").cast("bigint").alias("est_c"),
+                       (F.col("est") - F.col("exact_c")).cast("bigint")
+                       .alias("overcount"))
+            .orderBy("term"))
