@@ -113,6 +113,34 @@ def unimax_allocate(doc_tokens: DataFrame, *, total_budget,
     return g.select("lang", "sz", "cap", alloc.alias("alloc"))
 
 
+def temperature_allocate(doc_tokens: DataFrame, *, total_budget,
+                         alpha: float = 0.3) -> DataFrame:
+    """Temperature (α) sampling budgets — the pre-UniMax standard
+    (mT5, Xue et al. 2021): p_l ∝ sz_l^α, budget_l = ⌊B · p_l⌋.
+    α = 1 reproduces corpus proportions, α → 0 the uniform mix; the
+    usual 0.3 boosts tail languages at the head's expense. Unlike
+    UniMax nothing caps a language at its corpus size — budgets above
+    sz_l mean multi-epoch repetition downstream.
+
+    Cross-engine discipline: pow() is a libm double, so the WEIGHT
+    (not the budget) is floored at 1e-6 before the integer multiply —
+    the lm/bm25 floored-comparison idiom; everything after the floor
+    is integer arithmetic. Returns (lang, sz, weight, alloc)."""
+    sz = doc_tokens.groupBy("lang").agg(F.sum("n_tokens").alias("sz"))
+    budget = (F.lit(int(total_budget)).cast("long")
+              if isinstance(total_budget, int)
+              else total_budget.cast("long"))
+    wall = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.pow(F.col("sz").cast("double"), F.lit(float(alpha)))
+    g = (sz.withColumn("_p", p)
+         .withColumn("_w", F.col("_p") / F.sum("_p").over(wall))
+         .withColumn("weight", F.floor(F.col("_w") * 1e6) / 1e6))
+    return g.select(
+        "lang", "sz", "weight",
+        F.floor(budget * F.col("weight")).cast("long").alias("alloc"))
+
+
 def unimax_select(doc_tokens: DataFrame, alloc: DataFrame) -> DataFrame:
     """The hash-prefix of each language's documents that fits its
     budget: keep a doc while the tokens BEFORE it (in (md5, doc_id)

@@ -83,3 +83,58 @@ def unimax_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             epoch_cap=1)
     return (unimax_select(dt, alloc)
             .orderBy("lang", "doc_id"))
+
+
+@register(
+    "temperature_select",
+    oracle=f"""
+    WITH dt AS (SELECT coalesce(lang, '') AS lang, doc_id,
+                       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents),
+    sz AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS sz
+           FROM dt GROUP BY lang),
+    tot AS (SELECT CAST(CAST(SUM(n_tokens) AS BIGINT) * 4 // 5 AS BIGINT)
+                     AS b
+            FROM dt),
+    w AS (SELECT lang, sz,
+                 floor(pow(CAST(sz AS DOUBLE), 0.3)
+                       / SUM(pow(CAST(sz AS DOUBLE), 0.3)) OVER (
+                           ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+                       * 1e6) / 1e6 AS weight
+          FROM sz),
+    a AS (SELECT lang,
+                 CAST(floor(CAST(b AS DOUBLE) * weight) AS BIGINT) AS alloc
+          FROM w CROSS JOIN tot),
+    r AS (SELECT lang, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY lang
+                        ORDER BY {_SQL_HASH} ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS bfr
+          FROM dt)
+    SELECT r.lang, r.doc_id, r.n_tokens, a.alloc AS lang_budget
+    FROM r JOIN a USING (lang)
+    WHERE bfr < alloc
+    ORDER BY lang, doc_id
+    """,
+    gate=False,
+    tags=("mixing", "curation", "extension"),
+)
+def temperature_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_tokens, lang_budget): the documents α=0.3
+    temperature sampling keeps under the same 80% token budget — the
+    pre-UniMax multilingual mix (boosts tail languages, cuts the
+    head) sharing UniMax's deterministic prefix-selection machinery.
+    The α-weight is floored at 1e-6 before the integer multiply (the
+    lm/bm25 pow/ln discipline); the window normalizer folds in lang
+    order on both engines."""
+    from myhadoop_spark.operators.unimax import temperature_allocate
+
+    docs = load_wide(spark, sf_dir, "documents")
+    dt = doc_token_counts(docs).localCheckpoint()
+    total = dt.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    alloc = temperature_allocate(dt, total_budget=int(total) * 4 // 5,
+                                 alpha=0.3)
+    return (unimax_select(dt, alloc.select("lang", "alloc"))
+            .orderBy("lang", "doc_id"))

@@ -113,6 +113,36 @@ def test_selection_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_temperature_allocation_model_and_alpha_edges(spark):
+    import math
+
+    from myhadoop_spark.operators.unimax import temperature_allocate
+
+    dt = _tok_df(spark)
+    sizes = _sizes()
+    total = sum(sizes.values())
+    budget = total * 4 // 5
+    for alpha in (0.3, 1.0):
+        got = {r.lang: (r.weight, r.alloc)
+               for r in temperature_allocate(
+                   dt, total_budget=budget, alpha=alpha).collect()}
+        # python model with the SAME ordered normalizer + 1e-6 floor
+        norm = 0.0
+        for lang in sorted(sizes):
+            norm += math.pow(float(sizes[lang]), alpha)
+        for lang, sz in sizes.items():
+            w = math.floor(math.pow(float(sz), alpha) / norm * 1e6) / 1e6
+            assert got[lang][0] == w, (alpha, lang)
+            assert got[lang][1] == math.floor(float(budget) * w)
+    # α=1 tracks corpus proportions; α=0.3 boosts the tail share
+    prop = {r.lang: r.alloc for r in temperature_allocate(
+        dt, total_budget=budget, alpha=1.0).collect()}
+    cool = {r.lang: r.alloc for r in temperature_allocate(
+        dt, total_budget=budget, alpha=0.3).collect()}
+    assert cool["tiny"] > prop["tiny"]
+    assert cool["en"] < prop["en"]
+
+
 def test_doc_token_counts_null_lang(spark):
     docs = spark.createDataFrame(
         [(1, "a b c", None), (2, "d e", "en")],
