@@ -14,8 +14,11 @@ language does too, and the share stops changing:
 
     order langs by c = min-cap tokens ascending;  cum = running Σc
     t  = first i where c_i * (k-i+1) > B - cum_{i-1}
-    a_i = c_i                      for i < t  (take the whole corpus)
-    a_i = (B - cum_{t-1}) div (k-t+1)  for i ≥ t  (equal share)
+    a_i = c_i          for i < t  (take the whole corpus)
+    a_i ∈ {q, q+1}     for i ≥ t  — the as-even-as-possible split of
+          B' = B - cum_{t-1} over k' = k-t+1 languages (q = B' div k';
+          the loop's integer division telescopes its remainders onto
+          the last r = B' mod k' languages)
 
 so the allocation is ONE window pass over the per-language totals (k
 rows — a single-partition window, bounded by the number of languages,
@@ -106,7 +109,19 @@ def unimax_allocate(doc_tokens: DataFrame, *, total_budget,
          .withColumn("_tprev",
                      F.min(F.when(F.col("_fail"), F.col("_prev")))
                      .over(wall)))
-    share = F.expr("(_B - _tprev) div (_k - _t + 1)")
+    # The sequential loop's integer division hands accumulated
+    # remainders to the LATER (larger) languages: with B' = B − cum_{t-1}
+    # and k' = k − t + 1 sharing languages, repeatedly taking
+    # ⌊remaining / remaining_langs⌋ gives the first k'−r languages
+    # q = B' div k' and the last r = B' mod k' languages q+1 (telescoping;
+    # hypothesis-pinned against the loop in tests/test_hypothesis_r9.py).
+    # Caps never interfere past t: failing at t means cap_t > q, and caps
+    # ascend, so every sharing cap ≥ q+1.
+    q = F.expr("(_B - _tprev) div (_k - _t + 1)")
+    r = F.expr("(_B - _tprev) % (_k - _t + 1)")
+    kp = F.col("_k") - F.col("_t") + 1
+    pos = F.col("_i") - F.col("_t") + 1
+    share = q + (pos > kp - r).cast("long")
     alloc = (F.when(F.col("_t").isNull() | (F.col("_i") < F.col("_t")),
                     F.col("cap"))
              .otherwise(share).cast("long"))

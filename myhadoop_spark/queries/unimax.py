@@ -55,7 +55,11 @@ _SQL_HASH = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
            FROM g2),
     a AS (SELECT lang,
                  CAST(CASE WHEN t IS NULL OR i < t THEN cap
-                           ELSE (b - tprev) // (k - t + 1) END
+                           ELSE (b - tprev) // (k - t + 1)
+                                + (CASE WHEN (i - t + 1) >
+                                        (k - t + 1)
+                                        - (b - tprev) % (k - t + 1)
+                                   THEN 1 ELSE 0 END) END
                       AS BIGINT) AS alloc
           FROM g3),
     r AS (SELECT lang, doc_id, n_tokens,
