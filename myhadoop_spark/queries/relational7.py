@@ -40,6 +40,11 @@ from myhadoop_spark.registry import register
     FROM m
     """,
     tags=("scalar", "map", "struct"),
+    # r9: rotates out of the 50-slot gate window for unimax_select —
+    # pure expression battery with no scale story, the array_fns /
+    # null_fns / unpivot_metrics precedent; still a full ungated
+    # differential in pytest + both check harnesses
+    gate=False,
 )
 def map_struct_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map + struct battery in one pass over orders: map construction,

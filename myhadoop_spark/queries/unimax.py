@@ -74,7 +74,11 @@ _SQL_HASH = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
     WHERE bfr < alloc
     ORDER BY lang, doc_id
     """,
-    gate=False,
+    # r9: gated on arrival (the dsir_select precedent) — the round's
+    # flagship named method, bitwise at both SFs in both local
+    # harnesses, with a real flat-alloc/linear-select scale story
+    # (unimax_study.tsv); map_struct_fns rotates out to hold the
+    # 50-slot window
     tags=("mixing", "curation", "extension"),
 )
 def unimax_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
