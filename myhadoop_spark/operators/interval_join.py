@@ -49,7 +49,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
 
     def side(df: DataFrame, p: str) -> DataFrame:
         # half-open: the last covered point is hi-1, so the last
-        # bucket is floor((hi-1)/w) — never a bucket past the end
+        # bucket is floor((hi-1)/w) — never a bucket past the end.
+        # Empty intervals (lo >= hi) cover nothing and are dropped
+        # here — without the guard, sequence(lo div w, (hi-1) div w)
+        # would run DESCENDING and fabricate buckets.
+        df = df.filter(F.col("lo") < F.col("hi"))
         return df.select(
             *keys,
             F.col("id").alias(f"{p}_id"),

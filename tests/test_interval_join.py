@@ -60,6 +60,16 @@ def test_half_open_touching_intervals_do_not_overlap(spark):
     assert got == [3, 4]          # [10,20) touches [0,10) — excluded
 
 
+def test_empty_intervals_dropped(spark):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, lo long, hi long")
+    a = mk([(1, 5, 5), (2, 0, 10)])     # id 1 covers nothing
+    b = mk([(3, 4, 6), (4, 7, 7)])      # id 4 covers nothing
+    got = {(r.a_id, r.b_id) for r in interval_overlap_join(
+        a, b, bucket_width=4).collect()}
+    assert got == {(2, 3)}
+
+
 def test_antisymmetric_self_join(spark):
     la, _ = _dfs(spark)
     rows = interval_overlap_join(la, la, keys=("key",), bucket_width=16,
