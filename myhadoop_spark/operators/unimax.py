@@ -76,20 +76,34 @@ def doc_token_counts(docs: DataFrame, *, id_col: str = "doc_id",
         F.size(toks).cast("long").alias("n_tokens"))
 
 
-def unimax_allocate(doc_tokens: DataFrame, *, total_budget,
-                    epoch_cap: int = 1) -> DataFrame:
+def unimax_allocate(doc_tokens: DataFrame, *, total_budget=None,
+                    epoch_cap: int = 1,
+                    budget_ratio: tuple[int, int] | None = None
+                    ) -> DataFrame:
     """Per-language token budgets: (lang, sz, cap, alloc).
 
-    ``total_budget`` is an int or an integer Column (so a budget
-    derived from the data — e.g. 80% of corpus tokens — stays inside
-    the plan). ``epoch_cap`` bounds any language at cap·sz tokens.
-    The window is single-partition over ONE ROW PER LANGUAGE —
-    bounded by the language count, not the corpus."""
+    ``total_budget`` is an int or an integer Column; ALTERNATIVELY
+    ``budget_ratio=(num, den)`` sets B = (Σ corpus tokens · num) div
+    den inside the plan — no driver collect, no separate total job,
+    and the exact integer the oracle's CROSS JOIN tot computes.
+    ``epoch_cap`` bounds any language at cap·sz tokens. The window is
+    single-partition over ONE ROW PER LANGUAGE — bounded by the
+    language count, not the corpus."""
+    if (total_budget is None) == (budget_ratio is None):
+        raise ValueError(
+            "exactly one of total_budget / budget_ratio is required")
     sz = doc_tokens.groupBy("lang").agg(F.sum("n_tokens").alias("sz"))
-    budget = (F.lit(int(total_budget)).cast("long")
-              if isinstance(total_budget, int)
-              else total_budget.cast("long"))
-    sz = sz.withColumn("_B", budget)
+    if budget_ratio is not None:
+        # integer window total: order-free (no float fold needed)
+        num, den = (int(budget_ratio[0]), int(budget_ratio[1]))
+        sz = sz.withColumn(
+            "_B", F.expr(f"(sum(sz) over () * {num}) div {den}")
+            .cast("long"))
+    else:
+        budget = (F.lit(int(total_budget)).cast("long")
+                  if isinstance(total_budget, int)
+                  else total_budget.cast("long"))
+        sz = sz.withColumn("_B", budget)
     c = (F.col("sz") * epoch_cap).cast("long")
     w = Window.orderBy("cap", "lang")
     wall = Window.orderBy("cap", "lang").rowsBetween(
@@ -128,8 +142,10 @@ def unimax_allocate(doc_tokens: DataFrame, *, total_budget,
     return g.select("lang", "sz", "cap", alloc.alias("alloc"))
 
 
-def temperature_allocate(doc_tokens: DataFrame, *, total_budget,
-                         alpha: float = 0.3) -> DataFrame:
+def temperature_allocate(doc_tokens: DataFrame, *, total_budget=None,
+                         alpha: float = 0.3,
+                         budget_ratio: tuple[int, int] | None = None
+                         ) -> DataFrame:
     """Temperature (α) sampling budgets — the pre-UniMax standard
     (mT5, Xue et al. 2021): p_l ∝ sz_l^α, budget_l = ⌊B · p_l⌋.
     α = 1 reproduces corpus proportions, α → 0 the uniform mix; the
@@ -140,11 +156,21 @@ def temperature_allocate(doc_tokens: DataFrame, *, total_budget,
     Cross-engine discipline: pow() is a libm double, so the WEIGHT
     (not the budget) is floored at 1e-6 before the integer multiply —
     the lm/bm25 floored-comparison idiom; everything after the floor
-    is integer arithmetic. Returns (lang, sz, weight, alloc)."""
+    is integer arithmetic. ``budget_ratio=(num, den)`` derives
+    B = (Σ corpus tokens · num) div den in-plan (no driver collect),
+    like unimax_allocate. Returns (lang, sz, weight, alloc)."""
+    if (total_budget is None) == (budget_ratio is None):
+        raise ValueError(
+            "exactly one of total_budget / budget_ratio is required")
     sz = doc_tokens.groupBy("lang").agg(F.sum("n_tokens").alias("sz"))
-    budget = (F.lit(int(total_budget)).cast("long")
-              if isinstance(total_budget, int)
-              else total_budget.cast("long"))
+    if budget_ratio is not None:
+        num, den = (int(budget_ratio[0]), int(budget_ratio[1]))
+        budget = F.expr(f"(sum(sz) over () * {num}) div {den}") \
+            .cast("long")
+    else:
+        budget = (F.lit(int(total_budget)).cast("long")
+                  if isinstance(total_budget, int)
+                  else total_budget.cast("long"))
     wall = Window.orderBy("lang").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     p = F.pow(F.col("sz").cast("double"), F.lit(float(alpha)))

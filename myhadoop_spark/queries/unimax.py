@@ -7,9 +7,9 @@ share, or over the total, would leave one branch vacuous).
 
 Every number is an integer (token counts, floor division) computed
 identically on both sides — the compare is bitwise, no float floors
-needed. The total-token scalar is ONE bounded collect (the
-indexing.py offset-collect discipline) so the budget constant feeds
-both the allocation window and the oracle's CROSS JOIN tot.
+needed. The budget B = (Σ tokens · 4) div 5 is derived IN-PLAN on
+both sides (a window total over the k language rows here, the CROSS
+JOIN tot CTE there) — no driver collect, one action end to end.
 """
 
 from __future__ import annotations
@@ -85,10 +85,11 @@ def unimax_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_id, n_tokens, lang_budget): the documents UniMax
     keeps under an 80%-of-corpus token budget at epoch cap 1."""
     docs = load_wide(spark, sf_dir, "documents")
-    dt = doc_token_counts(docs).localCheckpoint()
-    total = dt.agg(F.sum("n_tokens")).collect()[0][0] or 0
-    alloc = unimax_allocate(dt, total_budget=int(total) * 4 // 5,
-                            epoch_cap=1)
+    # budget_ratio keeps B inside the plan — ONE action end to end (no
+    # total-collect job, no checkpoint; the token-count projection is
+    # narrow and recomputing it beats a materialization barrier)
+    dt = doc_token_counts(docs)
+    alloc = unimax_allocate(dt, budget_ratio=(4, 5), epoch_cap=1)
     return (unimax_select(dt, alloc)
             .orderBy("lang", "doc_id"))
 
@@ -140,9 +141,7 @@ def temperature_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myhadoop_spark.operators.unimax import temperature_allocate
 
     docs = load_wide(spark, sf_dir, "documents")
-    dt = doc_token_counts(docs).localCheckpoint()
-    total = dt.agg(F.sum("n_tokens")).collect()[0][0] or 0
-    alloc = temperature_allocate(dt, total_budget=int(total) * 4 // 5,
-                                 alpha=0.3)
+    dt = doc_token_counts(docs)
+    alloc = temperature_allocate(dt, budget_ratio=(4, 5), alpha=0.3)
     return (unimax_select(dt, alloc.select("lang", "alloc"))
             .orderBy("lang", "doc_id"))

@@ -113,6 +113,22 @@ def test_selection_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_budget_ratio_in_plan_equals_int_budget(spark):
+    import pytest
+
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    by_int = sorted((r.lang, r.alloc) for r in unimax_allocate(
+        dt, total_budget=total * 4 // 5).collect())
+    by_ratio = sorted((r.lang, r.alloc) for r in unimax_allocate(
+        dt, budget_ratio=(4, 5)).collect())
+    assert by_int == by_ratio
+    with pytest.raises(ValueError):
+        unimax_allocate(dt)
+    with pytest.raises(ValueError):
+        unimax_allocate(dt, total_budget=10, budget_ratio=(1, 2))
+
+
 def test_temperature_allocation_model_and_alpha_edges(spark):
     import math
 
