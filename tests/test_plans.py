@@ -277,3 +277,21 @@ def test_index_queries_have_no_window(spark):
         plan = plan_of(spark, name)
         assert "Window" not in plan, f"{name}:\n{plan}"
         assert "BatchEvalPython" not in plan, f"{name}:\n{plan}"
+
+
+def test_unimax_select_plan_shape(spark):
+    # the r9 gated query: alloc (k language rows) must BROADCAST into
+    # the selection join; no cartesian anywhere; no Python UDFs — the
+    # whole pipeline stays JVM-side
+    plan = plan_of(spark, "unimax_select")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_overlap_plan_shape(spark):
+    # bucketized equi-join — never a nested loop over interval pairs
+    plan = plan_of(spark, "interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
