@@ -15,7 +15,6 @@ JOIN tot CTE there) — no driver collect, one action end to end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load_wide
 from myhadoop_spark.operators.unimax import (
