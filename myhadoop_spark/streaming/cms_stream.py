@@ -49,11 +49,16 @@ def _read_meta(spark: SparkSession, path: str) -> dict | None:
 
 def start_cms_stream(stream_df: DataFrame, *, path: str, checkpoint: str,
                      term_col: str = "term", depth: int = 4,
-                     width: int = 1024):
+                     width: int = 1024, stats: list | None = None):
     """Maintain the sketch per micro-batch (availableNow-friendly);
-    query it any time with ``stream_estimate``."""
+    query it any time with ``stream_estimate``. Pass ``stats`` (a
+    list) to receive one {batch, total_items, state_rows, wall_s}
+    dict per absorbed batch — the flat-per-batch study hook."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         spark = batch.sparkSession
         meta = _read_meta(spark, path)
         if meta is not None and (meta["depth"] != depth
@@ -96,6 +101,13 @@ def start_cms_stream(stream_df: DataFrame, *, path: str, checkpoint: str,
             name = status.getPath().getName()
             if name.startswith("cms_v") and name not in keep:
                 fs.delete(status.getPath(), True)
+        if stats is not None:
+            state_rows = spark.read.parquet(
+                f"{path}/cms_v{batch_id}").count()
+            stats.append({"batch": batch_id,
+                          "total_items": prev_total + batch_total,
+                          "state_rows": state_rows,
+                          "wall_s": round(_time.time() - t0, 4)})
 
     return (stream_df.writeStream
             .foreachBatch(_process)
