@@ -19,8 +19,13 @@ Bucket width tuning is the range_join rule: near the median interval
 length — too narrow explodes intervals into many buckets, too wide
 degrades toward per-key all-pairs. At 100 TB the bucketed join
 shuffles on (keys…, bucket), so hot TIME ranges spread across keys
-and hot keys across time; a single pathological (key, bucket) cell is
-the operators/skew.py salting case.
+and hot keys across time. WIDTH IS ALSO THE SKEW REMEDY for a hot
+(key, time-range) pile-up (interval_join_study.tsv hot_cell rows: a
+2000-interval single-key pile draws 4M candidates under a
+much-too-wide bucket but 71.8k at a width near the interval length —
+within 2× of its 37.9k TRUE overlapping pairs); a pile of genuinely
+co-overlapping intervals is quadratic in its OUTPUT, the edjoin
+tiny-tier precedent — output-bound, not a plan defect.
 
 Reference analog: none — §2.3 extension surface (join family, next to
 operators/asof.py and operators/range_join.py).

@@ -102,6 +102,28 @@ def main() -> None:
     for w in (1024, 8192, 65536, 1 << 20):
         run(n, "sweep_candidates", w, lambda: candidate_count(a, b, w))
 
+    # hot cell: one key piles 2000 short intervals into one narrow time
+    # range on each side. With a bucket much wider than the pile the
+    # cell is all-pairs (quadratic CANDIDATES for pairs that mostly
+    # don't overlap — a width misconfiguration); at a width near the
+    # interval length the candidates collapse toward the true
+    # overlapping pairs, which for a genuinely concurrent pile is the
+    # irreducible OUTPUT (the edjoin tiny-tier precedent: output-bound,
+    # not a plan defect). Width is the skew remedy.
+    hn = 2_000
+    hot = (spark.range(hn).select(
+        F.lit(0).alias("key"), F.col("id").alias("id"),
+        (F.col("id") * 7 % 20_000).cast("long").alias("lo"))
+        .withColumn("hi", F.col("lo") + 64))
+    hot_b = hot.select("key", (F.col("id") + 10_000).alias("id"),
+                       "lo", "hi")
+    true_pairs = interval_overlap_join(
+        hot, hot_b, keys=("key",), bucket_width=64).count()
+    run(hn, "hot_cell_pairs", 64, lambda: true_pairs)
+    for w in (1 << 20, 4096, 64):
+        run(hn, "hot_cell_candidates", w,
+            lambda: candidate_count(hot, hot_b, w))
+
     spark.stop()
 
 
