@@ -36,12 +36,19 @@ survives everywhere. One window per language partition; the
 allocation join is a broadcast (k rows).
 
 Scale shape at 100 TB: per-language totals are one partial-agg
-shuffle of k rows; allocation is driver-sized; selection is one
-window shuffle partitioned by lang — skew lives in the big-language
-partitions, which is exactly the hash-rank order's job (any prefix of
-a language is hash-uniform, so per-partition work balances after the
-lang repartition; for a single pathological language, pre-bucket the
-rank window by hash range the way operators/skew.py salts hot keys).
+shuffle of k rows; allocation is driver-sized; selection is the
+hash-range pre-bucketed two-level prefix sum (``unimax_select``):
+band each document by the TOP bits of its rank hash (band order ≡
+rank order), partial-agg per-(lang, band) token sums into a bounded
+k·B-row offset table, broadcast it back, and run the cumulative
+window per (lang, band) — a head language spreads over B reducer
+partitions instead of one, and bands whose offset already exceeds
+the budget are pruned BEFORE the sort shuffle (at a 10% budget, 90%
+of the head language never enters the window). Integer sums are
+exact, so the banded output is bitwise-identical to the
+single-window spec path (``unimax_select_window``, kept as the
+parity pin) — the operators/indexing.py bounded-offset idiom, with
+the offset table staying in-plan (broadcast join, no collect).
 
 Reference analog: none — §2.3 extension surface (data-mixing family,
 next to operators/mixture.py's acceptance sampling and
@@ -54,7 +61,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _rank_hash(col: Column, buckets: int = 1_000_000) -> Column:
+_HASH_BUCKETS = 1_000_000
+
+
+def _rank_hash(col: Column, buckets: int = _HASH_BUCKETS) -> Column:
     """queries/sampling.py's engine-portable md5 bucket (inlined here:
     operators must not import the queries package — circular)."""
     h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
@@ -182,13 +192,14 @@ def temperature_allocate(doc_tokens: DataFrame, *, total_budget=None,
         F.floor(budget * F.col("weight")).cast("long").alias("alloc"))
 
 
-def unimax_select(doc_tokens: DataFrame, alloc: DataFrame) -> DataFrame:
-    """The hash-prefix of each language's documents that fits its
-    budget: keep a doc while the tokens BEFORE it (in (md5, doc_id)
-    rank order) are under ``alloc`` — so budgets ≥ the corpus keep
-    everything and a zero budget keeps nothing.
-
-    Returns (lang, doc_id, n_tokens, lang_budget)."""
+def unimax_select_window(doc_tokens: DataFrame,
+                         alloc: DataFrame) -> DataFrame:
+    """SPEC PATH (single window per language): keep a doc while the
+    tokens BEFORE it (in (md5, doc_id) rank order) are under
+    ``alloc``. Semantically exact but physically one sort partition
+    per language — kept as the bitwise parity pin for the banded
+    production path and for the DuckDB oracle, which expresses
+    exactly this window. Do not call on corpus-scale data."""
     w = (Window.partitionBy("lang")
          .orderBy(_rank_hash(F.col("doc_id")), "doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -200,3 +211,64 @@ def unimax_select(doc_tokens: DataFrame, alloc: DataFrame) -> DataFrame:
             .filter(F.col("_before") < F.col("alloc"))
             .select("lang", "doc_id", "n_tokens",
                     F.col("alloc").alias("lang_budget")))
+
+
+def unimax_select(doc_tokens: DataFrame, alloc: DataFrame,
+                  *, bands: int = 32) -> DataFrame:
+    """The hash-prefix of each language's documents that fits its
+    budget: keep a doc while the tokens BEFORE it (in (md5, doc_id)
+    rank order) are under ``alloc`` — so budgets ≥ the corpus keep
+    everything and a zero budget keeps nothing.
+
+    Physical plan (the scale path): the rank hash's top range splits
+    each language into ``bands`` hash-range buckets whose order
+    refines the rank order (band = hash div width is monotone in the
+    hash, and (band, hash, doc_id) totals the same order as
+    (hash, doc_id)), so the language-wide running sum decomposes into
+
+      band offset  — per-(lang, band) token sums (one partial-agg
+                     shuffle emitting ≤ k·bands rows) prefix-summed
+                     by a window over that BOUNDED table, then
+                     broadcast-joined back (never collected);
+      within-band  — a cumulative window partitioned by
+                     (lang, band): a head language sorts on ``bands``
+                     reducers instead of one.
+
+    Bands whose offset already meets the budget are dropped before
+    the sort shuffle (every doc there has _before ≥ offset ≥ alloc),
+    so selection work is proportional to the KEPT prefix, not the
+    corpus. All sums are integer, hence bitwise-equal to
+    ``unimax_select_window`` under any banding (pinned in
+    tests/test_unimax.py).
+
+    Returns (lang, doc_id, n_tokens, lang_budget)."""
+    if bands < 1:
+        raise ValueError("bands must be >= 1")
+    width = (_HASH_BUCKETS + bands - 1) // bands
+    h = _rank_hash(F.col("doc_id"))
+    dt = doc_tokens.withColumn("_h", h).withColumn(
+        "_band", F.expr(f"_h div {width}"))
+    # bounded: ≤ (#languages × bands) rows; the window below runs over
+    # this table, not the corpus
+    wb = (Window.partitionBy("lang").orderBy("_band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    band_offsets = (dt.groupBy("lang", "_band")
+                    .agg(F.sum("n_tokens").alias("_bsum"))
+                    .withColumn("_boff",
+                                F.coalesce(F.sum("_bsum").over(wb),
+                                           F.lit(0).cast("long")))
+                    .join(F.broadcast(alloc.select("lang", "alloc")),
+                          "lang")
+                    .filter(F.col("_boff") < F.col("alloc"))
+                    .select("lang", "_band", "_boff", "alloc"))
+    ww = (Window.partitionBy("lang", "_band")
+          .orderBy("_h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    kept = (dt.join(F.broadcast(band_offsets), ["lang", "_band"])
+            .withColumn("_before",
+                        F.col("_boff")
+                        + F.coalesce(F.sum("n_tokens").over(ww),
+                                     F.lit(0).cast("long")))
+            .filter(F.col("_before") < F.col("alloc")))
+    return kept.select("lang", "doc_id", "n_tokens",
+                       F.col("alloc").alias("lang_budget"))

@@ -100,6 +100,47 @@ def main() -> None:
 
         run(n, "unimax_select", _select)
 
+    # --- hot-language rehearsal (VERDICT r9 #1): one language holds
+    # ~95% of the corpus. The spec window sorts ALL of it on one
+    # reducer; the banded path spreads it over `bands` partitions and
+    # prunes past-budget bands before the sort. Rows record the max
+    # single-sort size (rows_out = the largest window partition a task
+    # must sort for the head language) plus wall clock for each path.
+    from myhadoop_spark.operators.unimax import (
+        _HASH_BUCKETS,
+        _rank_hash,
+        unimax_select_window,
+    )
+
+    n_hot = counts[-1] * 4
+    docs = (spark.read.format("synthetic_docs")
+            .option("rows", n_hot).option("vocabSize", 20_000).load())
+    hot = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 20 < 19, F.lit("en"))
+        .otherwise(F.lit("tail")))
+    dt = doc_token_counts(hot).localCheckpoint()
+    total = dt.agg(F.sum("n_tokens")).collect()[0][0]
+    alloc = unimax_allocate(dt, total_budget=int(total) // 5) \
+        .localCheckpoint()
+
+    bands = 32
+    width = (_HASH_BUCKETS + bands - 1) // bands
+    sizes = (dt.withColumn("_h", _rank_hash(F.col("doc_id")))
+             .withColumn("_band", F.expr(f"_h div {width}"))
+             .groupBy("lang", "_band").count()
+             .groupBy("lang").agg(F.max("count").alias("mx"),
+                                  F.sum("count").alias("tot"))
+             .filter(F.col("lang") == "en").collect()[0])
+    # window path: the head language is ONE sort partition of `tot`
+    run(n_hot, "select_window_hot",
+        lambda: (None, unimax_select_window(dt, alloc).count()
+                 and int(sizes["tot"])))
+    # banded path: the largest single sort is `mx` ≈ tot/bands
+    run(n_hot, "select_banded_hot",
+        lambda: (None, unimax_select(dt, alloc, bands=bands).count()
+                 and int(sizes["mx"])))
+
     spark.stop()
 
 

@@ -288,6 +288,13 @@ def test_unimax_select_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+    # r10 scale fix: the corpus-side cumulative window partitions by
+    # (lang, _band) — never by lang alone (the single-reducer-per-
+    # language hole VERDICT r9 #1 flagged)
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_band" in s for s in specs), \
+        f"no (lang, _band)-partitioned window:\n{plan}"
 
 
 def test_interval_overlap_plan_shape(spark):

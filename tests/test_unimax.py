@@ -167,3 +167,62 @@ def test_doc_token_counts_null_lang(spark):
             for r in doc_token_counts(docs).collect()}
     assert rows[1] == ("", 3)    # NULL lang kept as '' — never dropped
     assert rows[2] == ("en", 2)
+
+
+def test_banded_select_equals_window_path(spark):
+    """The r10 scale fix: hash-range banded two-level prefix sum must
+    be bitwise-identical to the single-window spec path for every
+    banding — integer sums decompose exactly (VERDICT r9 #1)."""
+    from myhadoop_spark.operators.unimax import unimax_select_window
+
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    for budget in (total * 4 // 5, total // 3, total // 10, 0, total * 2):
+        alloc = unimax_allocate(dt, total_budget=budget)
+        want = sorted(map(tuple, unimax_select_window(dt, alloc).collect()))
+        for bands in (1, 3, 32, 1000):
+            got = sorted(map(tuple,
+                             unimax_select(dt, alloc, bands=bands).collect()))
+            assert got == want, (budget, bands)
+
+
+def test_banded_select_band_pruning(spark):
+    """Bands whose offset already meets the budget never reach the
+    sort: at a tiny budget the banded plan's pre-window row count is
+    a strict subset of the corpus (the 'work ∝ kept prefix' claim)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from myhadoop_spark.operators.unimax import _HASH_BUCKETS, _rank_hash
+
+    dt = _tok_df(spark)
+    total = sum(n for _, _, n in DOCS)
+    alloc = unimax_allocate(dt, total_budget=total // 10)
+    bands = 16
+    width = (_HASH_BUCKETS + bands - 1) // bands
+    # reproduce the operator's band-offset table and count surviving docs
+    wb = __import__("pyspark.sql", fromlist=["Window"]).Window \
+        .partitionBy("lang").orderBy("_band") \
+        .rowsBetween(-(1 << 30), -1)
+    banded = dt.withColumn("_h", _rank_hash(F.col("doc_id"))) \
+        .withColumn("_band", F.expr(f"_h div {width}"))
+    offs = (banded.groupBy("lang", "_band")
+            .agg(F.sum("n_tokens").alias("_bsum"))
+            .withColumn("_boff", F.coalesce(F.sum("_bsum").over(wb),
+                                            F.lit(0)))
+            .join(alloc.select("lang", "alloc"), "lang"))
+    survivors = offs.filter(F.col("_boff") < F.col("alloc")).count()
+    assert survivors < offs.count()  # some bands really are pruned
+    # and the pruned plan still agrees with the spec path
+    from myhadoop_spark.operators.unimax import unimax_select_window
+    got = sorted(map(tuple, unimax_select(dt, alloc, bands=bands).collect()))
+    want = sorted(map(tuple, unimax_select_window(dt, alloc).collect()))
+    assert got == want
+
+
+def test_banded_select_rejects_bad_bands(spark):
+    import pytest
+
+    dt = _tok_df(spark)
+    alloc = unimax_allocate(dt, total_budget=100)
+    with pytest.raises(ValueError):
+        unimax_select(dt, alloc, bands=0)
