@@ -22,7 +22,12 @@ sequences descend), so it gets the 5-rep median too. r9 triggers the
 widening on the MIN rep instead of the median: a warm-up descent like
 (2.85, 2.59, 0.93) — r9 range_join_hist — has its floor under the bar
 while its 3-rep median sits above it, the same artifact one band
-higher. Per-query shuffle/spill/peak-memory telemetry is scraped from
+higher. r10 adds the heavy-class tripwire: a 3-rep median >1.5× away
+(either direction) from the last committed BENCH_r*.json median also
+widens to 5 reps and is named in bench_shuffle.json "drift_widened"
+for mandatory BENCH_NOTES adjudication — the hole through which
+dedup_minhash's 1.78× r/r drift shipped unadjudicated in r9.
+Per-query shuffle/spill/peak-memory telemetry is scraped from
 the Spark UI REST API (the observability the reference exposes through
 its per-phase timing messages, /root/reference/datanode.py:346-370) and
 attached under "telemetry" + mirrored to bench_shuffle.json.
@@ -40,6 +45,13 @@ import statistics
 import sys
 import time
 from pathlib import Path
+
+# module-level so pandas_udf can resolve the stringified `pd.Series`
+# hints (`from __future__ import annotations` above): a main()-local
+# `import pandas as pd` made the Python-worker warm-up fail SILENTLY
+# from r6 through r9 — every round's first Arrow-stage query absorbed
+# one worker spawn per core (found fixing the r9 dedup_minhash drift)
+import pandas as pd  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -181,6 +193,22 @@ def main() -> None:
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     subsec = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC", "2.0"))
+    # r10 drift tripwire (VERDICT r9 #3): the min<2s widening never
+    # reaches heavy queries, so dedup_minhash shipped a 1.78× r/r
+    # median move on 3 noisy reps with zero path diff and no
+    # adjudication. Any query whose in-flight 3-rep median moves >1.5×
+    # in EITHER direction vs the last committed round's median is
+    # widened to the 5-rep median and named in bench_shuffle.json
+    # ("drift_widened") so BENCH_NOTES must adjudicate it.
+    prior_meds: dict[str, float] = {}
+    try:
+        import glob as _glob
+        _prior = sorted(_glob.glob("BENCH_r*.json"))
+        if _prior:
+            with open(_prior[-1]) as _f:
+                prior_meds = json.load(_f).get("queries", {}) or {}
+    except Exception as exc:  # noqa: BLE001 — tripwire, never a blocker
+        print(f"bench: prior-median load failed: {exc}", file=sys.stderr)
     spark = get_spark("bench")
     # default: the 50 gated queries (the driver/baseline contract).
     # SPARK_GRAFT_BENCH_ONLY=a,b,c benches just those names, drawing
@@ -203,7 +231,6 @@ def main() -> None:
     # cores — the source of the 3.5× first-rep variance seen in r2)
     try:
         run_query(spark, registry.get("wc").fn, sf_dir)
-        import pandas as pd
         from pyspark.sql import functions as F
 
         @F.pandas_udf("double")
@@ -226,6 +253,7 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     errors: dict[str, str] = {}
     phases: dict[str, dict[str, float]] = {}
+    drift_widened: dict[str, float] = {}  # name -> prior-round median
     for name, fn in qs.items():
         # per-query isolation: one broken query costs one row, never the
         # whole artifact (round 2 lost its entire bench run to a single
@@ -255,9 +283,16 @@ def main() -> None:
                 # but its 3-rep median above it, exactly the r7
                 # sort_full artifact re-materializing one band higher
                 # (r9 range_join_hist); min < bar ⇒ floor class.
-                if (i == reps and n_reps == reps
-                        and min(rep_times) < subsec):
-                    n_reps = reps + 2
+                if i == reps and n_reps == reps:
+                    med3 = statistics.median(rep_times)
+                    prior = prior_meds.get(name)
+                    drifted = (prior is not None and prior > 0
+                               and (med3 > prior * 1.5
+                                    or med3 < prior / 1.5))
+                    if min(rep_times) < subsec or drifted:
+                        n_reps = reps + 2
+                        if drifted:
+                            drift_widened[name] = round(prior, 4)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: query {name!r} failed: {errors[name]}",
@@ -278,7 +313,8 @@ def main() -> None:
     # telemetry detail to a side file (stdout stays the one-line
     # driver contract, plus a compact telemetry map)
     with open(f"bench_shuffle{suffix}.json", "w") as f:
-        json.dump({"sf": sf, "reps": all_reps, "queries": telemetry}, f, indent=1)
+        json.dump({"sf": sf, "reps": all_reps, "queries": telemetry,
+                   "drift_widened": drift_widened}, f, indent=1)
 
     # TSV record mirroring the reference's export shape
     # (/root/reference/export_record.py:8-56: one row per run — config
