@@ -20,6 +20,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dsir,
     event_analytics,
     fuzzy,
+    langid,
     lm,
     media,
     merge_query,
