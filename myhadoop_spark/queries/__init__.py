@@ -41,5 +41,6 @@ from myhadoop_spark.queries import (  # noqa: F401
     text,
     udtf_demo,
     unimax,
+    urls,
     wordcount,
 )
