@@ -306,7 +306,9 @@ def _sql_intervals(event_type: str) -> str:
       ON iv.user_id = ck.user_id AND iv.lo < ck.hi AND ck.lo < iv.hi
     ORDER BY iv.user_id, a_id, b_id
     """,
-    gate=False,
+    # r10: promoted into the 50-slot gate (bitwise at both SFs since
+    # r9, owner-bucket scale story — interval_join_study.tsv);
+    # scalar_fns rotates out to hold the window (VERDICT r9 item 5)
     tags=("join", "events", "extension"),
 )
 def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -577,6 +577,11 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_fns",
+    # r10: rotated OUT of the gate for interval_overlap (VERDICT r9
+    # item 5) — the scalar/temporal expression surface stays oracle-
+    # checked here ungated (pytest differential), alongside its
+    # sibling batteries array_fns / map_struct_fns / null_fns
+    gate=False,
     oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT)  AS o_year,

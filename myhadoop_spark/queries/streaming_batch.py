@@ -93,6 +93,10 @@ def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(props, '$.k') AS BIGINT) AS k
     FROM events
     """,
+    # r10: rotated OUT of the gate for triangle_count (VERDICT r9
+    # item 5) — the JSON-extraction surface stays oracle-checked
+    # ungated (pytest differential)
+    gate=False,
     tags=("streaming", "json"),
 )
 def event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
