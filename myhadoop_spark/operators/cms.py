@@ -83,3 +83,38 @@ def cms_estimate(cms: DataFrame, terms: DataFrame, term_col: str, *,
               .withColumn("_c", F.coalesce("c", F.lit(0).cast("long"))))
     return (joined.groupBy(*terms.columns)
             .agg(F.min("_c").alias("est")))
+
+
+def cms_verified_topk(df: DataFrame, term_col: str = "term", *,
+                      k: int = 10, capacity: int = 256,
+                      depth: int = 4, width: int = 1024) -> DataFrame:
+    """The classic sketch pairing: Misra-Gries PROPOSES the top-k
+    (an under-estimate with a summed decrement bound), Count-Min
+    BRACKETS each survivor from above (an over-estimate), so every
+    winner carries a two-sided interval certified by two independent
+    bounded-memory passes — no exact full-vocabulary aggregation:
+
+        mg_est ≤ true ≤ min(cms_est, mg_est + err_bound)
+
+    (MG never overcounts; CMS never undercounts; the MG decrement
+    bound caps the undercount.) Returns (term, mg_est, err_bound,
+    cms_est, lo, hi) ordered by (mg_est DESC, term) — lo/hi is the
+    certified bracket, pinned against exact counts in
+    tests/test_cms.py. Scale shape: both sketches are one bounded-
+    state pass each (partitions × capacity; depth × width); the probe
+    broadcasts k rows."""
+    from myhadoop_spark.operators.heavy_hitters import heavy_hitters_topk
+
+    cands = (heavy_hitters_topk(df, term_col, k=k, capacity=capacity)
+             .select(F.col("term").alias(term_col),
+                     F.col("est").alias("mg_est"), "err_bound"))
+    sketch = cms_table(df, term_col, depth=depth, width=width)
+    probed = cms_estimate(sketch, cands, term_col,
+                          depth=depth, width=width)
+    return (probed.select(
+        term_col, "mg_est", "err_bound",
+        F.col("est").alias("cms_est"),
+        F.col("mg_est").alias("lo"),
+        F.least(F.col("est"),
+                F.col("mg_est") + F.col("err_bound")).alias("hi"))
+        .orderBy(F.col("mg_est").desc(), F.col(term_col).asc()))

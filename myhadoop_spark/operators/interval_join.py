@@ -81,3 +81,42 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
     return pairs.select(
         *keys, "a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi",
         ov_lo.alias("ov_lo"), F.least("a_hi", "b_hi").alias("ov_hi"))
+
+
+def interval_overlap_join_ts(left: DataFrame, right: DataFrame, *,
+                             keys: Sequence[str] = (),
+                             id_col: str = "id",
+                             lo_col: str = "lo_ts",
+                             hi_col: str = "hi_ts",
+                             bucket_width: int = 512,
+                             antisymmetric: bool = False,
+                             closed: bool = False) -> DataFrame:
+    """Timestamp-column convenience over ``interval_overlap_join``:
+    converts [lo_col, hi_col) TIMESTAMP intervals to epoch-second
+    longs before bucketing, so every caller inherits the cross-engine
+    conversion discipline instead of rediscovering it:
+
+    * Spark's ``unix_timestamp`` TRUNCATES sub-second fractions while
+      DuckDB's ``epoch()`` ROUNDS — an SQL twin of any caller must
+      write ``CAST(floor(epoch(ts)) AS BIGINT)`` (the r9 lesson,
+      previously encoded only in queries/event_analytics.py).
+    * ``closed=True`` treats inputs as CLOSED [lo, hi] intervals —
+      the sessionize output shape, where a single-event session has
+      lo == hi and a half-open reading would silently drop it — by
+      joining on [lo, hi+1): two closed second-granularity intervals
+      overlap iff their half-open +1 forms do.
+
+    Output is the integer form (a_lo … ov_hi in epoch seconds; when
+    ``closed``, the +1 convention — ov_hi-1 is the last shared
+    second)."""
+    def conv(df: DataFrame) -> DataFrame:
+        lo = F.unix_timestamp(F.col(lo_col)).cast("long")
+        hi = F.unix_timestamp(F.col(hi_col)).cast("long")
+        if closed:
+            hi = hi + F.lit(1).cast("long")
+        return df.select(*keys, F.col(id_col).alias("id"),
+                         lo.alias("lo"), hi.alias("hi"))
+
+    return interval_overlap_join(conv(left), conv(right), keys=keys,
+                                 bucket_width=bucket_width,
+                                 antisymmetric=antisymmetric)

@@ -306,3 +306,25 @@ def cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("est") - F.col("exact_c")).cast("bigint")
                        .alias("overcount"))
             .orderBy("term"))
+
+
+@register(
+    "sketch_topk",
+    # rows-only: MG's per-partition decrement order has no ANSI-SQL
+    # twin (the heavy-hitters precedent) — the two-sided bracket is
+    # instead pinned against exact counts in tests/test_cms.py
+    gate=False,
+    tags=("sketch", "composition", "extension"),
+)
+def sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, mg_est, err_bound, cms_est, lo, hi): the CMS-bracketed
+    Misra-Gries top-20 corpus terms (operators/cms.py::
+    cms_verified_topk) — MG proposes from below, CMS caps from above,
+    certified interval [lo, hi] per winner. The 4×64 sketch is sized
+    so collisions are live but the bracket stays tight."""
+    from myhadoop_spark.operators.cms import cms_verified_topk
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(_tokens()).alias("term"))
+    return cms_verified_topk(occ, "term", k=20, capacity=64,
+                             depth=_CMS_D, width=64)

@@ -82,3 +82,36 @@ def test_weighted_build_and_partitioning_invariance(spark):
                       depth=D, width=W)
     as_map = lambda df: {(r.j, r.bucket): r.c for r in df.collect()}
     assert as_map(weighted) == as_map(plain)
+
+
+def test_cms_verified_topk_brackets_truth(spark):
+    """The r10 composition (VERDICT item 8): for every MG survivor,
+    mg_est ≤ true ≤ cms_est and true ∈ [lo, hi] with the interval no
+    wider than the MG decrement bound — CMS deliberately undersized
+    (4×32) so collisions are live and min(cms_est, mg_est+err) is a
+    real refinement on at least one side."""
+    from myhadoop_spark.operators.cms import cms_verified_topk
+
+    rows = [(f"t{i % 40}",) for i in range(3000)] \
+        + [("hot",)] * 500 + [("warm",)] * 200
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    true = {r["term"]: r["c"] for r in
+            df.groupBy("term").agg(F.count("*").alias("c")).collect()}
+    out = cms_verified_topk(df, "term", k=10, capacity=16,
+                            depth=4, width=32).collect()
+    # uniform-tail counters die in MG decrements: survivors may be
+    # fewer than k, but the true heavies always survive and lead
+    assert 2 <= len(out) <= 10
+    assert out[0]["term"] == "hot" and out[1]["term"] == "warm"
+    for r in out:
+        t = true[r["term"]]
+        assert r["mg_est"] <= t, r          # MG never overcounts
+        assert r["cms_est"] >= t, r         # CMS never undercounts
+        assert r["lo"] <= t <= r["hi"], r   # certified bracket
+        assert r["hi"] - r["lo"] <= r["err_bound"], r
+        assert r["hi"] == min(r["cms_est"],
+                              r["mg_est"] + r["err_bound"]), r
+    # determinism across partitionings
+    again = cms_verified_topk(df.repartition(8), "term", k=10,
+                              capacity=16, depth=4, width=32).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
