@@ -206,7 +206,11 @@ def main() -> None:
         _prior = sorted(_glob.glob("BENCH_r*.json"))
         if _prior:
             with open(_prior[-1]) as _f:
-                prior_meds = json.load(_f).get("queries", {}) or {}
+                _pj = json.load(_f)
+            # the driver's BENCH_r{N}.json wraps bench stdout under
+            # "parsed"; a raw bench line has "queries" at top level
+            prior_meds = (_pj.get("queries")
+                          or _pj.get("parsed", {}).get("queries") or {})
     except Exception as exc:  # noqa: BLE001 — tripwire, never a blocker
         print(f"bench: prior-median load failed: {exc}", file=sys.stderr)
     spark = get_spark("bench")
