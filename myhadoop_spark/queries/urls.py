@@ -30,6 +30,8 @@ from myhadoop_spark.operators.url_dedup import (
 from myhadoop_spark.registry import register
 
 _CAP = 15
+_SQL_DTOKS = (r"list_filter(string_split_regex(d.text, '\s+'), "
+              r"t -> t <> '')")
 _SQL_RANK = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
              "AS BIGINT) % 1000000")
 
@@ -92,3 +94,100 @@ def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = domain_cap(with_dom, domain_col="domain", cap=_CAP)
     return (capped.select("doc_id", "domain", "canon_url")
             .orderBy("doc_id"))
+
+
+@register(
+    "curate_mix",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source || '.com' AS b,
+                      doc_id % 4 AS v,
+                      CAST(doc_id // 2 AS VARCHAR) AS pid,
+                      CAST(doc_id % 7 AS VARCHAR) AS qid,
+                      {_SQL_RANK} AS r
+               FROM documents),
+    parts AS (SELECT doc_id, r, b AS domain,
+                     CASE v
+                       WHEN 0 THEN b || '/P/' || pid
+                       WHEN 1 THEN b || '/P/' || pid
+                       WHEN 2 THEN 'cdn.' || b || '/a/' || pid
+                       ELSE b || '/a/' || pid || '?id=' || qid
+                     END AS canon_url
+              FROM u),
+    dedup AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url
+                                           ORDER BY r, doc_id) AS drn
+              FROM parts),
+    capped AS (SELECT doc_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+                                              ORDER BY r, doc_id) AS crn
+                 FROM dedup WHERE drn = 1)
+               WHERE crn <= {_CAP}),
+    dt AS (SELECT coalesce(d.lang, '') AS lang, d.doc_id,
+                  CAST(len({_SQL_DTOKS}) AS BIGINT) AS n_tokens
+           FROM documents d JOIN capped USING (doc_id)),
+    sz AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS cap
+           FROM dt GROUP BY lang),
+    tot AS (SELECT CAST(CAST(SUM(n_tokens) AS BIGINT) * 1 // 2 AS BIGINT)
+                     AS bb
+            FROM dt),
+    g AS (SELECT lang, cap,
+                 ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+                 CAST(SUM(cap) OVER (ORDER BY cap, lang
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 COUNT(*) OVER () AS k
+          FROM sz),
+    g2 AS (SELECT g.*, cum - cap AS prev, bb,
+                  (cap * (k - i + 1) > bb - (cum - cap)) AS fail
+           FROM g CROSS JOIN tot),
+    g3 AS (SELECT *, MIN(CASE WHEN fail THEN i END) OVER () AS t,
+                  MIN(CASE WHEN fail THEN prev END) OVER () AS tprev
+           FROM g2),
+    a AS (SELECT lang,
+                 CAST(CASE WHEN t IS NULL OR i < t THEN cap
+                           ELSE (bb - tprev) // (k - t + 1)
+                                + (CASE WHEN (i - t + 1) >
+                                        (k - t + 1)
+                                        - (bb - tprev) % (k - t + 1)
+                                   THEN 1 ELSE 0 END) END
+                      AS BIGINT) AS alloc
+          FROM g3),
+    sel AS (SELECT lang, doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY lang
+                          ORDER BY {_SQL_RANK} ASC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS bfr
+            FROM dt)
+    SELECT sel.lang, sel.doc_id, sel.n_tokens, a.alloc AS lang_budget
+    FROM sel JOIN a USING (lang)
+    WHERE bfr < alloc
+    ORDER BY lang, doc_id
+    """,
+    gate=False,
+    tags=("dedup", "mixing", "curation", "composition", "extension"),
+)
+def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition over the r9/r10 operator
+    families, one plan: derive crawl URLs → URL-level dedup
+    (canonical-form survivor) → per-domain frequency cap (banded
+    exact prefix) → UniMax language balancing at a 50% token budget
+    over what survives (banded prefix selection). Pins that the
+    operators COMPOSE bitwise — the oracle chains the same four
+    stages in ANSI SQL. Returns (lang, doc_id, n_tokens,
+    lang_budget)."""
+    from myhadoop_spark.operators.unimax import (
+        doc_token_counts,
+        unimax_allocate,
+        unimax_select,
+    )
+
+    docs = load_wide(spark, sf_dir, "documents")
+    with_url = docs.join(_with_urls(docs), "doc_id")
+    deduped = url_dedup(with_url, url_col="url", id_col="doc_id")
+    capped = domain_cap(
+        deduped.withColumn("domain",
+                           registrable_domain(host_of(F.col("url")))),
+        domain_col="domain", cap=_CAP)
+    dt = doc_token_counts(capped)
+    alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
+    return (unimax_select(dt, alloc)
+            .orderBy("lang", "doc_id"))
