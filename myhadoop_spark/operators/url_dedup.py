@@ -123,10 +123,18 @@ def url_dedup(docs: DataFrame, *, url_col: str = "url",
 
 def domain_cap(docs: DataFrame, *, domain_col: str = "domain",
                cap: int, id_col: str = "doc_id",
-               bands: int = 32) -> DataFrame:
+               bands: int = 32,
+               caps: DataFrame | None = None) -> DataFrame:
     """≤ ``cap`` docs per domain, the (md5-rank, id)-first prefix.
     Banded exact plan (module docstring): whole bands keep/drop
-    without sorting; only each domain's boundary band row_numbers."""
+    without sorting; only each domain's boundary band row_numbers.
+
+    ``caps`` (optional) is a per-domain override table
+    (domain_col, cap) — the streaming face's remaining-budget shape;
+    domains absent from it fall back to the scalar ``cap``. It joins
+    into the (domain, band)-sized count table (one row per domain —
+    never corpus-sized), so per-domain caps cost no extra corpus
+    pass."""
     if cap < 0 or bands < 1:
         raise ValueError("cap must be >= 0 and bands >= 1")
     width = (_HASH_BUCKETS + bands - 1) // bands
@@ -140,17 +148,27 @@ def domain_cap(docs: DataFrame, *, domain_col: str = "domain",
               .withColumn("_cum",
                           F.coalesce(F.sum("_bn").over(wb),
                                      F.lit(0).cast("long"))))
+    if caps is not None:
+        over = caps.select(F.col(domain_col),
+                           F.col("cap").cast("long").alias("_capov"))
+        counts = (counts.join(over, domain_col, "left")
+                  .withColumn("_cap", F.coalesce(F.col("_capov"),
+                                                 F.lit(cap).cast("long")))
+                  .drop("_capov"))
+    else:
+        counts = counts.withColumn("_cap", F.lit(cap).cast("long"))
     j = d.join(counts, [domain_col, "_band"])
-    keep_all = F.col("_cum") + F.col("_bn") <= cap
-    drop_all = F.col("_cum") >= cap
+    keep_all = F.col("_cum") + F.col("_bn") <= F.col("_cap")
+    drop_all = F.col("_cum") >= F.col("_cap")
     whole = j.filter(keep_all & ~drop_all)
     ww = (Window.partitionBy(domain_col, "_band")
           .orderBy("_h", id_col))
     boundary = (j.filter(~keep_all & ~drop_all)
                 .withColumn("_rn", F.row_number().over(ww))
-                .filter(F.col("_cum") + F.col("_rn") <= cap)
+                .filter(F.col("_cum") + F.col("_rn") <= F.col("_cap"))
                 .drop("_rn"))
-    return whole.unionByName(boundary).drop("_h", "_band", "_bn", "_cum")
+    return (whole.unionByName(boundary)
+            .drop("_h", "_band", "_bn", "_cum", "_cap"))
 
 
 def domain_cap_window(docs: DataFrame, *, domain_col: str = "domain",

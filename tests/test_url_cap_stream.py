@@ -1,0 +1,118 @@
+"""Streaming per-domain capping (streaming/url_cap_stream): budgets
+persist across micro-batches (earlier arrivals never evicted), the
+within-batch choice is the deterministic (md5-rank, id) prefix,
+replay is idempotent, lineage rewinds and cap changes fail loudly,
+and cap ≥ everything degenerates to a pass-through."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from myhadoop_spark.streaming.url_cap_stream import (
+    read_kept,
+    start_domain_cap_stream,
+)
+
+CAP = 5
+
+
+def _mk_docs(spark, tmp_path, n_files=4, per_file=30):
+    """Each file (= micro-batch) has 'hot.com' majority + two tails;
+    doc ids encode (file, row) so arrival order is known."""
+    src = str(tmp_path / "src")
+    for f in range(n_files):
+        rows = [(f * 1000 + i,
+                 "hot.com" if i % 3 != 0 else f"t{i % 2}.com")
+                for i in range(per_file)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string")
+        df.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _run(spark, src, path, ckpt, cap=CAP, stats=None):
+    stream = (spark.readStream.schema("doc_id long, domain string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_domain_cap_stream(stream, path=path, checkpoint=ckpt,
+                                cap=cap, stats=stats)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+
+
+def test_budgets_persist_and_bind(spark, tmp_path):
+    src = _mk_docs(spark, tmp_path)
+    path = str(tmp_path / "cap")
+    stats: list = []
+    _run(spark, src, path, str(tmp_path / "ck"), stats=stats)
+    kept = read_kept(spark, path).collect()
+    by_dom: dict[str, list] = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    # every domain ends at exactly min(cap, arrivals)
+    for dom, ids in by_dom.items():
+        assert len(ids) == CAP, (dom, ids)
+    # arrival order honored ACROSS batches: a domain exhausted in
+    # early batches keeps only early-batch ids (hot.com has 20
+    # arrivals in batch 0 alone — all 5 keeps are batch-0 ids)
+    assert all(i < 1000 for i in by_dom["hot.com"]), by_dom["hot.com"]
+    # within the batch, the keep-set is the deterministic rank prefix
+    from myhadoop_spark.operators.url_dedup import domain_cap
+
+    b0 = spark.createDataFrame(
+        [(i, "hot.com") for i in range(0, 30) if i % 3 != 0],
+        "doc_id long, domain string")
+    want = sorted(r.doc_id for r in domain_cap(b0, cap=CAP).collect())
+    assert sorted(by_dom["hot.com"]) == want
+    # per-batch stats are cumulative and monotone
+    assert [s["batch"] for s in stats] == [0, 1, 2, 3]
+    assert all(a["kept"] <= b["kept"] for a, b in zip(stats, stats[1:]))
+
+
+def test_replay_is_idempotent_and_guards_fire(spark, tmp_path):
+    src = _mk_docs(spark, tmp_path, n_files=2)
+    path = str(tmp_path / "cap")
+    _run(spark, src, path, str(tmp_path / "ck"))
+    before = sorted(map(tuple, read_kept(spark, path).collect()))
+
+    # a fresh checkpoint over the same files restarts batch ids at 0 —
+    # BELOW the recorded watermark: a recreated lineage must fail
+    # loudly and leave the durable state untouched
+    stream = (spark.readStream.schema("doc_id long, domain string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_domain_cap_stream(stream, path=path,
+                                checkpoint=str(tmp_path / "ck2"),
+                                cap=CAP)
+    with pytest.raises(Exception, match="lineage|batch"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            time.sleep(0.2)
+    after = sorted(map(tuple, read_kept(spark, path).collect()))
+    assert after == before  # failed lineage touched nothing durable
+
+    # cap mismatch refused
+    stream2 = (spark.readStream.schema("doc_id long, domain string")
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = start_domain_cap_stream(stream2, path=path,
+                                 checkpoint=str(tmp_path / "ck3"),
+                                 cap=CAP + 1)
+    with pytest.raises(Exception, match="cap"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            time.sleep(0.2)
+
+
+def test_big_cap_is_passthrough(spark, tmp_path):
+    src = _mk_docs(spark, tmp_path, n_files=2, per_file=10)
+    path = str(tmp_path / "cap")
+    _run(spark, src, path, str(tmp_path / "ck"), cap=10_000)
+    kept = read_kept(spark, path).count()
+    assert kept == spark.read.parquet(src).count()
