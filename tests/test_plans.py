@@ -302,3 +302,35 @@ def test_interval_overlap_plan_shape(spark):
     plan = plan_of(spark, "interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_langid_predict_plan_shape(spark):
+    # r10: weight vectors broadcast into the scoring join; the whole
+    # train+score pipeline stays JVM-side, no cartesian anywhere
+    plan = plan_of(spark, "langid_predict")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_domain_cap_plan_shape(spark):
+    # r10: canonicalization is narrow projections; survivor pick is a
+    # partial-aggregable min(struct) (HashAggregate, not a window over
+    # the corpus); the cap's count table JOINS back — no Python, no
+    # cartesian
+    plan = plan_of(spark, "url_domain_cap")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_curate_mix_plan_shape(spark):
+    # r10 composition: four chained stages, still no cartesian and no
+    # Python anywhere; the unimax alloc join broadcasts
+    plan = plan_of(spark, "curate_mix")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
