@@ -70,14 +70,43 @@ def host_of(url: Column) -> Column:
                             _HOST_RE, 1)
 
 
-def registrable_domain(host: Column, *, labels: int = 2) -> Column:
-    """Last ``labels`` dot-labels of the host — the eTLD+1
-    approximation (swap in a broadcast public-suffix join for exotic
-    suffixes; see module docstring)."""
+# compound public suffixes under which one MORE label is needed to
+# reach the registrable domain (PSL-lite: the common ccTLD second-level
+# registries; the full Mozilla PSL swaps in as a bigger frozenset —
+# same expression, no code change)
+PUBLIC_SUFFIXES: frozenset[str] = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "co.in", "net.in", "org.in",
+    "co.za", "org.za", "com.ar", "com.tr", "com.sg", "com.hk",
+    "co.nz", "org.nz", "net.nz",
+})
+
+
+def registrable_domain(host: Column, *, labels: int = 2,
+                       public_suffixes: frozenset[str] = PUBLIC_SUFFIXES
+                       ) -> Column:
+    """eTLD+1: the last ``labels`` dot-labels of the host, except
+    that a host ending in a compound public suffix (``co.uk`` and
+    kin) takes one more label — ``shop.example.co.uk`` →
+    ``example.co.uk``, never the meaningless ``co.uk``. Pure
+    expression (one split + two slices), no lookup join; pass a
+    larger ``public_suffixes`` set (e.g. the full Mozilla PSL) for
+    exotic registries."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    return F.when(n <= labels, host).otherwise(
-        F.array_join(F.slice(parts, n - labels + 1, labels), "."))
+    tail = F.when(n >= labels,
+                  F.array_join(F.slice(parts, n - labels + 1, labels),
+                               ".")).otherwise(host)
+    k = F.when(tail.isin(*sorted(public_suffixes)),
+               F.lit(labels + 1)).otherwise(F.lit(labels)) \
+        if public_suffixes else F.lit(labels)
+    return F.when(n <= k, host).otherwise(
+        F.array_join(F.slice(parts, n - k + 1, k), "."))
 
 
 def canonical_url(url: Column) -> Column:

@@ -140,3 +140,21 @@ def test_domain_cap_rejects_bad_args(spark):
         domain_cap(df, cap=-1)
     with pytest.raises(ValueError):
         domain_cap(df, cap=3, bands=0)
+
+
+def test_registrable_domain_public_suffixes(spark):
+    """PSL-lite: compound suffixes take eTLD+1, not the registry."""
+    cases = {
+        "shop.example.co.uk": "example.co.uk",
+        "www.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": "co.uk",                    # bare registry: unchanged
+        "a.b.news.com.au": "news.com.au",
+        "deep.sub.example.com": "example.com",
+        "example.com": "example.com",
+        "localhost": "localhost",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = [r[0] for r in df.select(
+        registrable_domain(F.col("h"))).collect()]
+    assert got == list(cases.values()), dict(zip(cases, got))
