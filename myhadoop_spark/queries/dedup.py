@@ -439,3 +439,68 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", (inter / (tot - inter)).alias("jaccard"))
     )
     return pairs.filter(F.col("jaccard") >= 0.75)
+
+
+@register(
+    "ppjoin_pairs",
+    oracle="""
+    WITH g AS (SELECT doc_id, source,
+                      list_sort(list_distinct(list_transform(
+                        generate_series(1, length(text) - 2),
+                        i -> ascii(substring(text, i, 1)) * 65536
+                           + ascii(substring(text, i + 1, 1)) * 256
+                           + ascii(substring(text, i + 2, 1)))))
+                        AS grams
+               FROM documents WHERE length(text) >= 3),
+    p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                   AS inter,
+                 CAST(len(a.grams) + len(b.grams) AS BIGINT) AS tot
+          FROM g a JOIN g b
+            ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT doc1, doc2, inter, tot - inter AS un
+    FROM p WHERE inter * 2 >= tot - inter
+    ORDER BY doc1, doc2
+    """,
+    gate=False,
+    tags=("dedup", "similarity", "extension"),
+)
+def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, inter, un): all same-source pairs with 3-gram-set
+    Jaccard ≥ 0.5 — the PPJoin PREFIX generator forced (no corpus
+    probe), verified exactly, against a brute-force all-pairs truth
+    oracle. This is the exact-recall pin AS A DRIVER-RECORDED
+    DIFFERENTIAL (previously pytest-only): the oracle enumerates every
+    same-source pair and states Jaccard ≥ τ as the integer predicate
+    2·inter ≥ |A|+|B|−inter; the engine may only prune via the rarity
+    prefix + size filter, so any lost pair hash-mismatches. τ = 0.5
+    keeps the compare LIVE on this corpus (~2.3k qualifying pairs at
+    both SFs; 0.75 left only 1-2). Gram packing and blocking are the
+    ngram_jaccard conventions (queries/dedup.py::ngram_jaccard)."""
+    from myhadoop_spark.operators.ppjoin import prefix_candidates
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.length("text") >= 3).repartition(par))
+    grams = docs.select(
+        "doc_id", "source",
+        F.array_sort(F.array_distinct(F.expr(
+            "transform(sequence(1, length(text) - 2),"
+            " i -> ascii(substring(text, i, 1)) * 65536"
+            "    + ascii(substring(text, i + 1, 1)) * 256"
+            "    + ascii(substring(text, i + 2, 1)))"
+        ))).alias("grams"),
+    ).localCheckpoint()
+    cand = prefix_candidates(grams, 0.5, block_col="source")
+    g1 = grams.select(F.col("doc_id").alias("doc1"),
+                      F.col("grams").alias("g1"))
+    g2 = grams.select(F.col("doc_id").alias("doc2"),
+                      F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2")).cast("long")
+    tot = (F.size("g1") + F.size("g2")).cast("long")
+    return (cand.repartition(par, "doc1")
+            .join(g1, "doc1").join(g2, "doc2")
+            .select("doc1", "doc2", inter.alias("inter"),
+                    (tot - inter).alias("un"))
+            .filter(F.col("inter") * 2 >= F.col("un"))
+            .orderBy("doc1", "doc2"))
