@@ -86,3 +86,92 @@ def data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key("o_custkey", customer, "c_custkey"),
     ]
     return check_constraints(orders, suite)
+
+
+# ---------------------------------------------------------------------------
+# classifier quality filter as a driver-recorded differential (r10) —
+# the operators/classifier.py bitwise pin, previously pytest-only
+# (tests/test_classifier.py holds the same SQL against the raw parquet)
+# ---------------------------------------------------------------------------
+
+_QF_THRESHOLD = 0.78
+_QF_STOP = "('the','a','of','and','to','in')"
+_QF_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_QF_MARKERS = (f"'#len:' || CAST(len({_QF_TOKS}) // 8 AS VARCHAR), "
+               f"'#stop:' || CAST((16 * len(list_filter({_QF_TOKS}, "
+               f"x -> x IN {_QF_STOP}))) "
+               f"// greatest(len({_QF_TOKS}), 1) AS VARCHAR), "
+               f"'#div:' || CAST((16 * len(list_distinct({_QF_TOKS}))) "
+               f"// greatest(len({_QF_TOKS}), 1) AS VARCHAR)")
+
+
+def _qf_feats() -> str:
+    from myhadoop_spark.operators.classifier import MARKER_BOOST
+
+    return (f"list_concat({_QF_TOKS}, "
+            f"[{', '.join([_QF_MARKERS] * MARKER_BOOST)}])")
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_QF_TOKS} AS toks FROM documents),
+    lab AS (SELECT doc_id, text,
+              (0.4 * least(1.0, CAST(len(toks) AS DOUBLE)/50.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+             + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                              x -> x IN {_QF_STOP})) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE)))
+              >= {_QF_THRESHOLD} AS label
+            FROM t WHERE len(toks) > 0),
+    tr AS (SELECT label AS lbl, unnest({_qf_feats()}) AS tok
+           FROM lab WHERE doc_id % 2 = 0),
+    counts AS (SELECT tok,
+                 sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+                 sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+               FROM tr GROUP BY tok),
+    totals AS (SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS t_pos,
+                      sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS t_neg
+               FROM tr),
+    w AS (SELECT tok, n_pos * 1000000 // t_pos
+                    - n_neg * 1000000 // t_neg AS w
+          FROM counts CROSS JOIN totals),
+    sc AS (SELECT l.doc_id, unnest({_qf_feats()}) AS tok FROM lab l),
+    s AS (SELECT sc.doc_id, sum(COALESCE(w.w, 0)) AS score
+          FROM sc LEFT JOIN w USING (tok) GROUP BY sc.doc_id)
+    SELECT l.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           COALESCE(s.score, 0) > 0 AS pred
+    FROM lab l LEFT JOIN s ON l.doc_id = s.doc_id
+    ORDER BY l.doc_id
+    """,
+    gate=False,
+    tags=("quality", "curation", "extension"),
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, pred): the CCNet/DCLM-shaped integer linear
+    quality filter (operators/classifier.py) bootstrapped from the
+    doc_metrics heuristic teacher on the even-id split and scoring
+    every document — the operator's bitwise differential as a
+    DRIVER-RECORDED query (previously pytest-only)."""
+    from myhadoop_spark.operators.classifier import (
+        score_documents,
+        tokens,
+        train_token_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens()
+    n = F.size(toks).cast("double")
+    stop = ("the", "a", "of", "and", "to", "in")
+    q = (F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+         + F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n)
+         + F.lit(0.3) * (F.lit(1.0) - F.size(
+             F.filter(toks, lambda t: t.isin(*stop))).cast("double") / n))
+    labeled = docs.filter(F.size(toks) > 0).withColumn(
+        "label", q >= F.lit(_QF_THRESHOLD))
+    weights = train_token_weights(labeled.filter("doc_id % 2 = 0"))
+    return (score_documents(labeled, weights)
+            .select("doc_id", F.col("score").cast("long").alias("score"),
+                    "pred")
+            .orderBy("doc_id"))
