@@ -334,3 +334,12 @@ def test_curate_mix_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ppjoin_pairs_plan_shape(spark):
+    # r10: prefix candidates must equi-join on (gram, source) — never
+    # an all-pairs product; verify joins are equi on doc ids
+    plan = plan_of(spark, "ppjoin_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
