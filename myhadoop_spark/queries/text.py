@@ -330,3 +330,47 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / F.length("text").cast("double"))
         .alias("nonascii_frac"),
     )
+
+
+@register(
+    "strip_boilerplate",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, i, array_to_string(toks[i:i+1], ' ') AS g
+           FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+    bp AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+                          FROM sh GROUP BY g)
+           WHERE df >= 40),
+    cov AS (SELECT DISTINCT doc_id, p
+            FROM sh JOIN bp USING (g),
+                 unnest(generate_series(i, i + 1)) AS v(p)),
+    cl AS (SELECT doc_id, list(p) AS lp FROM cov GROUP BY doc_id),
+    k AS (SELECT t.doc_id, toks,
+                 list_filter(generate_series(1, len(toks)),
+                             p -> NOT list_contains(
+                                    coalesce(lp, []), p)) AS keep
+          FROM t LEFT JOIN cl USING (doc_id))
+    SELECT doc_id,
+           CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+           array_to_string(list_transform(keep, p -> toks[p]), ' ')
+             AS clean_text
+    FROM k ORDER BY doc_id
+    """,
+    gate=False,
+    tags=("text", "curation", "extension"),
+)
+def strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_removed, clean_text): corpus-wide boilerplate span
+    removal (operators/boilerplate.py) — bigram shingles appearing in
+    ≥ 40 distinct documents are boilerplate; every position they
+    cover is stripped and the survivors re-joined. The rebuilt
+    strings compare bitwise (integer positions + exact tokens)."""
+    from myhadoop_spark.operators.boilerplate import strip_boilerplate
+
+    docs = load_wide(spark, sf_dir, "documents")
+    return (strip_boilerplate(docs, n=2, min_df=40)
+            .select("doc_id", "n_removed", "clean_text")
+            .orderBy("doc_id"))
