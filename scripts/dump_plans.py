@@ -82,6 +82,12 @@ SHOWCASE = [
      "survivor pick is a partial-aggregable min(struct); the domain "
      "cap joins a (domain, band) count table back so whole bands "
      "keep/drop and only boundary bands sort (r10)"),
+    ("strip_boilerplate", "shingle-vocab distinct-doc aggregation + one "
+     "equi-join against the boilerplate survivors + per-doc bounded "
+     "collect_set + narrow rebuild — no windows, no Python (r10)"),
+    ("quality_filter", "integer weight table from one explode/count "
+     "pass, broadcast into the scoring join; the 2-row class-total "
+     "crossJoin is the sanctioned tiny shape (r10)"),
 ]
 
 
