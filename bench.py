@@ -26,7 +26,15 @@ higher. r10 adds the heavy-class tripwire: a 3-rep median >1.5× away
 (either direction) from the last committed BENCH_r*.json median also
 widens to 5 reps and is named in bench_shuffle.json "drift_widened"
 for mandatory BENCH_NOTES adjudication — the hole through which
-dedup_minhash's 1.78× r/r drift shipped unadjudicated in r9.
+dedup_minhash's 1.78× r/r drift shipped unadjudicated in r9. r11
+anchors each query to a PINNED level besides the r/r move — the min
+of its last-3-committed-round medians ("anchor_widened") — closing
+the sub-threshold ratchet that took dedup_clusters 3.92 → 7.18 s over
+five rounds with zero path diff; any ≥2 s query whose 3-rep max/min
+spread exceeds 1.5× is widened too ("spread_widened"); and the
+committed-round list comes from `git ls-files` with NUMERIC round
+parsing, so an uncommitted in-progress artifact can't make the
+tripwire compare a re-bench against itself (ADVICE r10).
 Per-query shuffle/spill/peak-memory telemetry is scraped from
 the Spark UI REST API (the observability the reference exposes through
 its per-phase timing messages, /root/reference/datanode.py:346-370) and
@@ -200,17 +208,43 @@ def main() -> None:
     # in EITHER direction vs the last committed round's median is
     # widened to the 5-rep median and named in bench_shuffle.json
     # ("drift_widened") so BENCH_NOTES must adjudicate it.
+    #
+    # r11 closes the RATCHET the r/r-only rule leaves open (VERDICT r10
+    # #1: dedup_clusters crept 3.92 → 7.18 s over five rounds, every
+    # step under the strict >1.5× r/r bar): each query is ALSO anchored
+    # to a pinned level — the MIN of its medians over the last 3
+    # COMMITTED rounds — and a median >1.5× the anchor widens + is
+    # named ("anchor_widened") even when the r/r move is quiet.
+    # Committed rounds come from `git ls-files` parsed NUMERICALLY, so
+    # an uncommitted in-progress BENCH_rN.json can no longer make the
+    # tripwire compare a re-bench against itself, and r100 sorts after
+    # r11 (ADVICE r10, bench.py:206).
     prior_meds: dict[str, float] = {}
+    anchor_meds: dict[str, float] = {}
     try:
-        import glob as _glob
-        _prior = sorted(_glob.glob("BENCH_r*.json"))
-        if _prior:
-            with open(_prior[-1]) as _f:
+        import re as _re
+        import subprocess as _sp
+        _ls = _sp.run(["git", "ls-files", "BENCH_r*.json"],
+                      capture_output=True, text=True, timeout=10,
+                      cwd=str(Path(__file__).resolve().parent))
+        _rounds = sorted(
+            (int(m.group(1)), p)
+            for p in _ls.stdout.split()
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p)))
+        _med_hist: list[dict[str, float]] = []
+        for _n, _p in _rounds[-3:]:
+            with open(_p) as _f:
                 _pj = json.load(_f)
             # the driver's BENCH_r{N}.json wraps bench stdout under
             # "parsed"; a raw bench line has "queries" at top level
-            prior_meds = (_pj.get("queries")
-                          or _pj.get("parsed", {}).get("queries") or {})
+            _med_hist.append(_pj.get("queries")
+                             or _pj.get("parsed", {}).get("queries") or {})
+        if _med_hist:
+            prior_meds = _med_hist[-1]
+            for _m in _med_hist:
+                for _q, _t in _m.items():
+                    if _t and (_q not in anchor_meds or _t < anchor_meds[_q]):
+                        anchor_meds[_q] = _t
     except Exception as exc:  # noqa: BLE001 — tripwire, never a blocker
         print(f"bench: prior-median load failed: {exc}", file=sys.stderr)
     spark = get_spark("bench")
@@ -258,6 +292,8 @@ def main() -> None:
     errors: dict[str, str] = {}
     phases: dict[str, dict[str, float]] = {}
     drift_widened: dict[str, float] = {}  # name -> prior-round median
+    anchor_widened: dict[str, float] = {}  # name -> pinned anchor level
+    spread_widened: dict[str, float] = {}  # name -> 3-rep max/min spread
     for name, fn in qs.items():
         # per-query isolation: one broken query costs one row, never the
         # whole artifact (round 2 lost its entire bench run to a single
@@ -293,10 +329,26 @@ def main() -> None:
                     drifted = (prior is not None and prior > 0
                                and (med3 > prior * 1.5
                                     or med3 < prior / 1.5))
-                    if min(rep_times) < subsec or drifted:
+                    # r11 pinned-anchor ratchet guard (upward only —
+                    # beating the anchor is improvement, not drift)
+                    anchor = anchor_meds.get(name)
+                    ratcheted = (anchor is not None and anchor > 0
+                                 and med3 > anchor * 1.5)
+                    # r11 spread guard: a >2 s query whose 3 reps span
+                    # >1.5× max/min is too noisy for a 3-rep median
+                    # (the r10 dedup_clusters capture: 5.81/7.18/9.46)
+                    spread = (max(rep_times) / min(rep_times)
+                              if min(rep_times) > 0 else float("inf"))
+                    noisy = med3 >= subsec and spread > 1.5
+                    if (min(rep_times) < subsec or drifted
+                            or ratcheted or noisy):
                         n_reps = reps + 2
                         if drifted:
                             drift_widened[name] = round(prior, 4)
+                        if ratcheted:
+                            anchor_widened[name] = round(anchor, 4)
+                        if noisy:
+                            spread_widened[name] = round(spread, 4)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: query {name!r} failed: {errors[name]}",
@@ -318,7 +370,9 @@ def main() -> None:
     # driver contract, plus a compact telemetry map)
     with open(f"bench_shuffle{suffix}.json", "w") as f:
         json.dump({"sf": sf, "reps": all_reps, "queries": telemetry,
-                   "drift_widened": drift_widened}, f, indent=1)
+                   "drift_widened": drift_widened,
+                   "anchor_widened": anchor_widened,
+                   "spread_widened": spread_widened}, f, indent=1)
 
     # TSV record mirroring the reference's export shape
     # (/root/reference/export_record.py:8-56: one row per run — config
