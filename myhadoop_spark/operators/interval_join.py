@@ -51,6 +51,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
     ``antisymmetric=True`` keeps only ``a_id < b_id`` — the self-join
     form (each unordered pair once, no self-pairs)."""
     w = int(bucket_width)
+    if w < 1:
+        # w <= 0 would make `lo div 0` NULL → sequence() NULL →
+        # explode drops every row: a silently-empty join instead of
+        # an error (ADVICE r10 — the domain_cap/unimax guard
+        # convention)
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
 
     def side(df: DataFrame, p: str) -> DataFrame:
         # half-open: the last covered point is hi-1, so the last
@@ -81,6 +87,33 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
     return pairs.select(
         *keys, "a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi",
         ov_lo.alias("ov_lo"), F.least("a_hi", "b_hi").alias("ov_hi"))
+
+
+def suggest_width(intervals: DataFrame, *, lo_col: str = "lo",
+                  hi_col: str = "hi") -> int:
+    """Bucket-width suggestion so the 100 TB operator isn't
+    hand-parameterized: the module-docstring rule (and the
+    interval_join_study.tsv sweep, whose candidate-volume minimum sat
+    at 8192 for median-~7.6k-second intervals) puts the optimum near
+    the MEDIAN interval length — too narrow explodes intervals into
+    many buckets, too wide degrades toward per-key all-pairs. Returns
+    the power of two nearest the median length (powers of two keep
+    `div` cheap and match the sweep grid).
+
+    Pure driver arithmetic off ONE aggregate row (the lsh_tuning
+    discipline: stats in, configuration out — no corpus data
+    collected). percentile_approx is exact when distinct lengths fit
+    its default accuracy budget and is only a TUNING input here —
+    the join is exact at any width."""
+    row = intervals.select(
+        F.percentile_approx(
+            F.col(hi_col).cast("long") - F.col(lo_col).cast("long"),
+            0.5).cast("long").alias("m")).first()
+    m = int(row["m"] or 0)
+    if m < 1:
+        return 1
+    lower = 1 << (m.bit_length() - 1)  # largest power of two <= m
+    return lower if m - lower <= 2 * lower - m else 2 * lower
 
 
 def interval_overlap_join_ts(left: DataFrame, right: DataFrame, *,

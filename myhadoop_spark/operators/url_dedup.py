@@ -14,9 +14,10 @@ projections — whole-stage codegen, no UDFs):
   any *.com/*.org-style corpus resolve identically).
 * ``canonical_url`` — the URL-dedup key: host lowercased with
   ``www.`` and default ports stripped, scheme and fragment dropped,
-  tracking params (utm_*, gclid, fbclid) filtered from the query
-  string, trailing slash trimmed. Path case is PRESERVED (paths are
-  case-sensitive; hosts are not).
+  tracking params (utm_*, gclid, fbclid — with or without a value)
+  filtered from the query string and the kept params SORTED
+  (``?a=1&b=2`` ≡ ``?b=2&a=1``), trailing slash trimmed. Path case
+  is PRESERVED (paths are case-sensitive; hosts are not).
 * ``url_dedup`` — exactly one survivor per canonical URL, the
   (md5-rank, id)-minimal row (deterministic under any partitioning /
   engine; survivor selection is one partial-aggregable min(struct)
@@ -54,7 +55,9 @@ from pyspark.sql import functions as F
 _HASH_BUCKETS = 1_000_000
 # userinfo@ is stripped before the host; port / path / query / frag end it
 _HOST_RE = r"^(?:[a-z][a-z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)"
-_TRACKING_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid)="
+# '=' optional so a VALUELESS tracking param (bare `gclid`, bare
+# `utm_source`) is stripped too (ADVICE r10); `$` anchors the bare form
+_TRACKING_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid)(=|$)"
 
 
 def _rank_hash(col: Column) -> Column:
@@ -127,8 +130,11 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
     qs = F.regexp_extract(rest, r"\?([^#]*)", 1)
-    kept = F.filter(F.split(qs, "&"),
-                    lambda p: (p != "") & ~p.rlike(_TRACKING_RE))
+    # kept params sort lexicographically so ?a=1&b=2 and ?b=2&a=1
+    # canonicalize to one key (ADVICE r10 — param order is not
+    # semantic for the dedup key; DuckDB twin: list_sort)
+    kept = F.array_sort(F.filter(F.split(qs, "&"),
+                                 lambda p: (p != "") & ~p.rlike(_TRACKING_RE)))
     q = F.when((qs == "") | (F.size(kept) == 0), F.lit("")) \
         .otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
     return F.concat(host, path, q)
@@ -160,7 +166,11 @@ def domain_cap(docs: DataFrame, *, domain_col: str = "domain",
 
     ``caps`` (optional) is a per-domain override table
     (domain_col, cap) — the streaming face's remaining-budget shape;
-    domains absent from it fall back to the scalar ``cap``. It joins
+    domains absent from it fall back to the scalar ``cap``, and so
+    does a row PRESENT with a NULL cap value (the coalesce acts on
+    the joined value itself, never on join-miss sentinels — a NULL
+    override can't silently drop its whole domain; pinned in
+    tests/test_url_dedup.py). It joins
     into the (domain, band)-sized count table (one row per domain —
     never corpus-sized), so per-domain caps cost no extra corpus
     pass."""

@@ -172,3 +172,34 @@ def test_ts_wrapper_closed_vs_half_open_single_point(spark):
     rows = interval_overlap_join_ts(a, b, bucket_width=60,
                                     closed=True).collect()
     assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
+
+
+def test_bucket_width_guard(spark):
+    """w <= 0 raises instead of silently returning an empty join
+    (ADVICE r10 — the domain_cap/unimax guard convention)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 0, 10)], "id long, lo long, hi long")
+    for bad in (0, -5):
+        with pytest.raises(ValueError):
+            interval_overlap_join(df, df, bucket_width=bad)
+
+
+def test_suggest_width_lands_in_study_optimum(spark):
+    """suggest_width on the interval_join_study.tsv generator's
+    distribution (durations 600 + x % 14000, median ~7.6k) must land
+    at 8192 — the sweep's measured candidate-volume minimum
+    (1024 -> 54425, 8192 -> 21361, 65536 -> 52600 candidates)."""
+    from myhadoop_spark.operators.interval_join import suggest_width
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("rid"))
+    x = F.expr("(rid * 1103515245 + 12345) % 2147483648")
+    lo = (x % F.lit(n * 600)).cast("long")
+    dur = (F.lit(600) + (x % F.lit(14000))).cast("long")
+    iv = df.select(F.col("rid").alias("id"), lo.alias("lo"),
+                   (lo + dur).alias("hi"))
+    assert suggest_width(iv) == 8192
+    # degenerate inputs stay valid widths
+    tiny = spark.createDataFrame([(1, 5, 6)], "id long, lo long, hi long")
+    assert suggest_width(tiny) == 1

@@ -41,6 +41,16 @@ def test_canonical_url_ground_truths(spark):
         "https://user:pw@ex.com/a": "ex.com/a",
         # schemeless input
         "www.ex.com/a?id=1": "ex.com/a?id=1",
+        # r11 (ADVICE r10): VALUELESS tracking params stripped too —
+        # but a non-tracking bare param (a flag) is kept
+        "https://ex.com/p?gclid": "ex.com/p",
+        "https://ex.com/p?utm_source&id=1": "ex.com/p?id=1",
+        "https://ex.com/p?flag&id=1": "ex.com/p?flag&id=1",
+        # r11 (ADVICE r10): kept params sorted — ?b&a ≡ ?a&b
+        "https://ex.com/p?b=2&a=1": "ex.com/p?a=1&b=2",
+        "https://ex.com/p?a=1&b=2": "ex.com/p?a=1&b=2",
+        # utm-prefixed but not utm_* is NOT a tracking param
+        "https://ex.com/p?utmx=1": "ex.com/p?utmx=1",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values()), dict(zip(cases, got))
@@ -130,6 +140,24 @@ def test_domain_cap_branch_coverage(spark):
     assert counts.get("keep", 0) > 0
     assert counts.get("drop", 0) > 0
     assert counts.get("boundary", 0) == 1
+
+
+def test_domain_cap_null_override_falls_back(spark):
+    """A caps row PRESENT with a NULL cap value falls back to the
+    scalar cap exactly like an absent row — the coalesce acts on the
+    joined value itself, so a NULL override can never silently drop
+    its whole domain (ADVICE r10)."""
+    docs = spark.createDataFrame(
+        [(i, "a.com") for i in range(10)]
+        + [(100 + i, "b.com") for i in range(10)]
+        + [(200 + i, "c.com") for i in range(10)],
+        "doc_id long, domain string")
+    caps = spark.createDataFrame(
+        [("a.com", None), ("b.com", 5)], "domain string, cap int")
+    by = {r["domain"]: r["count"] for r in
+          domain_cap(docs, cap=3, caps=caps)
+          .groupBy("domain").count().collect()}
+    assert by == {"a.com": 3, "b.com": 5, "c.com": 3}
 
 
 def test_domain_cap_rejects_bad_args(spark):
