@@ -93,10 +93,17 @@ def train_langid(labeled: DataFrame, *, lang_col: str = "lang",
 def predict_lang(docs: DataFrame, weights: DataFrame, *,
                  id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3, buckets: int = 4096) -> DataFrame:
-    """(id, pred_lang, score): dense argmax over every trained
+    """(id, pred_lang, score, margin): dense argmax over every trained
     language. One broadcast join + one groupBy(doc) shuffle; the k
     element-wise sums compile to k integer aggregates (k = #langs,
-    bounded — the vector never touches a UDF)."""
+    bounded — the vector never touches a UDF).
+
+    ``margin`` is the CCNet-style confidence signal: best minus
+    second-best score (integer subtraction — bitwise across engines);
+    with a single trained language there is no runner-up and margin
+    equals the score. Featureless docs score dense zeros, so their
+    margin is 0 — maximally unconfident, exactly what a reject
+    threshold should see."""
     langs = sorted(r["lang"] for r in
                    weights.select("lang").distinct().collect())
     if not langs:
@@ -119,12 +126,36 @@ def predict_lang(docs: DataFrame, weights: DataFrame, *,
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
     best = F.element_at(lang_arr,
                         F.array_position(s, F.array_max(s)).cast("int"))
+    # second-best via one ascending sort of the k-element score array
+    # (k bounded); k == 1 → no runner-up → margin = score
+    runner_up = (F.element_at(F.array_sort(s), -2) if k >= 2
+                 else F.lit(0).cast("long"))
     picked = scored.select(id_col, best.alias("pred_lang"),
-                           F.array_max(s).alias("score"))
+                           F.array_max(s).alias("score"),
+                           (F.array_max(s) - runner_up).alias("margin"))
     # featureless docs (no exploded rows): dense zeros → smallest lang
     return (docs.select(id_col).join(picked, id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("pred_lang"),
                                F.lit(langs[0])).alias("pred_lang"),
                     F.coalesce(F.col("score"),
-                               F.lit(0).cast("long")).alias("score")))
+                               F.lit(0).cast("long")).alias("score"),
+                    F.coalesce(F.col("margin"),
+                               F.lit(0).cast("long")).alias("margin")))
+
+
+def reject_low_confidence(preds: DataFrame, *, min_score: int = 0,
+                          min_margin: int = 0,
+                          lang_col: str = "pred_lang") -> DataFrame:
+    """The CCNet reject path (Wenzek et al. 2020 drop documents whose
+    langid confidence is below threshold): predictions with
+    score < min_score OR margin < min_margin keep their row but get a
+    NULL ``lang_col`` — routing them into the engine's existing
+    NULL-lang machinery (operators/dsir.py, operators/unimax.py treat
+    NULL as the empty-string language; a curation chain that wants
+    them GONE filters ``lang_col IS NOT NULL`` before balancing).
+    Integer comparisons only — composes into bitwise differentials."""
+    ok = ((F.col("score") >= F.lit(int(min_score)))
+          & (F.col("margin") >= F.lit(int(min_margin))))
+    return preds.withColumn(lang_col,
+                            F.when(ok, F.col(lang_col)))

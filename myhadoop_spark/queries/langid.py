@@ -62,15 +62,21 @@ _SQL_BUCKET = ("CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) "
                                        ORDER BY score DESC, lang ASC)
                       AS rn
              FROM dense)
-    SELECT doc_id, pred_lang, score FROM pick WHERE rn = 1
+    SELECT p1.doc_id, p1.pred_lang, p1.score,
+           CAST(p1.score - coalesce(p2.score, 0) AS BIGINT) AS margin
+    FROM (SELECT * FROM pick WHERE rn = 1) p1
+    LEFT JOIN (SELECT doc_id, score FROM pick WHERE rn = 2) p2
+      USING (doc_id)
     ORDER BY doc_id
     """,
     gate=False,
     tags=("text", "curation", "extension"),
 )
 def langid_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pred_lang, score): hashed char-trigram language
-    predictions for the held 20% of documents, trained on the rest."""
+    """(doc_id, pred_lang, score, margin): hashed char-trigram language
+    predictions for the held 20% of documents, trained on the rest;
+    margin = best − second-best score, the CCNet-style confidence
+    signal behind operators/langid.py::reject_low_confidence."""
     docs = load_wide(spark, sf_dir, "documents")
     weights = train_langid(docs.filter(F.col("doc_id") % 5 != 0))
     held = docs.filter(F.col("doc_id") % 5 == 0)

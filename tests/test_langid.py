@@ -84,9 +84,10 @@ def test_partitioning_invariance_and_featureless_docs(spark):
                    predict_lang(docs.repartition(17), w).collect()))
     assert a == b
     by = {r[0]: r for r in a}
-    # len("x") < 3 and "" have no trigram: dense zeros -> smallest lang
-    assert by[999][1:] == ("aa", 0)
-    assert by[1000][1:] == ("aa", 0)
+    # len("x") < 3 and "" have no trigram: dense zeros -> smallest
+    # lang, zero score, zero margin (maximally unconfident)
+    assert by[999][1:] == ("aa", 0, 0)
+    assert by[1000][1:] == ("aa", 0, 0)
 
 
 def test_null_lang_trains_empty_string_class(spark):
@@ -136,6 +137,72 @@ def test_composition_derived_lang_feeds_unimax(spark):
     total = dt.agg(F.sum("n_tokens")).collect()[0][0]
     budget = total // 2
     assert sum(r["budget"] for r in per_lang.values()) <= budget
+
+
+def test_margin_semantics(spark):
+    """margin = best − second-best score: positive where the alphabets
+    separate, exactly 0 on a perfect two-language tie, and equal to
+    the score when only one language is trained."""
+    docs = spark.createDataFrame(
+        _corpus(20), "doc_id long, text string, lang string")
+    w = train_langid(docs)
+    pred = predict_lang(docs, w)
+    assert pred.filter(F.col("margin") < 0).count() == 0
+    # disjoint alphabets: every doc's own-language evidence dominates
+    assert pred.filter(F.col("margin") > 0).count() == pred.count()
+    # two languages trained on IDENTICAL text → identical weight
+    # vectors → every score ties → margin 0, smallest lang wins
+    tie_train = spark.createDataFrame(
+        [(1, "aaa bbb ccc", "p0"), (2, "aaa bbb ccc", "p1")],
+        "doc_id long, text string, lang string")
+    tie = predict_lang(
+        spark.createDataFrame([(9, "aaa bbb ccc")],
+                              "doc_id long, text string"),
+        train_langid(tie_train)).collect()[0]
+    assert (tie["pred_lang"], tie["margin"]) == ("p0", 0)
+    assert tie["score"] > 0
+    # single trained language: no runner-up → margin == score
+    solo = predict_lang(
+        spark.createDataFrame([(9, "aaa bbb ccc")],
+                              "doc_id long, text string"),
+        train_langid(tie_train.filter(F.col("lang") == "p0"))).collect()[0]
+    assert solo["margin"] == solo["score"] > 0
+
+
+def test_reject_low_confidence_nulls_then_unimax_drops(spark):
+    """The CCNet reject wiring (VERDICT r10 #3): predictions under the
+    margin threshold get a NULL lang; the curation chain filters them
+    out BEFORE UniMax, so the balancer never sees unidentifiable
+    docs."""
+    from myhadoop_spark.operators.langid import reject_low_confidence
+    from myhadoop_spark.operators.unimax import (
+        doc_token_counts,
+        unimax_allocate,
+        unimax_select,
+    )
+
+    rows = _corpus(20) + [(5000, "zz", "aa"), (5001, "", "mm")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    w = train_langid(docs.filter(F.col("doc_id") < 5000))
+    preds = reject_low_confidence(predict_lang(docs, w), min_margin=1)
+    # the featureless docs (margin 0) are NULL-ed, everything else kept
+    nulled = {r["doc_id"] for r in
+              preds.filter(F.col("pred_lang").isNull()).collect()}
+    assert nulled == {5000, 5001}
+    relabeled = (docs.drop("lang")
+                 .join(preds.filter(F.col("pred_lang").isNotNull())
+                       .select("doc_id",
+                               F.col("pred_lang").alias("lang")),
+                       "doc_id"))
+    dt = doc_token_counts(relabeled)
+    sel = unimax_select(dt, unimax_allocate(dt, budget_ratio=(1, 2),
+                                            epoch_cap=1))
+    picked = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    assert picked and not picked & {5000, 5001}
+    # and the rejected docs never reached the balancer as a class:
+    assert {r["lang"] for r in sel.select("lang").distinct().collect()} \
+        <= set(_ALPHABETS)
 
 
 def test_scoring_plan_is_broadcast_and_jvm_only(spark):
