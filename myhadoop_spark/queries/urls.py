@@ -22,14 +22,29 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load_wide
 from myhadoop_spark.operators.url_dedup import (
+    canonical_url,
     domain_cap,
     host_of,
     registrable_domain,
     url_dedup,
 )
+from myhadoop_spark.operators.url_filter import url_filter
 from myhadoop_spark.registry import register
 
 _CAP = 15
+# RefinedWeb §3.1 URL-filter fixture knobs (shared by url_filter_q and
+# the curate_mix composition + both oracles): three blocklisted
+# domains; '/a/' paths score 2 and '?id=' queries 1, so variant-3 URLs
+# (both signals, score 3) are dropped at threshold 3 while variant-2
+# ('/a/' only, score 2) survive
+_BLOCKED = ("src3.com", "src7.com", "src15.com")
+_KEYWORDS = (("/a/", 2), ("?id=", 1))
+_KW_THRESHOLD = 3
+_SQL_BLOCKED = ", ".join(f"'{d}'" for d in _BLOCKED)
+_SQL_SCORE = ("CAST(CASE WHEN strpos(canon_url, '/a/') > 0 "
+              "THEN 2 ELSE 0 END "
+              "+ CASE WHEN strpos(canon_url, '?id=') > 0 "
+              "THEN 1 ELSE 0 END AS BIGINT)")
 _SQL_DTOKS = (r"list_filter(string_split_regex(d.text, '\s+'), "
               r"t -> t <> '')")
 _SQL_RANK = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
@@ -97,6 +112,52 @@ def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_filter",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source || '.com' AS b,
+                      doc_id % 4 AS v,
+                      CAST(doc_id // 2 AS VARCHAR) AS pid,
+                      CAST(doc_id % 7 AS VARCHAR) AS qid
+               FROM documents),
+    parts AS (SELECT doc_id, b AS domain,
+                     CASE v
+                       WHEN 0 THEN b || '/P/' || pid
+                       WHEN 1 THEN b || '/P/' || pid
+                       WHEN 2 THEN 'cdn.' || b || '/a/' || pid
+                       ELSE b || '/a/' || pid || '?id=' || qid
+                     END AS canon_url
+              FROM u),
+    scored AS (SELECT doc_id, domain, canon_url,
+                      {_SQL_SCORE} AS url_score
+               FROM parts
+               WHERE domain NOT IN ({_SQL_BLOCKED}))
+    SELECT doc_id, domain, canon_url, url_score
+    FROM scored WHERE url_score < {_KW_THRESHOLD}
+    ORDER BY doc_id
+    """,
+    gate=False,
+    tags=("curation", "filter", "extension"),
+)
+def url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, domain, canon_url, url_score): the RefinedWeb §3.1
+    URL-filter survivors — blocklisted domains out (broadcast anti
+    join), then keyword-scored canonical URLs at/above threshold out
+    (one compiled presence-sum expression). The oracle constructs
+    domain/canon from the URL parts, so the differential pins the
+    whole parse→score→filter pipeline."""
+    docs = _with_urls(load_wide(spark, sf_dir, "documents"))
+    enriched = (docs
+                .withColumn("domain",
+                            registrable_domain(host_of(F.col("url"))))
+                .withColumn("canon_url", canonical_url(F.col("url"))))
+    bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    out = url_filter(enriched, blocked_domains=bl, keywords=_KEYWORDS,
+                     threshold=_KW_THRESHOLD)
+    return (out.select("doc_id", "domain", "canon_url", "url_score")
+            .orderBy("doc_id"))
+
+
+@register(
     "curate_mix",
     oracle=f"""
     WITH u AS (SELECT doc_id, source || '.com' AS b,
@@ -115,7 +176,9 @@ def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM u),
     dedup AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url
                                            ORDER BY r, doc_id) AS drn
-              FROM parts),
+              FROM parts
+              WHERE domain NOT IN ({_SQL_BLOCKED})
+                AND {_SQL_SCORE} < {_KW_THRESHOLD}),
     capped AS (SELECT doc_id FROM (
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
                                               ORDER BY r, doc_id) AS crn
@@ -166,14 +229,15 @@ def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "mixing", "curation", "composition", "extension"),
 )
 def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation composition over the r9/r10 operator
-    families, one plan: derive crawl URLs → URL-level dedup
-    (canonical-form survivor) → per-domain frequency cap (banded
-    exact prefix) → UniMax language balancing at a 50% token budget
-    over what survives (banded prefix selection). Pins that the
-    operators COMPOSE bitwise — the oracle chains the same four
-    stages in ANSI SQL. Returns (lang, doc_id, n_tokens,
-    lang_budget)."""
+    """End-to-end curation composition over the r9–r11 operator
+    families, one plan, in RefinedWeb §3.1 order: derive crawl URLs →
+    URL blocklist + keyword filtering (broadcast anti join + compiled
+    presence score) → URL-level dedup (canonical-form survivor) →
+    per-domain frequency cap (banded exact prefix) → UniMax language
+    balancing at a 50% token budget over what survives (banded prefix
+    selection). Pins that the operators COMPOSE bitwise — the oracle
+    chains the same five stages in ANSI SQL. Returns (lang, doc_id,
+    n_tokens, lang_budget)."""
     from myhadoop_spark.operators.unimax import (
         doc_token_counts,
         unimax_allocate,
@@ -182,11 +246,15 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_wide(spark, sf_dir, "documents")
     with_url = docs.join(_with_urls(docs), "doc_id")
-    deduped = url_dedup(with_url, url_col="url", id_col="doc_id")
-    capped = domain_cap(
-        deduped.withColumn("domain",
-                           registrable_domain(host_of(F.col("url")))),
-        domain_col="domain", cap=_CAP)
+    bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    filtered = url_filter(
+        with_url.withColumn("domain",
+                            registrable_domain(host_of(F.col("url"))))
+        .withColumn("canon_url", canonical_url(F.col("url"))),
+        blocked_domains=bl, keywords=_KEYWORDS,
+        threshold=_KW_THRESHOLD, keep_score=False).drop("canon_url")
+    deduped = url_dedup(filtered, url_col="url", id_col="doc_id")
+    capped = domain_cap(deduped, domain_col="domain", cap=_CAP)
     dt = doc_token_counts(capped)
     alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
     return (unimax_select(dt, alloc)
