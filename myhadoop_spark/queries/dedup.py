@@ -462,7 +462,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p WHERE inter * 2 >= tot - inter
     ORDER BY doc1, doc2
     """,
-    gate=False,
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
     tags=("dedup", "similarity", "extension"),
 )
 def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

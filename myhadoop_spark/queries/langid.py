@@ -69,7 +69,7 @@ _SQL_BUCKET = ("CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) "
       USING (doc_id)
     ORDER BY doc_id
     """,
-    gate=False,
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
     tags=("text", "curation", "extension"),
 )
 def langid_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,7 +145,7 @@ def _qf_feats() -> str:
     FROM lab l LEFT JOIN s ON l.doc_id = s.doc_id
     ORDER BY l.doc_id
     """,
-    gate=False,
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
     tags=("quality", "curation", "extension"),
 )
 def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,6 +100,9 @@ def sort_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_proj",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
            CAST({SQL_REVENUE_TERM} AS DOUBLE) AS revenue,
@@ -318,6 +321,9 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle=f"""
     SELECT p_partkey, p_name,
            {sql_dsum_raw(SQL_REVENUE_TERM, 'revenue')}
@@ -387,6 +393,9 @@ def _heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_ops",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle=f"""
     SELECT 'union' AS op, key, CAST(1 AS BIGINT) AS n
     FROM ({_RICH} UNION {_BIGSPEND})

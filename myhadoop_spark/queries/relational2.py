@@ -60,6 +60,9 @@ CUBE_AGG_SQL = """
 
 @register(
     "pivot_status",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS
@@ -100,6 +103,9 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "correlated_subquery",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o

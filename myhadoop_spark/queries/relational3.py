@@ -80,6 +80,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "median_price",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle="""
     WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority

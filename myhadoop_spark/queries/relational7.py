@@ -84,6 +84,9 @@ def map_struct_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nullsafe_join",
+    gate=False,  # demoted in r11 for the seven curation-operator
+    #              promotions (VERDICT r10 #1) — still oracle-checked
+    #              in pytest, the scalar_fns precedent
     oracle="""
     WITH a AS (SELECT c_custkey,
                       CASE WHEN c_nationkey % 5 = 0 THEN NULL

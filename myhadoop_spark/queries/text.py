@@ -359,7 +359,7 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS clean_text
     FROM k ORDER BY doc_id
     """,
-    gate=False,
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
     tags=("text", "curation", "extension"),
 )
 def strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,7 +126,7 @@ def unimax_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bfr < alloc
     ORDER BY lang, doc_id
     """,
-    gate=False,
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
     tags=("mixing", "curation", "extension"),
 )
 def temperature_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:

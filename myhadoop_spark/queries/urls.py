@@ -96,7 +96,7 @@ def _with_urls(docs: DataFrame) -> DataFrame:
     FROM capped WHERE crn <= {_CAP}
     ORDER BY doc_id
     """,
-    gate=False,
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
     tags=("dedup", "curation", "extension"),
 )
 def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +225,7 @@ def url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bfr < alloc
     ORDER BY lang, doc_id
     """,
-    gate=False,
+    gate=True,  # promoted r11 — the four-family composition pin (VERDICT r10 #1)
     tags=("dedup", "mixing", "curation", "composition", "extension"),
 )
 def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
