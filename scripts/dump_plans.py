@@ -88,6 +88,13 @@ SHOWCASE = [
     ("quality_filter", "integer weight table from one explode/count "
      "pass, broadcast into the scoring join; the 2-row class-total "
      "crossJoin is the sanctioned tiny shape (r10)"),
+    ("url_filter", "blocklist out via a broadcast LeftAnti hash join; "
+     "the weighted keyword score is ONE compiled presence-sum "
+     "expression — no join, no explode, no Python (r11)"),
+    ("curate_mix", "five curation stages in ONE plan: URL "
+     "filter → canonical-survivor min(struct) dedup → banded domain "
+     "cap (count-table hash join, boundary-band-only sort) → UniMax "
+     "allocate → banded select (r11)"),
 ]
 
 
