@@ -1,0 +1,91 @@
+"""Corpus-wide line/paragraph exact deduplication — the CCNet
+(Wenzek et al. 2020, §3 "deduplicating") first stage: every line that
+has already appeared ANYWHERE earlier in the corpus is removed, where
+"earlier" is the deterministic total order (doc id, line position).
+This kills the long tail of boilerplate the df-threshold pass
+(operators/boilerplate.py) deliberately leaves alone: a footer shared
+by only two pages is still a duplicate line.
+
+Semantics (deterministic, engine-exact):
+
+    key(line)  = the line itself, or its CCNet normalization
+                 (lowercase, digit runs stripped) when normalize=True
+    survivor   = per distinct key, the lexicographically minimal
+                 (doc id, position) occurrence
+    clean      = each doc's surviving lines, in original order,
+                 re-joined by newlines; docs with fewer than
+                 min_kept_lines survivors are dropped
+
+Keep-first also dedups repeats WITHIN one document (the second
+occurrence of a line in the same doc loses to the first) — exactly
+the CCNet hash-set behavior.
+
+Scale shape (100 TB): one posexplode, one groupBy(key) with a
+partial-aggregable min(struct(doc, pos)) — a line appearing in 95% of
+documents collapses map-side, no single-reducer hot key and no window
+over the raw occurrences (the unimax/url_dedup survivor discipline) —
+one hash equi-join of occurrences back against the survivor table,
+one per-doc bounded sort_array(collect_list) rebuild. No windows over
+data-sized partitions, no UDFs, no driver state.
+
+Reference analog: none — §2.3 extension surface (dedup family, beside
+queries/dedup.py exact/minhash and operators/substring.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ccnet_normalize(line: Column) -> Column:
+    """CCNet-style line key: lowercase, digit runs removed, outer
+    whitespace trimmed."""
+    return F.trim(F.regexp_replace(F.lower(line), "[0-9]+", ""))
+
+
+def line_dedup(docs: DataFrame, *, lines_col: str | Column,
+               id_col: str = "doc_id",
+               normalize: bool = False,
+               min_kept_lines: int = 1) -> DataFrame:
+    """Surviving docs with (n_lines, n_kept, clean_text) after
+    corpus-wide keep-first line dedup.
+
+    ``lines_col`` is an array<string> column (see
+    operators/line_filter.py's split_lines / word_lines producers).
+    """
+    if int(min_kept_lines) < 1:
+        # a doc with zero survivors is always dropped (CCNet drops
+        # empty docs) — the rebuild join is inner by construction
+        raise ValueError(
+            f"min_kept_lines must be >= 1, got {min_kept_lines}")
+    lc = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+    base = (docs.withColumn("_lines", lc)
+            .withColumn("n_lines", F.size("_lines").cast("long")))
+    occ = (base.select(F.col(id_col).alias("_id"),
+                       F.posexplode("_lines").alias("_p0", "line"))
+           .withColumn("pos", (F.col("_p0") + 1).cast("long"))
+           .drop("_p0"))
+    occ = occ.withColumn(
+        "_key", ccnet_normalize(F.col("line")) if normalize
+        else F.col("line"))
+    # survivor per key: partial-aggregable arg-min — never a window
+    surv = (occ.groupBy("_key")
+            .agg(F.min(F.struct("_id", "pos")).alias("_s")))
+    kept = (occ.join(surv, "_key")
+            .filter((F.col("_id") == F.col("_s._id"))
+                    & (F.col("pos") == F.col("_s.pos")))
+            .select("_id", "pos", "line"))
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    out = (base.join(rebuilt,
+                     base[id_col] == rebuilt["_id"], "inner")
+           .filter(F.col("n_kept") >= F.lit(int(min_kept_lines)))
+           .drop("_id", "_lines"))
+    return out
