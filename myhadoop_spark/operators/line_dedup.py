@@ -44,15 +44,30 @@ def ccnet_normalize(line: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(line), "[0-9]+", ""))
 
 
-def line_dedup(docs: DataFrame, *, lines_col: str | Column,
-               id_col: str = "doc_id",
-               normalize: bool = False,
-               min_kept_lines: int = 1) -> DataFrame:
-    """Surviving docs with (n_lines, n_kept, clean_text) after
-    corpus-wide keep-first line dedup.
+def line_occurrences(base: DataFrame, *, id_col: str,
+                     normalize: bool) -> DataFrame:
+    """(_id, pos, line, _key) — one row per line of ``base``'s
+    materialized ``_lines`` array, 1-based positions."""
+    occ = (base.select(F.col(id_col).alias("_id"),
+                       F.posexplode("_lines").alias("_p0", "line"))
+           .withColumn("pos", (F.col("_p0") + 1).cast("long"))
+           .drop("_p0"))
+    return occ.withColumn(
+        "_key", ccnet_normalize(F.col("line")) if normalize
+        else F.col("line"))
 
-    ``lines_col`` is an array<string> column (see
-    operators/line_filter.py's split_lines / word_lines producers).
+
+def dedup_against(docs: DataFrame, seen: DataFrame | None, *,
+                  lines_col: str | Column,
+                  id_col: str = "doc_id",
+                  normalize: bool = False,
+                  min_kept_lines: int = 1) -> DataFrame:
+    """The composable core: keep-first line dedup WITHIN ``docs``,
+    after first discarding every line whose key appears in ``seen``
+    (a one-column ``key`` DataFrame — the already-ingested corpus).
+    ``seen=None`` is the pure batch semantics (line_dedup). The seen
+    set is data-sized (distinct lines so far), so it joins
+    hash-partitioned (left_anti) — never assumed broadcastable.
     """
     if int(min_kept_lines) < 1:
         # a doc with zero survivors is always dropped (CCNet drops
@@ -62,13 +77,10 @@ def line_dedup(docs: DataFrame, *, lines_col: str | Column,
     lc = F.col(lines_col) if isinstance(lines_col, str) else lines_col
     base = (docs.withColumn("_lines", lc)
             .withColumn("n_lines", F.size("_lines").cast("long")))
-    occ = (base.select(F.col(id_col).alias("_id"),
-                       F.posexplode("_lines").alias("_p0", "line"))
-           .withColumn("pos", (F.col("_p0") + 1).cast("long"))
-           .drop("_p0"))
-    occ = occ.withColumn(
-        "_key", ccnet_normalize(F.col("line")) if normalize
-        else F.col("line"))
+    occ = line_occurrences(base, id_col=id_col, normalize=normalize)
+    if seen is not None:
+        occ = occ.join(seen.select(F.col("key").alias("_key")),
+                       "_key", "left_anti")
     # survivor per key: partial-aggregable arg-min — never a window
     surv = (occ.groupBy("_key")
             .agg(F.min(F.struct("_id", "pos")).alias("_s")))
@@ -89,3 +101,18 @@ def line_dedup(docs: DataFrame, *, lines_col: str | Column,
            .filter(F.col("n_kept") >= F.lit(int(min_kept_lines)))
            .drop("_id", "_lines"))
     return out
+
+
+def line_dedup(docs: DataFrame, *, lines_col: str | Column,
+               id_col: str = "doc_id",
+               normalize: bool = False,
+               min_kept_lines: int = 1) -> DataFrame:
+    """Surviving docs with (n_lines, n_kept, clean_text) after
+    corpus-wide keep-first line dedup.
+
+    ``lines_col`` is an array<string> column (see
+    operators/line_filter.py's split_lines / word_lines producers).
+    """
+    return dedup_against(docs, None, lines_col=lines_col,
+                         id_col=id_col, normalize=normalize,
+                         min_kept_lines=min_kept_lines)
