@@ -79,15 +79,25 @@ def dedup_against(docs: DataFrame, seen: DataFrame | None, *,
             .withColumn("n_lines", F.size("_lines").cast("long")))
     occ = line_occurrences(base, id_col=id_col, normalize=normalize)
     if seen is not None:
+        # hash-partitioned anti join; a hot batch line already in
+        # `seen` skews one partition, which AQE's skew-join splitting
+        # (enabled in session.py) re-plans at runtime — the scan is
+        # linear (no sort), so even unsplit it is bounded by the
+        # batch's own occurrence count
         occ = occ.join(seen.select(F.col("key").alias("_key")),
                        "_key", "left_anti")
-    # survivor per key: partial-aggregable arg-min — never a window
-    surv = (occ.groupBy("_key")
-            .agg(F.min(F.struct("_id", "pos")).alias("_s")))
-    kept = (occ.join(surv, "_key")
-            .filter((F.col("_id") == F.col("_s._id"))
-                    & (F.col("pos") == F.col("_s.pos")))
-            .select("_id", "pos", "line"))
+    # survivor per key: partial-aggregable arg-min that CARRIES the
+    # winning row ((_id, pos) is unique, so appending line to the
+    # struct cannot change the argmin) — never a window, and never a
+    # join back against the raw occurrences: re-joining on _key would
+    # funnel every occurrence of a hot line (one line in 95% of docs)
+    # through a single join task, where the min-struct collapses it
+    # map-side instead (rehearsed in scripts/line_study.py).
+    kept = (occ.groupBy("_key")
+            .agg(F.min(F.struct("_id", "pos", "line")).alias("_s"))
+            .select(F.col("_s._id").alias("_id"),
+                    F.col("_s.pos").alias("pos"),
+                    F.col("_s.line").alias("line")))
     rebuilt = (kept.groupBy("_id")
                .agg(F.array_join(
                         F.transform(
