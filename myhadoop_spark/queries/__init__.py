@@ -20,6 +20,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     dsir,
     event_analytics,
     fuzzy,
+    fuzzy_decontam,
     langid,
     lines,
     lm,
