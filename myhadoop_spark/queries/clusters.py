@@ -147,3 +147,89 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = simsearch.embed_neardup(spark, sf_dir).select(
         F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return vertex_triangle_counts(edges).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# quality-aware representative selection (r11): real curation
+# pipelines don't keep the MIN-ID member of a near-dup cluster — they
+# keep the HIGHEST-QUALITY one (RefinedWeb/FineWeb keep-best). This
+# composes three operator families in one plan: MinHash near-dup
+# pairs over documents → connected components → the integer quality
+# score (operators/classifier.py, the quality_filter pipeline) →
+# per-cluster arg-max. The engine's arg-max is the partial-aggregable
+# min(struct(-score, id)) survivor (the url_dedup/line_dedup
+# discipline — never a window over the members); the oracle's window
+# formulation is the spec the banded plan must reproduce bitwise.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE mh_pairs AS (
+  {{MH}}
+),
+sym AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+        UNION SELECT doc2, doc1 FROM mh_pairs),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym) n(a)
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+qf AS ({{QF}}),
+lab AS (SELECT qf.doc_id, qf.score,
+               coalesce(cc.component, qf.doc_id) AS component
+        FROM qf LEFT JOIN cc ON qf.doc_id = cc.id),
+agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        FROM lab GROUP BY component),
+r AS (SELECT component, doc_id AS keep_id, score AS keep_score,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM lab)
+SELECT r.component, r.keep_id, r.keep_score, agg.n_members
+FROM r JOIN agg ON r.component = agg.component
+WHERE rn = 1 ORDER BY r.component
+"""
+
+
+def _keep_best_oracle() -> str:
+    # clusters imports before dedup/quality_checks alphabetically —
+    # pull them in so their oracles are registered (the simsearch
+    # precedent at the top of this module)
+    from myhadoop_spark.queries import dedup, quality_checks  # noqa: F401
+
+    return _KEEP_BEST_ORACLE.format(
+        MH=_registry.get("dedup_minhash").oracle,
+        QF=_registry.get("quality_filter").oracle)
+
+
+@register("cluster_keep_best", oracle=_keep_best_oracle(),
+          tags=("dedup", "quality", "extension", "iterative",
+                "composition"), gate=False)
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component, keep_id, keep_score, n_members): one row per
+    near-duplicate cluster over documents (singletons included as
+    their own cluster), keeping the member with the highest integer
+    quality score, ties to the smallest doc_id. The kept-corpus face
+    is the semi-join of documents against keep_id (pinned in
+    tests/test_connected_components.py)."""
+    from myhadoop_spark.queries.dedup import dedup_minhash
+    from myhadoop_spark.queries.quality_checks import quality_filter_q
+
+    edges = dedup_minhash(spark, sf_dir).select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    labels = connected_components(edges)
+    scores = quality_filter_q(spark, sf_dir).select("doc_id", "score")
+    lab = (scores.join(labels.withColumnRenamed("id", "doc_id"),
+                       "doc_id", "left")
+           .select("doc_id", "score",
+                   F.coalesce("component", "doc_id").alias("component")))
+    # arg-max by (score DESC, doc_id ASC) as a partial-aggregable
+    # min(struct) — carries the winning row, never a member window
+    return (lab.groupBy("component")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("doc_id").alias("keep_id")))
+                 .alias("_s"),
+                 F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select("component", F.col("_s.keep_id").alias("keep_id"),
+                    (-F.col("_s.ns")).cast("long").alias("keep_score"),
+                    "n_members")
+            .orderBy("component"))

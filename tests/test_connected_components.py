@@ -127,3 +127,40 @@ def test_cluster_split_is_leakage_safe(spark):
     clustered = {vid for vid, (comp, _) in split.items() if comp != vid}
     in_pairs = {p["id1"] for p in pairs} | {p["id2"] for p in pairs}
     assert clustered <= in_pairs  # isolated vectors self-represent
+
+
+def test_cluster_keep_best_invariants(spark):
+    """The representative is the arg-max quality member (ties to the
+    smallest id), singletons self-represent, members partition the
+    scored corpus, and the kept-corpus face keeps exactly one doc per
+    cluster."""
+    rows = registry.get("cluster_keep_best").fn(spark, SF_SMOKE).collect()
+    scores = {r["doc_id"]: r["score"]
+              for r in registry.get("quality_filter").fn(spark, SF_SMOKE)
+              .select("doc_id", "score").collect()}
+    pairs = registry.get("dedup_minhash").fn(spark, SF_SMOKE).collect()
+    # rebuild the member sets from the pair graph (union-find)
+    parent = {d: d for d in scores}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["doc1"]), find(p["doc2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    members: dict[int, list[int]] = {}
+    for d in scores:
+        members.setdefault(find(d), []).append(d)
+    assert sum(r["n_members"] for r in rows) == len(scores)
+    by_comp = {r["component"]: r for r in rows}
+    assert set(by_comp) == set(members)
+    for comp, mem in members.items():
+        r = by_comp[comp]
+        assert r["n_members"] == len(mem)
+        best = min(mem, key=lambda d: (-scores[d], d))
+        assert r["keep_id"] == best, (comp, mem)
+        assert r["keep_score"] == scores[best]
