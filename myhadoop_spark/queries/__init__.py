@@ -21,6 +21,7 @@ from myhadoop_spark.queries import (  # noqa: F401
     event_analytics,
     fuzzy,
     fuzzy_decontam,
+    hll_stats,
     langid,
     lines,
     lm,
