@@ -175,3 +175,60 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("score").cast("long").alias("score"),
                     "pred")
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# budgeted quality selection (r11): keep the HIGHEST-scoring documents
+# until a global token budget fills (the FineWeb-Edu "train on the
+# best N tokens" recipe) — operators/budget_select.py re-applies the
+# unimax banded two-level prefix sum to a VALUE order (score DESC)
+# instead of a hash order; the oracle's single cumulative window is
+# the spec the banded plan must reproduce bitwise.
+# ---------------------------------------------------------------------------
+
+
+def _quality_budget_oracle() -> str:
+    from myhadoop_spark import registry as _registry
+
+    return rf"""
+    WITH qf AS ({_registry.get('quality_filter').oracle}),
+    tk AS (SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+    j AS (SELECT qf.doc_id, qf.score, tk.n_tokens
+          FROM qf JOIN tk ON qf.doc_id = tk.doc_id),
+    tot AS (SELECT CAST((sum(n_tokens) * 1) // 2 AS BIGINT) AS budget
+            FROM j),
+    c AS (SELECT doc_id, score, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY score DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS bef
+          FROM j)
+    SELECT doc_id, score, n_tokens
+    FROM c, tot WHERE bef < budget ORDER BY doc_id
+    """
+
+
+@register(
+    "quality_budget",
+    oracle=_quality_budget_oracle(),
+    gate=False,
+    tags=("quality", "curation", "extension", "composition"),
+)
+def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_tokens): the highest-quality half of the
+    corpus by TOKENS — integer classifier scores (quality_filter),
+    token counts, an in-plan exact-rational budget (1/2 of corpus
+    tokens), and the banded score-order prefix selection. All-integer
+    arithmetic end to end, so the kept set compares bitwise."""
+    from myhadoop_spark.operators.budget_select import (budget_select,
+                                                        fraction_budget)
+    from myhadoop_spark.operators.classifier import tokens
+
+    scores = quality_filter_q(spark, sf_dir).select("doc_id", "score")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
+    ds = scores.join(docs, "doc_id")
+    budget = fraction_budget(ds, 1, 2)
+    return (budget_select(ds, budget, bands=32)
+            .orderBy("doc_id"))
