@@ -95,6 +95,17 @@ SHOWCASE = [
      "filter → canonical-survivor min(struct) dedup → banded domain "
      "cap (count-table hash join, boundary-band-only sort) → UniMax "
      "allocate → banded select (r11)"),
+    ("c4_clean", "line-wise C4 cleaning is one narrow HOF pass — no "
+     "hash shuffle, no window, no Python (r11)"),
+    ("line_dedup", "keep-first line dedup: the survivor row rides the "
+     "partial min(struct) — no join back on the line key, so a hot "
+     "line collapses map-side (r11)"),
+    ("fuzzy_decontam", "cross-set LSH decontamination: bench bands + "
+     "bench sets BROADCAST, the corpus never shuffles for candidates "
+     "(r11)"),
+    ("quality_budget", "banded score-order prefix: ≤ bands+1-row "
+     "offset table broadcast back, whole bands keep/drop with no "
+     "sort, only the straddling band windows (r11)"),
 ]
 
 
