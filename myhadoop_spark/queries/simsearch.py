@@ -442,3 +442,60 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id",
                       _trunc6(F.col("relevance")).alias("relevance"),
                       _trunc6(F.col("mmr_score")).alias("mmr_score"))
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (r11): the dimensionality reducer in front of
+# the ANN family (operators/random_projection.py) — deterministic ±1
+# sign matrix (md5 closed form, inlined as double literals on BOTH
+# engines), one left-fold per output coordinate, 1/√k scale. k = 16
+# so the scale (0.25) is exactly representable and the differential
+# compares bitwise element-wise after the 1e-6 floor.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+
+
+def _jl_oracle() -> str:
+    from myhadoop_spark.operators.random_projection import sql_sign_matrix
+
+    inv = 1.0 / math.sqrt(_JL_K)
+    return f"""
+    SELECT vec_id,
+           array_to_string(
+             list_transform(
+               list_transform({sql_sign_matrix(_JL_K, EMB_DIM)},
+                 r -> list_dot_product(
+                        r, list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)))
+                      * {inv!r}),
+               x -> CAST(floor(x * 1e6) AS BIGINT)), ',') AS proj
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register(
+    "jl_project",
+    oracle=_jl_oracle(),
+    gate=False,
+    tags=("simsearch", "embedding", "extension"),
+)
+def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, proj): every embedding projected 64 → 16 dims by the
+    deterministic JL sign matrix — a zero-shuffle narrow pass whose
+    output feeds index build / search / dedup at a quarter of the
+    shuffle and storage width; distortion scales ~1/√k, so k is
+    chosen for the target ε (statistical contract pinned in
+    tests/test_random_projection.py). The 16 doubles are serialized
+    as one comma-joined 1e-6 fixed-point string — the array_fns
+    fingerprint convention (the driver canon cannot hash array
+    cells)."""
+    from myhadoop_spark.operators.random_projection import project
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj = project("embedding", k=_JL_K, dim=EMB_DIM)
+    fp = F.array_join(
+        F.transform(proj, lambda x: F.floor(x * F.lit(1e6))
+                    .cast("bigint").cast("string")), ",")
+    return (emb.select("vec_id", fp.alias("proj"))
+            .orderBy("vec_id"))
