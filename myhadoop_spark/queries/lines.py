@@ -16,6 +16,7 @@ tests/test_line_filter.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load_wide
 from myhadoop_spark.registry import register
@@ -194,3 +195,113 @@ def line_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (line_dedup(cleaned, lines_col="_l2", min_kept_lines=2)
             .select("doc_id", "n_clean", "n_kept", "clean_text")
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# curate_lines (r11): the full document-interior curation chain as ONE
+# Spark plan — line-wise clean (C4/RefinedWeb) → corpus-wide line
+# dedup (CCNet) → quality classifier trained AND scored on the
+# CLEANED corpus → budgeted best-tokens selection. Five stages, four
+# operator families; the oracle chains the identical SQL (the
+# quality_filter oracle parameterized onto the cleaned CTE, the
+# budget window as the selection spec). All-integer arithmetic end to
+# end, so the kept set compares bitwise.
+# ---------------------------------------------------------------------------
+
+
+def _curate_lines_oracle() -> str:
+    from myhadoop_spark.queries.quality_checks import _qf_oracle
+
+    return rf"""
+    WITH ct0 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    cl0 AS (SELECT doc_id, {_sql_lines(3).replace('toks', 'toks')} AS lines
+          FROM ct0),
+    ck0 AS (SELECT doc_id, lines,
+                 {_sql_keep(3, ('customer',))} AS kept
+          FROM cl0),
+    cw0 AS (SELECT doc_id, kept,
+                 coalesce(list_sum(list_transform(lines,
+                     x -> {_SQL_WC.format(x='x')})), 0) AS w_all,
+                 coalesce(list_sum(list_transform(kept,
+                     x -> {_SQL_WC.format(x='x')})), 0) AS w_kept
+          FROM ck0
+          WHERE len(kept) >= 5
+            AND NOT contains(lower(array_to_string(lines, chr(10))),
+                             'lorem ipsum')
+            AND NOT contains(lower(array_to_string(lines, chr(10))),
+                             '{{')),
+    cc0 AS (SELECT doc_id, kept FROM cw0
+          WHERE (w_all - w_kept) * 3 <= w_all * 2),
+    cp0 AS (SELECT doc_id, i AS pos, kept[i] AS line
+          FROM cc0, unnest(generate_series(1, len(kept))) AS u(i)),
+    cr0 AS (SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn
+          FROM cp0),
+    crb0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM cr0 WHERE rn = 1 GROUP BY doc_id),
+    dc AS (SELECT doc_id, clean_text AS text FROM crb0
+           WHERE n_kept >= 2),
+    qf AS ({_qf_oracle('dc')}),
+    tk AS (SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+           FROM dc),
+    j AS (SELECT qf.doc_id, qf.score, tk.n_tokens
+          FROM qf JOIN tk ON qf.doc_id = tk.doc_id),
+    tot AS (SELECT CAST((sum(n_tokens) * 1) // 2 AS BIGINT) AS budget
+            FROM j),
+    cum AS (SELECT doc_id, score, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS bef
+            FROM j)
+    SELECT doc_id, score, n_tokens
+    FROM cum, tot WHERE bef < budget ORDER BY doc_id
+    """
+
+
+@register(
+    "curate_lines",
+    oracle=_curate_lines_oracle(),
+    gate=False,
+    tags=("text", "dedup", "quality", "curation", "extension",
+          "composition"),
+)
+def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_tokens): line-wise clean → corpus line dedup
+    → classifier trained+scored on the CLEANED corpus → keep the best
+    half of the cleaned tokens (banded boundary-only selection) — the
+    document-interior analog of curate_mix, four operator families in
+    one plan and one hash."""
+    from myhadoop_spark.operators.budget_select import (budget_select,
+                                                        fraction_budget)
+    from myhadoop_spark.operators.classifier import tokens
+    from myhadoop_spark.operators.line_dedup import line_dedup
+    from myhadoop_spark.operators.line_filter import (clean_lines,
+                                                      split_lines,
+                                                      word_lines)
+    from myhadoop_spark.queries.quality_checks import qf_scores
+
+    docs = load_wide(spark, sf_dir, "documents")
+    cleaned = clean_lines(docs.withColumn("_l", word_lines("text", 3)),
+                          lines_col="_l",
+                          min_words_per_line=3,
+                          require_terminal_punct=False,
+                          line_drop_substrings=("customer",),
+                          doc_drop_substrings=("lorem ipsum", "{"),
+                          min_kept_lines=5,
+                          max_removed_frac=(2, 3))
+    cleaned = (cleaned.select("doc_id", "clean_text")
+               .withColumn("_l2", split_lines("clean_text", r"\n"))
+               .drop("clean_text"))
+    deduped = line_dedup(cleaned, lines_col="_l2", min_kept_lines=2)
+    corpus = deduped.select("doc_id",
+                            F.col("clean_text").alias("text"))
+    scores = qf_scores(corpus).select(
+        "doc_id", F.col("score").cast("long").alias("score"))
+    toks = corpus.select("doc_id",
+                         F.size(tokens()).cast("long").alias("n_tokens"))
+    ds = scores.join(toks, "doc_id")
+    budget = fraction_budget(ds, 1, 2)
+    return budget_select(ds, budget, bands=32).orderBy("doc_id")

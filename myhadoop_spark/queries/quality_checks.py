@@ -112,10 +112,13 @@ def _qf_feats() -> str:
             f"[{', '.join([_QF_MARKERS] * MARKER_BOOST)}])")
 
 
-@register(
-    "quality_filter",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_QF_TOKS} AS toks FROM documents),
+def _qf_oracle(source: str = "documents") -> str:
+    """The quality_filter oracle parameterized on its (doc_id, text)
+    source relation — the registered query uses ``documents``; the
+    curate_lines composition feeds the line-cleaned corpus through
+    the identical SQL."""
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_QF_TOKS} AS toks FROM {source}),
     lab AS (SELECT doc_id, text,
               (0.4 * least(1.0, CAST(len(toks) AS DOUBLE)/50.0)
              + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
@@ -144,23 +147,20 @@ def _qf_feats() -> str:
            COALESCE(s.score, 0) > 0 AS pred
     FROM lab l LEFT JOIN s ON l.doc_id = s.doc_id
     ORDER BY l.doc_id
-    """,
-    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
-    tags=("quality", "curation", "extension"),
-)
-def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score, pred): the CCNet/DCLM-shaped integer linear
-    quality filter (operators/classifier.py) bootstrapped from the
-    doc_metrics heuristic teacher on the even-id split and scoring
-    every document — the operator's bitwise differential as a
-    DRIVER-RECORDED query (previously pytest-only)."""
+    """
+
+
+def qf_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score, pred) over ANY (doc_id, text) frame: heuristic
+    teacher labels → even-id training split → integer weights →
+    broadcast scoring, all in one plan — the composable core shared
+    by the gated differential and the curate_lines composition."""
     from myhadoop_spark.operators.classifier import (
         score_documents,
         tokens,
         train_token_weights,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens()
     n = F.size(toks).cast("double")
     stop = ("the", "a", "of", "and", "to", "in")
@@ -171,7 +171,23 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.filter(F.size(toks) > 0).withColumn(
         "label", q >= F.lit(_QF_THRESHOLD))
     weights = train_token_weights(labeled.filter("doc_id % 2 = 0"))
-    return (score_documents(labeled, weights)
+    return score_documents(labeled, weights)
+
+
+@register(
+    "quality_filter",
+    oracle=_qf_oracle(),
+    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
+    tags=("quality", "curation", "extension"),
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, pred): the CCNet/DCLM-shaped integer linear
+    quality filter (operators/classifier.py) bootstrapped from the
+    doc_metrics heuristic teacher on the even-id split and scoring
+    every document — the operator's bitwise differential as a
+    DRIVER-RECORDED query (previously pytest-only)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (qf_scores(docs)
             .select("doc_id", F.col("score").cast("long").alias("score"),
                     "pred")
             .orderBy("doc_id"))
