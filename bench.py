@@ -168,10 +168,24 @@ def format_stdout_line(total: float, reps: int, times: dict[str, float],
     50 queries erroring with long messages), error detail degrades to a
     name list — full messages are on stderr and failures cost rows, not
     the artifact."""
-    for err_repr in (
-        {"errors": {k: v[:80] for k, v in errors.items()}} if errors else {},
-        {"errors": {k: v[:30] for k, v in errors.items()}} if errors else {},
-        {"error_queries": sorted(errors)} if errors else {},
+    for payload in (
+        {"queries": times,
+         **({"errors": {k: v[:80] for k, v in errors.items()}}
+            if errors else {})},
+        {"queries": times,
+         **({"errors": {k: v[:30] for k, v in errors.items()}}
+            if errors else {})},
+        {"queries": times,
+         **({"error_queries": sorted(errors)} if errors else {})},
+        # the registry outgrew the budget for a full name list of
+        # errors beside a full times map (98 queries, r11): errors
+        # degrade to a count — names are on stderr
+        {"queries": times,
+         **({"n_errors": len(errors)} if errors else {})},
+        # last resort: per-query times go too (never reached by the
+        # driver's default 50-query gate run)
+        {"n_queries": len(times),
+         **({"n_errors": len(errors)} if errors else {})},
     ):
         line = json.dumps({
             "metric": "declared_query_set_wall",
@@ -179,8 +193,7 @@ def format_stdout_line(total: float, reps: int, times: dict[str, float],
             "unit": "sec",
             "n": reps,
             "aggregation": "median_of_warm_reps",
-            "queries": times,
-            **err_repr,
+            **payload,
             "sf": sf,
         })
         if len(line) < LINE_BUDGET:
