@@ -259,3 +259,72 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
     return (unimax_select(dt, alloc)
             .orderBy("lang", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality aggregation (r11): curation pipelines drop
+# whole DOMAINS whose aggregate quality is poor (the RefinedWeb
+# domain-discipline counterpart of per-document filtering — one bad
+# page is noise, a bad domain is policy). Per registrable domain:
+# doc count, integer score sum, positive-prediction count, and the
+# keep verdict at an exact-rational positive-rate threshold — all
+# integers, bitwise. The per-domain aggregation is partial-aggregable
+# (count/sum), so the pass shuffles one row per domain.
+# ---------------------------------------------------------------------------
+
+_DQ_NUM, _DQ_DEN = 3, 5  # keep a domain iff n_pos/n_docs >= 3/5
+
+
+def _domain_quality_oracle() -> str:
+    from myhadoop_spark.queries.quality_checks import _qf_oracle
+
+    return f"""
+    WITH qf AS ({_qf_oracle()}),
+    dd AS (SELECT doc_id, source || '.com' AS domain FROM documents),
+    g AS (SELECT dd.domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(qf.score) AS BIGINT) AS sum_score,
+                 CAST(sum(CASE WHEN qf.pred THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pos
+          FROM qf JOIN dd ON qf.doc_id = dd.doc_id
+          GROUP BY dd.domain)
+    SELECT domain, n_docs, sum_score, n_pos,
+           n_pos * {_DQ_DEN} >= n_docs * {_DQ_NUM} AS kept
+    FROM g ORDER BY domain
+    """
+
+
+@register(
+    "domain_quality",
+    oracle=_domain_quality_oracle(),
+    gate=False,
+    tags=("quality", "curation", "extension", "composition"),
+)
+def domain_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(domain, n_docs, sum_score, n_pos, kept): per-registrable-
+    domain quality roll-up over the classifier predictions, with the
+    keep verdict at an exact 3/5 positive-rate threshold — the
+    domain-level drop stage (docs of a dropped domain leave the
+    corpus regardless of their own score; the doc-level drop face is
+    a semi-join on kept domains, pinned in tests/test_url_filter.py).
+    The domain rides through host_of → registrable_domain off the
+    deterministic URL, so the URL family and the quality family
+    compose."""
+    from myhadoop_spark.queries.quality_checks import qf_scores
+
+    docs = load_wide(spark, sf_dir, "documents")
+    dom = (docs.join(_with_urls(docs), "doc_id")
+           .withColumn("domain",
+                       registrable_domain(host_of(F.col("url"))))
+           .select("doc_id", "domain"))
+    scores = qf_scores(docs.select("doc_id", "text"))
+    return (scores.join(dom, "doc_id")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("score").cast("long").alias("sum_score"),
+                 F.sum(F.col("pred").cast("long")).cast("long")
+                 .alias("n_pos"))
+            .withColumn("kept",
+                        F.col("n_pos") * F.lit(_DQ_DEN)
+                        >= F.col("n_docs") * F.lit(_DQ_NUM))
+            .orderBy("domain"))

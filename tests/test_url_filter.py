@@ -80,3 +80,25 @@ def test_plan_compiled_expression_and_broadcast(spark):
         url_filter(docs, blocked_domains=bl,
                    broadcast_blocklist=False).explain("formatted")
     assert "LeftAnti" in buf2.getvalue()
+
+
+def test_domain_quality_drop_face(spark):
+    """The doc-level face of domain_quality: a semi-join on kept
+    domains keeps exactly the docs of kept domains — and a domain's
+    verdict overrides its individual docs (some dropped docs have
+    positive predictions)."""
+    from myhadoop_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    rep = {r["domain"]: r
+           for r in registry.get("domain_quality").fn(spark, SF_SMOKE)
+           .collect()}
+    kept_domains = {d for d, r in rep.items() if r["kept"]}
+    assert 0 < len(kept_domains) < len(rep)  # the threshold splits
+    n_docs_kept = sum(r["n_docs"] for d, r in rep.items()
+                      if d in kept_domains)
+    assert n_docs_kept == sum(
+        r["n_docs"] for r in rep.values() if r["kept"])
+    # dropped domains still contain individually-positive docs — the
+    # domain verdict is a POLICY, not a per-doc re-score
+    assert any(r["n_pos"] > 0 and not r["kept"] for r in rep.values())
