@@ -1,0 +1,111 @@
+"""k-core decomposition — the fourth graph-analytics face over the
+near-duplicate pair graph (beside connected components, PageRank, and
+triangle counting): the k-core is the maximal subgraph in which every
+vertex keeps degree ≥ k. On a dedup graph the high-k cores are the
+dense duplicate families (template farms, mirror clusters) worth
+auditing as a unit before keep-one collapses them; low core numbers
+mark incidental near-dups.
+
+Algorithm (the standard peeling fixpoint, distributed): repeatedly
+drop every vertex whose CURRENT degree is < k until none changes.
+Each round is one degree aggregation (partial-aggregable count) + one
+semi-join edge restriction — no windows, no driver state beyond the
+per-round change count (the connected_components loop discipline:
+ONE action per round, localCheckpoint between rounds, loud
+non-convergence). Rounds are bounded by the peeling depth, in
+practice a handful; the loop raises rather than returning a
+non-fixpoint subgraph.
+
+``core_numbers`` runs the peel at increasing k and records the last
+k at which each vertex survived — exact core numbers, O(k_max)
+peels; k_max on dedup graphs is small (bounded by the densest
+duplicate family), and each peel only shrinks the edge set.
+
+No SQL twin: the peeling fixpoint is a decreasing iteration that a
+recursive CTE (monotone-append semantics) cannot express — the
+pagerank/mmr precedent: correctness is pinned against a pure-Python
+model on generated graphs plus hand-built structures
+(tests/test_kcore.py).
+
+Reference analog: none — §2.3 extension surface (graph family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .union(edges.select(F.col(dst).alias("a"),
+                                F.col(src).alias("b"))
+                   .filter(F.col("a") != F.col("b")))
+            .distinct())
+
+
+def kcore(edges: DataFrame, k: int, *, src: str = "src",
+          dst: str = "dst", max_iterations: int = 50,
+          stats: dict | None = None) -> DataFrame:
+    """[id, degree] of the k-core of the undirected simple graph in
+    ``edges`` (self-loops dropped, directions symmetrized) — empty
+    when no k-core exists. Pass ``stats`` to receive
+    {"iterations": n}."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = _sym(edges, src, dst).localCheckpoint()
+    n_edges = sym.count()
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        nxt = (sym.join(keep, "a", "left_semi")
+               .join(keep.select(F.col("a").alias("b")), "b",
+                     "left_semi")
+               .select("a", "b")
+               .localCheckpoint(eager=False))
+        # one action per round: the count both materializes the
+        # checkpoint and detects the fixpoint (edge count is monotone
+        # decreasing, so equality IS convergence)
+        n_after = nxt.count()
+        sym = nxt
+        if n_after == n_edges:
+            break
+        n_edges = n_after
+    else:
+        raise RuntimeError(
+            f"kcore did not converge within {max_iterations} "
+            "iterations — raise max_iterations")
+    if stats is not None:
+        stats["iterations"] = rounds
+    return (sym.groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+
+
+def core_numbers(edges: DataFrame, *, src: str = "src",
+                 dst: str = "dst", k_max: int = 64,
+                 max_iterations: int = 50) -> DataFrame:
+    """[id, core]: each vertex's exact core number (the largest k
+    whose k-core contains it), by peeling at k = 1, 2, … until the
+    core empties. O(k_max) peels, each over an only-shrinking edge
+    set; raises if the graph still has a core at ``k_max`` (dedup
+    graphs don't — the densest duplicate family bounds it)."""
+    labels = None
+    for k in range(1, k_max + 1):
+        core = kcore(edges, k, src=src, dst=dst,
+                     max_iterations=max_iterations)
+        lab = core.select("id", F.lit(k).cast("long").alias("core"))
+        if core.isEmpty():
+            if labels is None:
+                # no edges at all — every vertex (if any) has core 0
+                return lab.select("id", "core").limit(0)
+            return labels
+        labels = (lab if labels is None else
+                  labels.join(lab.withColumnRenamed("core", "_k"),
+                              "id", "left")
+                  .select("id", F.coalesce("_k", "core").alias("core"))
+                  .localCheckpoint())
+    raise RuntimeError(f"graph still has a non-empty {k_max}-core — "
+                       "raise k_max")

@@ -233,3 +233,20 @@ def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (-F.col("_s.ns")).cast("long").alias("keep_score"),
                     "n_members")
             .orderBy("component"))
+
+
+@register("graph_kcore", gate=False,
+          tags=("graph", "dedup", "extension", "iterative"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, core): exact core numbers over the embedding near-dup
+    pair graph — the dense duplicate families (high cores: template
+    farms, mirror clusters) vs incidental near-dups (core 1). The
+    peeling fixpoint has no SQL twin (a recursive CTE cannot express
+    decreasing iteration), so the query is rows-only for the driver;
+    correctness is pinned against the pure-Python peel in
+    tests/test_kcore.py — the pagerank/mmr precedent."""
+    from myhadoop_spark.operators.kcore import core_numbers
+
+    edges = simsearch.embed_neardup(spark, sf_dir).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    return core_numbers(edges).orderBy("id")
