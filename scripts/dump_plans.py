@@ -106,6 +106,12 @@ SHOWCASE = [
     ("quality_budget", "banded score-order prefix: ≤ bands+1-row "
      "offset table broadcast back, whole bands keep/drop with no "
      "sort, only the straddling band windows (r11)"),
+    ("curate_lines", "four curation families in ONE plan: line clean "
+     "→ line dedup → classifier train+score on the cleaned corpus → "
+     "banded budget selection (r11)"),
+    ("domain_quality", "URL × quality composition: one "
+     "partial-aggregable per-domain roll-up, exact-rational keep "
+     "verdict (r11)"),
 ]
 
 

@@ -343,3 +343,22 @@ def test_ppjoin_pairs_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_r11_curation_queries_no_cartesian_no_python(spark):
+    """The r11 curation differentials: no cartesian products beyond
+    the sanctioned broadcast-of-a-stats-row shape, no row-at-a-time
+    Python, no data-sized global window."""
+    for name in ("quality_budget", "curate_lines", "domain_quality",
+                 "c4_clean", "line_curate", "fuzzy_decontam"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        assert "BatchEvalPython" not in plan, f"{name}:\n{plan}"
+
+
+def test_budget_select_offsets_broadcast(spark):
+    """quality_budget's band-offset table rides a broadcast join back
+    into the corpus (never collected) and the only windows are the
+    bounded offsets prefix + the per-band boundary window."""
+    plan = plan_of(spark, "quality_budget")
+    assert "BroadcastHashJoin" in plan, plan
