@@ -389,3 +389,48 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id",
                         (F.floor(F.col("rank") * 1e6) / 1e6)
                         .alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball join (r11): the join face of the simhash
+# family (Manku et al. 2007) — exact-recall pigeonhole block
+# candidates + bit_count verify. Both engines compute the identical
+# fingerprints (the gated `simhash` differential), so the pair set
+# compares bitwise against the brute-force oracle.
+# ---------------------------------------------------------------------------
+
+_SH_K = 2  # Hamming radius
+
+
+def _simhash_neardup_oracle() -> str:
+    from myhadoop_spark import registry as _reg
+
+    return f"""
+    WITH s AS ({_reg.get('simhash').oracle})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+             AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_K}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "simhash_neardup",
+    oracle=_simhash_neardup_oracle(),
+    gate=False,
+    tags=("dedup", "extension", "lsh"),
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, hamming): every document pair whose 32-bit
+    simhash fingerprints differ in <= {_SH_K} bits — pigeonhole block
+    equi-join (3 blocks, at least one untouched by <= 2 flips, so
+    recall is EXACT) + JVM bit_count verify; the oracle is the
+    brute-force quadratic join the banded plan must reproduce."""
+    from myhadoop_spark.operators.simhash_join import hamming_pairs
+    from myhadoop_spark.queries.dedup import simhash as simhash_q
+
+    sh = simhash_q(spark, sf_dir).localCheckpoint()
+    return (hamming_pairs(sh, bits=32, max_hamming=_SH_K)
+            .orderBy("id_a", "id_b"))
