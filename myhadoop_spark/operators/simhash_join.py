@@ -43,6 +43,43 @@ def _block_bounds(bits: int, blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def _blocks(sh: DataFrame, id_col: str, sim_col: str,
+            bounds: list[tuple[int, int]]) -> DataFrame:
+    block_arr = F.array(*[
+        F.struct(F.lit(i).alias("bi"),
+                 F.shiftright(F.col(sim_col), s)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("bv"))
+        for i, (s, w) in enumerate(bounds)])
+    return (sh.select(F.col(id_col).alias("_id"), F.col(sim_col),
+                      F.explode(block_arr).alias("_b"))
+            .select("_id", sim_col, F.col("_b.bi").alias("bi"),
+                    F.col("_b.bv").alias("bv")))
+
+
+def hamming_probe(probe: DataFrame, seen: DataFrame, *,
+                  bits: int = 32, max_hamming: int = 2,
+                  id_col: str = "doc_id",
+                  sim_col: str = "simhash") -> DataFrame:
+    """(id): the ``probe`` rows whose fingerprint lies within
+    ``max_hamming`` of ANY ``seen`` fingerprint — the cross-set face
+    (ingest-time suppression against an already-accepted corpus).
+    Same pigeonhole blocks, so recall is exact; the seen side is
+    data-sized and joins hash-partitioned."""
+    if not 1 <= int(max_hamming) < int(bits):
+        raise ValueError(f"max_hamming must be in [1, bits), got "
+                         f"{max_hamming}")
+    bounds = _block_bounds(int(bits), int(max_hamming) + 1)
+    p = _blocks(probe, id_col, sim_col, bounds).withColumnRenamed(
+        sim_col, "_sp")
+    s = (_blocks(seen, id_col, sim_col, bounds)
+         .select("bi", "bv", F.col(sim_col).alias("_ss")))
+    ham = F.bit_count(F.col("_sp").bitwiseXOR(F.col("_ss")))
+    return (p.join(s, ["bi", "bv"])
+            .filter(ham <= F.lit(int(max_hamming)))
+            .select(F.col("_id").alias(id_col))
+            .distinct())
+
+
 def hamming_pairs(sh: DataFrame, *, bits: int = 32,
                   max_hamming: int = 2, id_col: str = "doc_id",
                   sim_col: str = "simhash",
@@ -55,15 +92,7 @@ def hamming_pairs(sh: DataFrame, *, bits: int = 32,
                          f"{max_hamming}")
     blocks = int(max_hamming) + 1
     bounds = _block_bounds(int(bits), blocks)
-    block_arr = F.array(*[
-        F.struct(F.lit(i).alias("bi"),
-                 F.shiftright(F.col(sim_col), s)
-                 .bitwiseAND(F.lit((1 << w) - 1)).alias("bv"))
-        for i, (s, w) in enumerate(bounds)])
-    b = (sh.select(F.col(id_col).alias("_id"), F.col(sim_col),
-                   F.explode(block_arr).alias("_b"))
-         .select("_id", sim_col, F.col("_b.bi").alias("bi"),
-                 F.col("_b.bv").alias("bv")))
+    b = _blocks(sh, id_col, sim_col, bounds)
     if max_bucket is not None:
         hot = (b.groupBy("bi", "bv")
                .agg(F.count(F.lit(1)).alias("n"))
