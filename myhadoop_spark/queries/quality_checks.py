@@ -248,3 +248,72 @@ def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = fraction_budget(ds, 1, 2)
     return (budget_select(ds, budget, bands=32)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# adaptive length trimming (r11): drop length OUTLIERS per source
+# using the source's own length distribution (truncated pages at the
+# bottom, concatenation/boilerplate blobs at the top) — thresholds
+# are data-derived percentiles, not hand-tuned constants. The
+# differential runs the EXACT interpolated percentile (bitwise vs
+# DuckDB quantile_cont, the approx_quantiles discipline); at 100 TB
+# the approx_percentile sketch path takes over (length_band(...,
+# exact=False)) — mergeable partial state, shuffle ∝ groups, with
+# the keep-set within the sketch's rank-error band (tested).
+# ---------------------------------------------------------------------------
+
+_LT_LO, _LT_HI = 0.05, 0.95
+
+
+def length_band(docs: DataFrame, *, group_col: str = "source",
+                len_col: str = "n_tokens",
+                lo_p: float = _LT_LO, hi_p: float = _LT_HI,
+                exact: bool = True, accuracy: int = 1000) -> DataFrame:
+    """docs restricted to the [lo_p, hi_p] length band of each
+    group's own distribution."""
+    ln = F.col(len_col).cast("double")
+    if exact:
+        q = docs.groupBy(group_col).agg(
+            F.percentile(ln, F.lit(lo_p)).alias("_lo"),
+            F.percentile(ln, F.lit(hi_p)).alias("_hi"))
+    else:
+        q = docs.groupBy(group_col).agg(
+            F.approx_percentile(ln, F.lit(lo_p), accuracy).alias("_lo"),
+            F.approx_percentile(ln, F.lit(hi_p), accuracy).alias("_hi"))
+    return (docs.join(q, group_col)
+            .filter((ln >= F.col("_lo")) & (ln <= F.col("_hi")))
+            .drop("_lo", "_hi"))
+
+
+@register(
+    "length_trim",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    q AS (SELECT source,
+                 quantile_cont(CAST(n_tokens AS DOUBLE), {_LT_LO}) AS lo,
+                 quantile_cont(CAST(n_tokens AS DOUBLE), {_LT_HI}) AS hi
+          FROM t GROUP BY source)
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN q ON t.source = q.source
+    WHERE CAST(t.n_tokens AS DOUBLE) >= q.lo
+      AND CAST(t.n_tokens AS DOUBLE) <= q.hi
+    ORDER BY t.doc_id
+    """,
+    gate=False,
+    tags=("quality", "curation", "extension"),
+)
+def length_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens): documents inside their OWN
+    source's [p5, p95] token-length band — adaptive outlier trimming
+    with data-derived thresholds (exact interpolated percentiles,
+    bitwise vs quantile_cont)."""
+    from myhadoop_spark.operators.classifier import tokens
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.size(tokens()).cast("long").alias("n_tokens")))
+    return (length_band(docs)
+            .select("doc_id", "source", "n_tokens")
+            .orderBy("doc_id"))

@@ -100,3 +100,23 @@ def test_lsh_recall_vs_exact(spark):
     # every LSH hit must be a real vector pair with a sane cosine
     for r in lsh:
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_length_band_approx_within_rank_error(spark):
+    """length_band(exact=False): the sketch path's keep-set must sit
+    between the keep-sets of the exact bands at p±5/accuracy (the
+    approx-family margin convention)."""
+    from myhadoop_spark.queries.quality_checks import length_band
+
+    rows = [(i, "s" + str(i % 3), 10 + (i * 48271) % 200)
+            for i in range(600)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long")
+    eps = 5.0 / 1000
+    inner = length_band(docs, lo_p=0.05 + eps, hi_p=0.95 - eps)
+    outer = length_band(docs, lo_p=0.05 - eps, hi_p=0.95 + eps)
+    approx = length_band(docs, exact=False)
+    inner_ids = {r["doc_id"] for r in inner.collect()}
+    outer_ids = {r["doc_id"] for r in outer.collect()}
+    approx_ids = {r["doc_id"] for r in approx.collect()}
+    assert inner_ids <= approx_ids <= outer_ids
