@@ -139,3 +139,71 @@ def budget_select(doc_scores: DataFrame, budget: int | DataFrame, *,
                 .drop("_before"))
     return whole.unionByName(boundary).select(id_col, "score",
                                               "n_tokens")
+
+
+def quantized_budget_select(doc_scores: DataFrame,
+                            budget: int | DataFrame, *, q: int,
+                            bands: int = 32,
+                            id_col: str = "doc_id") -> DataFrame:
+    """The point-mass remedy (see the module docstring's degeneracy
+    note), now first-class: scores are QUANTIZED into coarse labels
+    (label = (−score) div q, so label order refines score-desc
+    order), whole labels above the budget boundary keep without any
+    sort, and the ONE boundary label — which may be a massive tie —
+    selects its remainder by the unimax HASH prefix (md5-rank order),
+    whose hash-range bands split ties by construction.
+
+    Semantics change vs ``budget_select`` (documented, deliberate):
+    within the boundary label, selection order is (md5 rank, id) —
+    "a fair random draw among the tied quality level" (the
+    FineWeb-Edu integer-score shape) — instead of (score, id). Above
+    the boundary, every document keeps regardless, so the coarser q
+    is, the more the draw decides. All arithmetic is integer/md5 —
+    bitwise against the single-window spec (the oracle's
+    formulation). Returns (id, score, n_tokens)."""
+    from myhadoop_spark.operators.unimax import unimax_select
+
+    if int(q) < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    if int(bands) < 1:
+        raise ValueError("bands must be >= 1")
+    # shift (−score) non-negative BEFORE the div: truncating and
+    # flooring integer division disagree below zero and engines
+    # differ — a non-negative numerator sidesteps the whole question
+    stats = doc_scores.agg(F.max("score").cast("long").alias("_smax"))
+    d = (_with_budget(doc_scores, budget)
+         .crossJoin(F.broadcast(stats))
+         .withColumn("_lab", F.expr(f"(_smax - score) div {int(q)}"))
+         .drop("_smax"))
+    # label offsets: bounded by (score range / q) — q is CHOSEN to
+    # make labels few (the quantization contract)
+    wl = (Window.partitionBy("budget").orderBy("_lab")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (d.groupBy("_lab", "budget")
+            .agg(F.sum("n_tokens").alias("_lsum"))
+            .withColumn("_loff",
+                        F.coalesce(F.sum("_lsum").over(wl),
+                                   F.lit(0).cast("long")))
+            .filter(F.col("_loff") < F.col("budget"))
+            .withColumn("_whole",
+                        F.col("_loff") + F.col("_lsum")
+                        <= F.col("budget"))
+            .select("_lab", "_loff", "_whole"))
+    surviving = d.join(F.broadcast(offs), "_lab")
+    whole = (surviving.filter(F.col("_whole"))
+             .select(id_col, "score", "n_tokens"))
+    # the single boundary label selects its remainder by hash prefix —
+    # the unimax selection with one "language" (= the label), whose
+    # banding bounds the tie's max single-task sort at ~n/bands
+    bdocs = surviving.filter(~F.col("_whole"))
+    alloc = (bdocs.groupBy(F.col("_lab").alias("lang"))
+             .agg((F.first("budget") - F.first("_loff"))
+                  .cast("long").alias("alloc")))
+    sel = unimax_select(
+        bdocs.select(F.col("_lab").alias("lang"),
+                     F.col(id_col).alias("doc_id"), "n_tokens"),
+        alloc, bands=bands)
+    boundary = (sel.select(F.col("doc_id").alias(id_col), "n_tokens")
+                .join(bdocs.select(id_col, "score"), id_col)
+                .select(id_col, "score", "n_tokens"))
+    return whole.unionByName(boundary)

@@ -317,3 +317,67 @@ def length_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (length_band(docs)
             .select("doc_id", "source", "n_tokens")
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# quantized budgeted selection (r11): the point-mass remedy as a
+# first-class differential — coarse score levels keep whole, the one
+# boundary level draws by the unimax md5-rank prefix (hash bands
+# split ties by construction, closing the budget_select degeneracy).
+# ---------------------------------------------------------------------------
+
+_QB_Q = 50_000  # ~15 quality levels over the fixture's score range
+
+
+def _quantized_budget_oracle() -> str:
+    rk = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+          "1, 8)) AS BIGINT) % 1000000")
+    return rf"""
+    WITH qf AS ({_qf_oracle()}),
+    tk AS (SELECT doc_id, CAST(len({_QF_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+    j AS (SELECT qf.doc_id, qf.score, tk.n_tokens
+          FROM qf JOIN tk ON qf.doc_id = tk.doc_id),
+    mx AS (SELECT max(score) AS smax FROM j),
+    lab AS (SELECT doc_id, score, n_tokens,
+                   (smax - score) // {_QB_Q} AS lvl,
+                   {rk} AS rk
+            FROM j, mx),
+    tot AS (SELECT CAST((sum(n_tokens) * 1) // 2 AS BIGINT) AS budget
+            FROM j),
+    c AS (SELECT doc_id, score, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY lvl, rk, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS bef
+          FROM lab)
+    SELECT doc_id, score, n_tokens
+    FROM c, tot WHERE bef < budget ORDER BY doc_id
+    """
+
+
+@register(
+    "quantized_budget",
+    oracle=_quantized_budget_oracle(),
+    gate=False,
+    tags=("quality", "curation", "extension", "composition"),
+)
+def quantized_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_tokens): the best half of the corpus tokens
+    by COARSE quality level (q = 50k ⇒ ~15 levels) — whole levels
+    above the boundary keep with no sort; the boundary level draws by
+    the deterministic md5-rank prefix whose hash bands split even a
+    total tie (the budget_select point-mass remedy, first-class)."""
+    from myhadoop_spark.operators.budget_select import (
+        fraction_budget,
+        quantized_budget_select,
+    )
+    from myhadoop_spark.operators.classifier import tokens
+
+    scores = quality_filter_q(spark, sf_dir).select("doc_id", "score")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
+    ds = scores.join(docs, "doc_id")
+    budget = fraction_budget(ds, 1, 2)
+    return (quantized_budget_select(ds, budget, q=_QB_Q, bands=32)
+            .orderBy("doc_id"))

@@ -104,3 +104,70 @@ def test_guards(spark):
         budget_select(d, -1)
     with pytest.raises(ValueError):
         fraction_budget(d, 1, 0)
+
+
+# ------------------------------------------------- quantized variant
+
+def _py_quant(rows, budget, q):
+    """Model: order by (quantized label, md5 rank, id), greedy prefix
+    — labels shifted non-negative exactly as the operator does."""
+    import hashlib
+
+    smax = max(s for _, s, _ in rows)
+
+    def rk(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) % 1_000_000
+
+    out, before = [], 0
+    for i, s, t in sorted(rows,
+                          key=lambda r: ((smax - r[1]) // q,
+                                         rk(r[0]), r[0])):
+        if before < budget:
+            out.append((i, s, t))
+        before += t
+    return sorted(out)
+
+
+def test_quantized_matches_model_and_splits_point_mass(spark):
+    from myhadoop_spark.operators.budget_select import (
+        quantized_budget_select,
+    )
+
+    # heavy mode at score 100 + dispersed tail (the degeneracy shape)
+    rows = [(i, 100 if i % 3 else (i * 48271) % 997, 1 + (i % 5))
+            for i in range(300)]
+    df = _docs(spark, rows)
+    total = sum(t for _, _, t in rows)
+    for budget in (0, total // 4, total // 2, total + 1):
+        for q, bands in ((50, 4), (200, 16), (1, 8)):
+            got = sorted(map(tuple, quantized_budget_select(
+                df, budget, q=q, bands=bands).collect()))
+            assert got == _py_quant(rows, budget, q), (budget, q, bands)
+
+
+def test_quantized_uniform_scores_fill_budget(spark):
+    from myhadoop_spark.operators.budget_select import (
+        quantized_budget_select,
+    )
+
+    # ALL-equal scores: one label, the whole corpus is the boundary —
+    # the hash prefix fills the budget exactly and deterministically
+    rows = [(i, 42, 3) for i in range(400)]
+    df = _docs(spark, rows)
+    got = sorted(map(tuple, quantized_budget_select(
+        df, 300, q=10, bands=16).collect()))
+    assert got == _py_quant(rows, 300, 10)
+    assert len(got) == 100  # 300 tokens / 3 per doc
+
+
+def test_quantized_guards(spark):
+    from myhadoop_spark.operators.budget_select import (
+        quantized_budget_select,
+    )
+
+    d = _docs(spark, [(1, 1, 1)])
+    with pytest.raises(ValueError):
+        quantized_budget_select(d, 1, q=0)
+    with pytest.raises(ValueError):
+        quantized_budget_select(d, 1, q=1, bands=0)
