@@ -1,0 +1,98 @@
+"""Streaming entity resolution (streaming/entity_stream):
+single-batch catalog ≡ the one-shot entity_resolution canonicals,
+cross-batch assignment to existing entities (cluster-level, ties by
+distance then entity id), arrival order (canonicals never change),
+replay idempotence, loud guards."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from myhadoop_spark.streaming.entity_stream import (
+    read_assignments,
+    read_catalog,
+    start_entity_stream,
+)
+
+SCHEMA = "id long, nm string"
+
+
+def _write_src(spark, tmp_path, batches):
+    src = str(tmp_path / "src")
+    for rows in batches:
+        (spark.createDataFrame(rows, SCHEMA)
+         .coalesce(1).write.mode("append").parquet(src))
+    return src
+
+
+def _run(spark, src, path, ckpt, *, stats=None, max_files=1, **kw):
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", max_files).parquet(src))
+    q = start_entity_stream(stream, path=path, checkpoint=ckpt,
+                            stats=stats, **kw)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+
+
+def test_single_batch_catalog_equals_one_shot(spark, tmp_path):
+    rows = [(1, "acme anvil large"), (2, "acme anvil largex"),
+            (3, "roadrunner feed"), (4, "acme anvil larg"),
+            (5, "tnt box red")]
+    src = _write_src(spark, tmp_path, [rows])
+    path = str(tmp_path / "er")
+    _run(spark, src, path, str(tmp_path / "ck"), max_files=10)
+    got = sorted(map(tuple, read_catalog(spark, path).collect()))
+    # one-shot: cluster {1,2,4} canon = shortest name 'acme anvil larg'
+    assert got == [(3, "roadrunner feed"),
+                   (4, "acme anvil larg"),
+                   (5, "tnt box red")]
+    a = {r["id"]: (r["entity"], r["is_new"])
+         for r in read_assignments(spark, path).collect()}
+    assert a[1] == (4, True) and a[2] == (4, True) and a[4] == (4, True)
+
+
+def test_cross_batch_assignment_and_arrival_order(spark, tmp_path):
+    b1 = [(10, "acme anvil large")]
+    b2 = [(20, "acme anvil largex"),     # 1 edit from the catalog
+          (21, "completely different")]  # new entity
+    src = _write_src(spark, tmp_path, [b1, b2])
+    path = str(tmp_path / "er")
+    stats: list = []
+    _run(spark, src, path, str(tmp_path / "ck"), stats=stats)
+    a = {r["id"]: r for r in read_assignments(spark, path).collect()}
+    assert a[20]["entity"] == 10 and not a[20]["is_new"]
+    assert a[20]["canon_nm"] == "acme anvil large"  # catalog unchanged
+    assert a[21]["entity"] == 21 and a[21]["is_new"]
+    cat = sorted(map(tuple, read_catalog(spark, path).collect()))
+    assert cat == [(10, "acme anvil large"),
+                   (21, "completely different")]
+    assert [s["new_entities"] for s in stats] == [1, 1]
+    assert stats[1]["matched"] == 1
+
+
+def test_replay_idempotent_and_guards(spark, tmp_path):
+    rows = [(1, "aa bb cc"), (2, "dd ee ff")]
+    src = _write_src(spark, tmp_path, [rows])
+    path = str(tmp_path / "er")
+    _run(spark, src, path, str(tmp_path / "ck"))
+    before = sorted(map(tuple, read_catalog(spark, path).collect()))
+    _run(spark, src, path, str(tmp_path / "ck2"))  # replay batch 0
+    assert sorted(map(tuple, read_catalog(spark, path).collect())) \
+        == before
+    with pytest.raises(Exception, match="same entity"):
+        _run(spark, src, path, str(tmp_path / "ck3"), max_dist=3)
+    with pytest.raises(ValueError):
+        start_entity_stream(None, path="x", checkpoint="y", max_dist=0)
+
+
+def test_negative_ids_rejected(spark, tmp_path):
+    src = _write_src(spark, tmp_path, [[(-5, "neg id name")]])
+    path = str(tmp_path / "er")
+    with pytest.raises(Exception, match="non-negative"):
+        _run(spark, src, path, str(tmp_path / "ck"))
