@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.queries.dedup import _hashed_token_sets
 from myhadoop_spark.queries.fuzzy_decontam import fuzzy_contaminated
-from myhadoop_spark.queries.simsearch import _as_double  # noqa: F401
 from myhadoop_spark.session import get_spark
 
 
