@@ -64,7 +64,22 @@ def fraction_budget(doc_tokens: DataFrame, num: int, den: int,
 def _with_budget(doc_scores: DataFrame,
                  budget: int | DataFrame) -> DataFrame:
     if isinstance(budget, DataFrame):
-        return doc_scores.crossJoin(F.broadcast(budget))
+        # enforce the 1-row contract IN-PLAN (a driver-side count of a
+        # fraction_budget table would scan the corpus twice): aggregate
+        # to one row and fail loudly at execution time on 0 or >1 rows
+        # — a multi-row budget must never silently duplicate every
+        # document through the crossJoin. assert_true is folded into
+        # the budget value so column pruning cannot drop it.
+        checked = (budget.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("budget").cast("long").alias("_b"))
+            .select(F.when(
+                F.assert_true(
+                    F.col("_n") == F.lit(1),
+                    F.lit("budget must be a 1-row (budget) table; "
+                          "got a different row count")).isNull(),
+                F.col("_b")).alias("budget")))
+        return doc_scores.crossJoin(F.broadcast(checked))
     if int(budget) < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     return doc_scores.withColumn("budget",

@@ -17,9 +17,11 @@ practice a handful; the loop raises rather than returning a
 non-fixpoint subgraph.
 
 ``core_numbers`` runs the peel at increasing k and records the last
-k at which each vertex survived — exact core numbers, O(k_max)
-peels; k_max on dedup graphs is small (bounded by the densest
-duplicate family), and each peel only shrinks the edge set.
+k at which each vertex survived — exact core numbers. Each k peels
+the PREVIOUS core's surviving edge set (the k-core of G is the
+k-core of its (k−1)-core), so the input only shrinks down the
+peeling hierarchy; k_max on dedup graphs is small (bounded by the
+densest duplicate family).
 
 No SQL twin: the peeling fixpoint is a decreasing iteration that a
 recursive CTE (monotone-append semantics) cannot express — the
@@ -45,17 +47,11 @@ def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .distinct())
 
 
-def kcore(edges: DataFrame, k: int, *, src: str = "src",
-          dst: str = "dst", max_iterations: int = 50,
-          stats: dict | None = None) -> DataFrame:
-    """[id, degree] of the k-core of the undirected simple graph in
-    ``edges`` (self-loops dropped, directions symmetrized) — empty
-    when no k-core exists. Pass ``stats`` to receive
-    {"iterations": n}."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    sym = _sym(edges, src, dst).localCheckpoint()
-    n_edges = sym.count()
+def _peel(sym: DataFrame, n_edges: int, k: int,
+          max_iterations: int) -> tuple[DataFrame, int, int]:
+    """Peel an already-symmetrized, self-loop-free, distinct edge set
+    to its k-core. Returns (surviving symmetric edges — already
+    localCheckpointed, edge count, peel rounds)."""
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
@@ -78,6 +74,20 @@ def kcore(edges: DataFrame, k: int, *, src: str = "src",
         raise RuntimeError(
             f"kcore did not converge within {max_iterations} "
             "iterations — raise max_iterations")
+    return sym, n_edges, rounds
+
+
+def kcore(edges: DataFrame, k: int, *, src: str = "src",
+          dst: str = "dst", max_iterations: int = 50,
+          stats: dict | None = None) -> DataFrame:
+    """[id, degree] of the k-core of the undirected simple graph in
+    ``edges`` (self-loops dropped, directions symmetrized) — empty
+    when no k-core exists. Pass ``stats`` to receive
+    {"iterations": n}."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = _sym(edges, src, dst).localCheckpoint()
+    sym, _, rounds = _peel(sym, sym.count(), k, max_iterations)
     if stats is not None:
         stats["iterations"] = rounds
     return (sym.groupBy(F.col("a").alias("id"))
@@ -86,18 +96,30 @@ def kcore(edges: DataFrame, k: int, *, src: str = "src",
 
 def core_numbers(edges: DataFrame, *, src: str = "src",
                  dst: str = "dst", k_max: int = 64,
-                 max_iterations: int = 50) -> DataFrame:
+                 max_iterations: int = 50,
+                 stats: dict | None = None) -> DataFrame:
     """[id, core]: each vertex's exact core number (the largest k
     whose k-core contains it), by peeling at k = 1, 2, … until the
-    core empties. O(k_max) peels, each over an only-shrinking edge
-    set; raises if the graph still has a core at ``k_max`` (dedup
-    graphs don't — the densest duplicate family bounds it)."""
+    core empties. Each k peels the PREVIOUS core's surviving edge
+    set, not the original graph — the k-core of G equals the k-core
+    of its (k−1)-core (containment), so the input only shrinks as k
+    rises and the total work is one pass down the peeling hierarchy
+    rather than k_max full-graph peels. Raises if the graph still has
+    a core at ``k_max`` (dedup graphs don't — the densest duplicate
+    family bounds it). Pass ``stats`` to receive
+    {"edges_per_k": [(k, surviving_edge_count), ...],
+    "iterations_per_k": [(k, peel_rounds), ...]}."""
+    sym = _sym(edges, src, dst).localCheckpoint()
+    n_edges = sym.count()
     labels = None
     for k in range(1, k_max + 1):
-        core = kcore(edges, k, src=src, dst=dst,
-                     max_iterations=max_iterations)
-        lab = core.select("id", F.lit(k).cast("long").alias("core"))
-        if core.isEmpty():
+        sym, n_edges, rounds = _peel(sym, n_edges, k, max_iterations)
+        if stats is not None:
+            stats.setdefault("edges_per_k", []).append((k, n_edges))
+            stats.setdefault("iterations_per_k", []).append((k, rounds))
+        lab = (sym.select(F.col("a").alias("id")).distinct()
+               .select("id", F.lit(k).cast("long").alias("core")))
+        if n_edges == 0:
             if labels is None:
                 # no edges at all — every vertex (if any) has core 0
                 return lab.select("id", "core").limit(0)

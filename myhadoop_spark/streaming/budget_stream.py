@@ -99,12 +99,17 @@ def start_budget_stream(doc_stream: DataFrame, *, path: str,
          .parquet(f"{path}/kept/batch_id={batch_id}"))
         kept_back = spark.read.parquet(
             f"{path}/kept/batch_id={batch_id}")
+        # the straddling document may overshoot the remaining budget
+        # by up to one document's tokens — clamp the persisted state
+        # at 0 so budget_left()/stats never report a negative budget
         new_left = (left_df.crossJoin(
             F.broadcast(kept_back.agg(
                 F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
                 .alias("_spent"))))
-            .select((F.col("budget_left") - F.col("_spent"))
-                    .cast("long").alias("budget_left")))
+            .select(F.greatest(
+                F.col("budget_left") - F.col("_spent"),
+                F.lit(0).cast("long"))
+                .cast("long").alias("budget_left")))
         new_left.write.mode("overwrite").parquet(
             f"{path}/state_v{batch_id}")
         write_small_file(spark, f"{path}/meta.json",

@@ -106,9 +106,13 @@ def start_hll_stream(stream: DataFrame, *, path: str, checkpoint: str,
         if stats is not None:
             tbl = spark.read.parquet(f"{path}/sk_v{batch_id}")
             tot = estimate(tbl, []).collect()[0]
+            # a first batch that is empty yields an empty sketch table
+            # whose total estimate is NULL — report 0, don't TypeError
+            est = tot["estimate"]
             stats.append({"batch": batch_id,
                           "groups": tbl.count(),
-                          "total_estimate": int(tot["estimate"])})
+                          "total_estimate":
+                              int(est) if est is not None else 0})
 
     return (stream.writeStream
             .foreachBatch(_process)

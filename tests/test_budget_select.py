@@ -106,6 +106,22 @@ def test_guards(spark):
         fraction_budget(d, 1, 0)
 
 
+def test_budget_table_one_row_contract(spark):
+    """A DataFrame budget must have exactly one row: a multi-row (or
+    empty) budget table fails loudly instead of silently duplicating
+    (or dropping) every document through the crossJoin."""
+    d = _docs(spark, [(i, i, 2) for i in range(10)])
+    ok = spark.createDataFrame([(8,)], "budget long")
+    want = sorted(map(tuple, budget_select(d, 8).collect()))
+    assert sorted(map(tuple, budget_select(d, ok).collect())) == want
+    multi = spark.createDataFrame([(8,), (9,)], "budget long")
+    with pytest.raises(Exception, match="1-row"):
+        budget_select(d, multi).collect()
+    empty = spark.createDataFrame([], "budget long")
+    with pytest.raises(Exception, match="1-row"):
+        budget_select(d, empty).collect()
+
+
 # ------------------------------------------------- quantized variant
 
 def _py_quant(rows, budget, q):

@@ -66,7 +66,7 @@ def test_budget_conservation_and_exhaustion(spark, tmp_path):
     _run(spark, src, path, str(tmp_path / "ck"), budget=100,
          stats=stats)
     spent = sum(s["tokens"] for s in stats)
-    assert budget_left(spark, path) == 100 - spent
+    assert budget_left(spark, path) == max(0, 100 - spent)
     # admission is monotone non-increasing once the budget tightens,
     # and the straddling batch admits a partial prefix
     assert stats[0]["admitted"] > 0
@@ -89,6 +89,23 @@ def test_batch_local_greedy_contract(spark, tmp_path):
     kept = {r["doc_id"] for r in read_kept(spark, path).collect()}
     assert kept == {1}
     assert budget_left(spark, path) == 0
+
+
+def test_overshoot_clamps_to_zero(spark, tmp_path):
+    """The straddling document may overshoot the remaining budget;
+    the persisted state clamps at 0 (never negative) and later
+    batches admit nothing."""
+    b1 = [(1, 5, 10)]          # admitted (prefix 0 < 4), spends 10
+    b2 = [(2, 99, 1)]          # budget exhausted — not admitted
+    src = _write_src(spark, tmp_path, [b1, b2])
+    path = str(tmp_path / "bs")
+    stats: list = []
+    _run(spark, src, path, str(tmp_path / "ck"), budget=4,
+         stats=stats)
+    assert budget_left(spark, path) == 0
+    assert all(s["budget_left"] >= 0 for s in stats)
+    kept = {r["doc_id"] for r in read_kept(spark, path).collect()}
+    assert kept == {1}
 
 
 def test_replay_and_guards(spark, tmp_path):

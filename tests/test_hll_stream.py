@@ -77,6 +77,23 @@ def test_replay_and_param_guard(spark, tmp_path):
         _run(spark, src, path, str(tmp_path / "ck3"), lgk=13)
 
 
+def test_empty_first_batch_reports_zero(spark, tmp_path):
+    """An empty FIRST micro-batch (meta is None, so the empty-batch
+    skip doesn't fire) yields a NULL total estimate over the empty
+    sketch table — stats must report 0, not TypeError the stream."""
+    src = str(tmp_path / "src")
+    empty = spark.createDataFrame([], SCHEMA)
+    empty.coalesce(1).write.mode("append").parquet(src)
+    (spark.createDataFrame(_batches()[0], SCHEMA)
+     .coalesce(1).write.mode("append").parquet(src))
+    path = str(tmp_path / "hll")
+    stats: list = []
+    _run(spark, src, path, str(tmp_path / "ck"), stats=stats)
+    assert stats[0]["total_estimate"] == 0
+    assert stats[0]["groups"] == 0
+    assert stats[-1]["total_estimate"] > 0
+
+
 def test_rejects_empty_keys(spark):
     with pytest.raises(ValueError):
         start_hll_stream(None, path="x", checkpoint="y", keys=[],

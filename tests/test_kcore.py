@@ -92,3 +92,26 @@ def test_stats_iterations(spark):
     stats: dict = {}
     kcore(_df(spark, [(i, i + 1) for i in range(8)]), 2, stats=stats)
     assert stats["iterations"] >= 2  # chains peel from both ends
+
+
+def test_core_numbers_input_shrinks_per_k(spark):
+    """core_numbers peels each k from the PREVIOUS core's surviving
+    edge set — the per-k input is monotone non-increasing and the
+    labels still match the pure-Python model (containment property:
+    k-core(G) == k-core((k-1)-core(G)))."""
+    # a 5-clique with a chain tail: 3-core = the clique, chain peels
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    edges = clique + tail
+    stats: dict = {}
+    got = {r["id"]: r["core"]
+           for r in core_numbers(_df(spark, edges),
+                                 stats=stats).collect()}
+    assert got == _py_cores(edges)
+    counts = [n for _, n in stats["edges_per_k"]]
+    assert counts == sorted(counts, reverse=True)
+    # the k=4 peel starts from the 3-core (the clique), not the full
+    # graph: the clique (degree 4 everywhere) survives k=3 and k=4
+    # intact and empties at k=5
+    ks = dict(stats["edges_per_k"])
+    assert ks[3] == 20 and ks[4] == 20 and ks[5] == 0
