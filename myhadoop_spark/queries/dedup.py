@@ -200,6 +200,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str,
     SELECT doc1, doc2, inter / (tot - inter) AS jaccard
     FROM j WHERE inter / (tot - inter) >= {JACCARD_THRESHOLD}
     """,
+    gate=False,  # demoted r12 — band machinery + verify subsumed by the
+    #              gated signature_neardup and the promoted fuzzy_decontam
     tags=("dedup", "extension", "lsh"),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +271,8 @@ def minhash_pairs(spark: SparkSession, sets: DataFrame) -> DataFrame:
                          ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
+    gate=False,  # demoted r12 — stage one of the promoted simhash_neardup
+    #              (its oracle embeds this one as a CTE)
     tags=("dedup", "extension"),
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +339,8 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc1, doc2, inter / (tot - inter) AS jaccard
     FROM p WHERE inter / (tot - inter) >= 0.75
     """,
+    gate=False,  # demoted r12 — same gram/verify semantics as the gated
+    #              ppjoin_pairs (the stronger candidate generator)
     tags=("dedup", "extension"),
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -419,7 +419,7 @@ def _simhash_neardup_oracle() -> str:
 @register(
     "simhash_neardup",
     oracle=_simhash_neardup_oracle(),
-    gate=False,
+    gate=True,  # promoted r12 — Hamming-ball join family pin (VERDICT r11 #1)
     tags=("dedup", "extension", "lsh"),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

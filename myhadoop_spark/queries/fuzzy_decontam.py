@@ -131,7 +131,7 @@ _BENCH = "doc_id % 17 = 3"
     FROM j WHERE i / (t - i) >= {JACCARD_THRESHOLD}
     GROUP BY doc_id ORDER BY doc_id
     """,
-    gate=False,
+    gate=True,  # promoted r12 — fuzzy decontamination pin (VERDICT r11 #1)
     tags=("dedup", "curation", "extension"),
 )
 def fuzzy_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:

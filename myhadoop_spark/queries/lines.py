@@ -108,7 +108,7 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM l JOIN rb ON l.doc_id = rb.doc_id
     ORDER BY l.doc_id
     """,
-    gate=False,
+    gate=True,  # promoted r12 — CCNet line-dedup pin (VERDICT r11 #1)
     tags=("dedup", "curation", "extension"),
 )
 def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +264,8 @@ def _curate_lines_oracle() -> str:
 @register(
     "curate_lines",
     oracle=_curate_lines_oracle(),
-    gate=False,
+    gate=True,  # promoted r12 — the four-family line-curation composition
+    #             pin (VERDICT r11 #1, the curate_mix precedent)
     tags=("text", "dedup", "quality", "curation", "extension",
           "composition"),
 )

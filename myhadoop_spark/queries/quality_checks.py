@@ -177,7 +177,8 @@ def qf_scores(docs: DataFrame) -> DataFrame:
 @register(
     "quality_filter",
     oracle=_qf_oracle(),
-    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
+    gate=False,  # demoted r12 — curate_lines (promoted, gated) chains the
+    #              identical _qf_oracle stage; still a full differential
     tags=("quality", "curation", "extension"),
 )
 def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +229,7 @@ def _quality_budget_oracle() -> str:
 @register(
     "quality_budget",
     oracle=_quality_budget_oracle(),
-    gate=False,
+    gate=True,  # promoted r12 — budgeted-selection pin (VERDICT r11 #1)
     tags=("quality", "curation", "extension", "composition"),
 )
 def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,6 +341,8 @@ _ND_TAGGED_SQL = " UNION ALL ".join(
     SELECT DISTINCT id1, id2, floor(cos * 1e6) / 1e6 AS cosine
     FROM p WHERE cos >= {ND_THRESHOLD}
     """,
+    gate=False,  # demoted r12 — inlined verbatim into the gated
+    #              dedup_clusters oracle (and chained by its engine side)
     tags=("simsearch", "dedup", "extension", "lsh"),
 )
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,7 +96,8 @@ def _with_urls(docs: DataFrame) -> DataFrame:
     FROM capped WHERE crn <= {_CAP}
     ORDER BY doc_id
     """,
-    gate=True,  # promoted into the driver gate window in r11 (VERDICT r10 #1)
+    gate=False,  # demoted r12 — the gated curate_mix composition embeds the
+    #              domain-cap stage; still a full differential
     tags=("dedup", "curation", "extension"),
 )
 def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +136,7 @@ def url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored WHERE url_score < {_KW_THRESHOLD}
     ORDER BY doc_id
     """,
-    gate=False,
+    gate=True,  # promoted r12 — RefinedWeb §3.1 stage one (VERDICT r11 #1)
     tags=("curation", "filter", "extension"),
 )
 def url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
