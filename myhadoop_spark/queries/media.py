@@ -94,3 +94,164 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("feat_bytes").alias("feat_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash family (r12, VERDICT r11 #3): media near-duplicate
+# detection — payload → decoded grayscale grid → aHash/dHash
+# (operators/phash.py, pure JVM integer expressions) → Hamming-ball
+# join (operators/simhash_join.py, exact-recall pigeonhole blocks).
+#
+# Two differentials, the media_features two-layer precedent:
+#   media_phash   — THROUGH the decode plumbing: synthetic payloads
+#                   (planted exact duplicates) → decode_image_grid
+#                   (Arrow mapInPandas, fake deterministic grid) →
+#                   both hashes, bitwise per media id.
+#   media_neardup — the join face: pixel-level planted variants
+#                   (single-pixel perturbations ⇒ dHash hamming ≤ 2
+#                   by locality) → dhash64 → hamming_pairs vs the
+#                   brute-force quadratic oracle.
+# The REAL decode path (P6 PPM / 24-bpp BMP, pure Python) is pinned
+# in tests/test_phash.py — payload bytes cannot be built in SQL, so
+# the codec parse is test-covered rather than oracle-covered.
+# ---------------------------------------------------------------------------
+
+N_PHASH = 48          # media_phash: 16 payload groups x 3 exact copies
+N_ND_GROUPS = 16      # media_neardup: 16 grids x 4 variants
+_ND_V = 4
+
+# DuckDB 1-indexed list access into the row-major 8x9 grid
+_G8X9 = "g.grid[(j // 8) * 9 + (j % 8) + 1]"
+_G8X9_R = "g.grid[(j // 8) * 9 + (j % 8) + 2]"
+# signed-long bit mask: bit 63 is -2^63 (two's complement), matching
+# the engine-side packing in operators/phash.py
+_MASK = ("CASE WHEN j = 63 THEN -9223372036854775808 "
+         "ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END")
+
+_DHASH_SQL = f"""CAST(list_sum(list_transform(generate_series(0, 63),
+    j -> CASE WHEN {_G8X9} > {_G8X9_R} THEN {_MASK} ELSE 0 END))
+    AS BIGINT)"""
+
+_AHASH_SQL = f"""CAST(list_sum(list_transform(generate_series(0, 63),
+    j -> CASE WHEN {_G8X9} * 64 >
+        list_sum(list_transform(generate_series(0, 63),
+                 i -> g.grid[(i // 8) * 9 + (i % 8) + 1]))
+        THEN {_MASK} ELSE 0 END))
+    AS BIGINT)"""
+
+
+@register(
+    "media_phash",
+    oracle=f"""
+    WITH m AS (SELECT id AS media_id,
+                      repeat(sha256(CAST(id // 3 AS VARCHAR)), 4)
+                          AS payload
+               FROM generate_series(0, {N_PHASH - 1}) t(id)),
+    d AS (SELECT media_id, sha256(payload) AS digest FROM m),
+    g AS (SELECT media_id,
+                 list_transform(generate_series(0, 71), i ->
+                     CAST(concat('0x', substr(digest,
+                          2 * ((i * 7) % 32) + 1, 2)) AS INT)) AS grid
+          FROM d)
+    SELECT media_id, {_AHASH_SQL} AS ahash, {_DHASH_SQL} AS dhash
+    FROM g ORDER BY media_id
+    """,
+    gate=False,
+    tags=("multimodal", "dedup", "extension"),
+)
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, ahash, dhash): perceptual hashes computed THROUGH
+    the decode plumbing — synthetic payloads with planted exact
+    duplicates (three media per payload group) → decode_image_grid
+    (Arrow mapInPandas; the deterministic fake grid is byte
+    (i·7 mod 32) of sha256(payload), SQL-reproducible) → aHash over
+    the 8×8 subgrid + dHash over the 8×9 grid, both packed as signed
+    64-bit longs by pure JVM integer expressions. sf_dir unused —
+    payloads are self-generated (the media_features precedent).
+
+    Scale: decode is batch-wise in executors; the hashes are one
+    narrow zero-shuffle projection per media row."""
+    from myhadoop_spark.operators.phash import (
+        ahash64,
+        dhash64,
+        drop_last_column,
+    )
+    from myhadoop_spark.sources.multimodal import decode_image_grid
+
+    mdf = spark.range(N_PHASH).select(
+        F.col("id").alias("media_id"),
+        F.repeat(F.sha2((F.col("id") / 3).cast("long").cast("string"),
+                        256), 4).cast("binary").alias("payload"))
+    grids = decode_image_grid(mdf, grid_rows=8, grid_cols=9, fake=True)
+    return (grids.select(
+        "media_id",
+        ahash64(drop_last_column(F.col("grid"), cols=9)).alias("ahash"),
+        dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))
+        .orderBy("media_id"))
+
+
+_ND_PIX = "CAST(concat('0x', substr(md5(concat(g, ':', i)), 1, 2)) AS INT)"
+
+
+@register(
+    "media_neardup",
+    oracle=f"""
+    WITH m AS (SELECT id AS media_id, id // {_ND_V} AS g,
+                      id % {_ND_V} AS v
+               FROM generate_series(0, {N_ND_GROUPS * _ND_V - 1}) t(id)),
+    g AS (SELECT media_id,
+                 list_transform(generate_series(0, 71), i ->
+                     CASE WHEN v IN (1, 2)
+                               AND (7 * v + g) % 72 = i
+                          THEN ({_ND_PIX} + 128) % 256
+                          ELSE {_ND_PIX} END) AS grid
+          FROM m),
+    h AS (SELECT media_id, {_DHASH_SQL} AS dhash FROM g)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    ORDER BY id_a, id_b
+    """,
+    gate=False,
+    tags=("multimodal", "dedup", "extension", "lsh"),
+)
+def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, hamming): perceptual near-duplicate pairs over
+    planted pixel grids — 16 base images × 4 variants (v0 base,
+    v1/v2 single-pixel +128 perturbations at distinct offsets ⇒
+    dHash hamming ≤ 2 to the base by locality, v3 an exact copy ⇒
+    hamming 0) → dhash64 → the exact-recall pigeonhole Hamming-ball
+    join. The oracle is the brute-force quadratic join the banded
+    plan must reproduce bitwise. sf_dir unused — grids are
+    self-generated so the planted near-dup structure is the same on
+    both engines.
+
+    Scale: identical shape to simhash_neardup — blocks-per-doc =
+    max_hamming + 1, one hash equi-join on (block, value),
+    candidate-sized bit_count verify, never all-pairs; hot
+    boilerplate fingerprints fail loudly via max_bucket upstream."""
+    from myhadoop_spark.operators.phash import dhash64
+    from myhadoop_spark.operators.simhash_join import hamming_pairs
+
+    base = spark.range(N_ND_GROUPS * _ND_V).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") / _ND_V).cast("long").alias("g"),
+        (F.col("id") % _ND_V).alias("v"))
+
+    def pixel(idx: int):
+        s = F.md5(F.concat_ws(
+            ":", F.col("g").cast("string"), F.lit(str(idx))))
+        pix = F.conv(F.substring(s, 1, 2), 16, 10).cast("int")
+        hit = (F.col("v").isin(1, 2)
+               & ((F.lit(7) * F.col("v") + F.col("g")) % 72
+                  == F.lit(idx)))
+        return F.when(hit, (pix + 128) % 256).otherwise(pix)
+
+    grids = base.select(
+        "media_id", F.array(*[pixel(i) for i in range(72)]).alias("grid"))
+    sh = grids.select(
+        "media_id", dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))
+    return (hamming_pairs(sh, bits=64, max_hamming=2,
+                          id_col="media_id", sim_col="dhash")
+            .orderBy("id_a", "id_b"))

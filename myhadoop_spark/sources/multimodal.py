@@ -108,7 +108,9 @@ def decode_media(df: DataFrame, fake: bool = True,
             if not fake:
                 raise NotImplementedError(
                     "real media decode requires codec libraries (PIL/ffmpeg) "
-                    "not present in this container; plug decode here")
+                    "not present in this container; plug decode here — the "
+                    "image path IS implemented for P6 PPM / 24-bpp BMP in "
+                    "decode_image_grid(fake=False)")
             out = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
@@ -131,6 +133,152 @@ def decode_media(df: DataFrame, fake: bool = True,
 
     return df.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=FEATURE_SCHEMA)
+
+
+GRID_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("grid", T.ArrayType(T.IntegerType())),
+])
+
+
+def _parse_ppm(buf: bytes):
+    """Minimal P6 (binary PPM) parser: returns (width, height,
+    ndarray[h, w, 3] uint8). Pure Python/numpy — no codec library."""
+    import numpy as np
+
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval; '#' comments
+    # run to end-of-line; a single whitespace byte ends the header
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3 and i < n:
+        c = buf[i:i + 1]
+        if c == b"#":
+            while i < n and buf[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not buf[j:j + 1].isspace():
+                j += 1
+            toks.append(buf[i:j])
+            i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    i += 1  # the single whitespace after maxval
+    need = w * h * 3
+    raster = buf[i:i + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _parse_bmp(buf: bytes):
+    """Minimal BMP parser (BITMAPINFOHEADER, 24 bpp, uncompressed,
+    bottom-up): returns (width, height, ndarray[h, w, 3] uint8 RGB)."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bpp uncompressed BMP supported, got bpp={bpp} "
+            f"compression={comp}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    need = stride * h
+    raster = buf[off:off + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = (np.frombuffer(raster, dtype=np.uint8)
+            .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def gray_grid(rgb, grid_rows: int, grid_cols: int) -> list[int]:
+    """Integer luma + integer box-mean downsample of an
+    ndarray[h, w, 3] to a row-major grid_rows × grid_cols list —
+    (299·R + 587·G + 114·B) div 1000 per pixel, then floor-mean per
+    box. All-integer, so every engine/model reproduces it exactly."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    luma = (299 * rgb[:, :, 0].astype("int64")
+            + 587 * rgb[:, :, 1].astype("int64")
+            + 114 * rgb[:, :, 2].astype("int64")) // 1000
+    out: list[int] = []
+    for gr in range(grid_rows):
+        r0, r1 = (gr * h) // grid_rows, ((gr + 1) * h) // grid_rows
+        r1 = max(r1, r0 + 1)
+        for gc in range(grid_cols):
+            c0, c1 = (gc * w) // grid_cols, ((gc + 1) * w) // grid_cols
+            c1 = max(c1, c0 + 1)
+            box = luma[r0:r1, c0:c1]
+            out.append(int(box.sum()) // int(box.size))
+    return out
+
+
+def decode_image_grid(df: DataFrame, *, grid_rows: int = 8,
+                      grid_cols: int = 9,
+                      fake: bool = True) -> DataFrame:
+    """payload → row-major ``grid_rows`` × ``grid_cols`` grayscale
+    grid (array<int>, 0–255) over mapInPandas (Arrow batches) — the
+    decode stage in front of the perceptual hashes
+    (operators/phash.py).
+
+    fake=True: deterministic pseudo-grid from the payload digest —
+    grid[i] = byte (i·7 mod 32) of sha256(payload) (the
+    media_features precedent: SQL-reproducible, so the differential
+    covers this exact path). fake=False: REAL pure-Python decode of
+    P6 PPM and 24-bpp uncompressed BMP payloads (magic-sniffed),
+    integer luma + integer box-mean downsample; other codecs raise
+    NotImplementedError at the plug-in point."""
+    from myhadoop_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    rows_, cols_ = int(grid_rows), int(grid_cols)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if fake:
+                    digest = hashlib.sha256(buf).digest()
+                    grid = [digest[(i * 7) % 32]
+                            for i in range(rows_ * cols_)]
+                    out.append({"media_id": mid, "width": cols_,
+                                "height": rows_, "grid": grid})
+                    continue
+                if buf[:2] == b"P6":
+                    w, h, rgb = _parse_ppm(buf)
+                elif buf[:2] == b"BM":
+                    w, h, rgb = _parse_bmp(buf)
+                else:
+                    raise NotImplementedError(
+                        "real decode implemented for P6 PPM and "
+                        "24-bpp BMP only; other codecs plug in here")
+                out.append({"media_id": mid, "width": w, "height": h,
+                            "grid": gray_grid(rgb, rows_, cols_)})
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "grid"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=GRID_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
