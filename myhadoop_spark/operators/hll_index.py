@@ -22,8 +22,14 @@ by a few counts on ~1250 (well inside the rsd bound, but NOT
 bitwise), because per-partition partial sketches compact differently
 before merging. In the coupon regime estimates are exact and
 therefore partitioning-invariant. Consumers that need cross-run
-bitwise stability above ~500 distincts per group should pin the
-partitioning; the error bound holds regardless.
+bitwise stability above ~500 distincts per group pass
+``group_sketches(..., stable=True)``: it pins a deterministic
+hash-repartition ON THE KEYS before the aggregate, so each group's
+sketch is built by exactly one partial (HLL register updates are
+max-based and order-independent — with a single partial there is no
+merge path left to vary). The trade is merge parallelism: a hot
+group's rows all visit one task, the documented skew cost; the error
+bound holds either way.
 
 All sketch operations are JVM-side Tungsten aggregates
 (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) with mergeable
@@ -42,11 +48,18 @@ DEFAULT_LGK = 12
 
 
 def group_sketches(df: DataFrame, keys: list[str], value_col: str,
-                   *, lgk: int = DEFAULT_LGK) -> DataFrame:
+                   *, lgk: int = DEFAULT_LGK,
+                   stable: bool = False) -> DataFrame:
     """(keys..., sketch, n_rows): one DataSketches HLL sketch of the
-    distinct ``value_col`` values per key group."""
+    distinct ``value_col`` values per key group. ``stable=True``
+    pins cross-run bitwise estimates in the dense regime (see module
+    docstring) by hash-repartitioning on the keys first — the
+    partitioning then already satisfies the aggregate's required
+    distribution, so no second shuffle is added."""
     if not keys:
         raise ValueError("keys must name at least one group column")
+    if stable:
+        df = df.repartition(*[F.col(k) for k in keys])
     return (df.groupBy(*keys)
             .agg(F.hll_sketch_agg(F.col(value_col), F.lit(int(lgk)))
                  .alias("sketch"),

@@ -72,7 +72,14 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
            n_filter_shards: int = 1,
            lm_max_ppl: float | None = None,
            compression_band: tuple[float, float] | None = None,
-           dsir_budget: int | None = None) -> dict:
+           dsir_budget: int | None = None,
+           url_meta: DataFrame | None = None,
+           url_blocklist: DataFrame | None = None,
+           url_keywords: tuple = (),
+           url_threshold: int | None = None,
+           line_clean_args: dict | None = None,
+           line_dedup_lines: bool = False,
+           fuzzy_bench_decontam: bool = False) -> dict:
     """Run the full flow; returns {stage: row_count} + the export
     manifest under 'manifest'. Deterministic end to end: hash-based
     classifier split, content-hash shards, id-ordered dedup keeps.
@@ -111,16 +118,64 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
       trusted doc_id%20 reference slice — the "make the export look
       like the target" step, applied LAST so the budget is spent on
       documents that already cleared scrub/quality/dedup/decontam.
+
+    r12 stages (VERDICT r11 #4 — the r10/r11 curation families in
+    RefinedWeb order, each default-off; when disabled the plan is
+    bit-identical to the r11 pipeline):
+
+    * ``url_meta=(doc_id, canon_url, domain)`` arms RefinedWeb §3.1
+      URL filtering as stage ZERO (the URL is the cheapest quality
+      signal — blocked documents never even reach the scrub):
+      ``url_blocklist`` domains drop via the broadcast anti join and
+      ``url_keywords``/``url_threshold`` score the canonical URL
+      (operators/url_filter.py, the curate_mix stage-one machinery);
+    * ``line_clean_args={...}`` arms C4/RefinedWeb line-wise cleaning
+      (operators/line_filter.py clean_lines kwargs; lines split on
+      newlines) after the cheap gates and BEFORE classifier training,
+      so the classifier learns from the text it will score — the
+      curate_lines composition order;
+    * ``line_dedup_lines=True`` arms CCNet corpus-wide keep-first
+      line dedup right after the clean (operators/line_dedup.py —
+      the survivor rides the partial agg, hot lines never funnel);
+    * ``fuzzy_bench_decontam=True`` arms MinHash-LSH benchmark
+      near-dup DROPS (queries/fuzzy_decontam.py) between the
+      substring dedup and the verbatim surgery: paraphrase-level
+      bench leakage drops whole documents, then the surgery excises
+      any verbatim spans from what survives.
+
+    Reference-slice invariant (the compression-gate precedent): the
+    decontam benchmark and LM reference stay the doc_id%20 slice of
+    the SCRUBBED corpus, captured before every optional gate — a
+    line-cleaned document is matched against the bench windows of
+    its PRE-cleaning text, so arming a gate can never shrink the
+    protected reference.
     """
+    if (url_blocklist is not None or url_keywords) and url_meta is None:
+        raise ValueError("url_blocklist/url_keywords given without "
+                         "url_meta (doc_id, canon_url, domain)")
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
     stats = {"raw": raw.count()}
+
+    # stage 0 (r12): RefinedWeb URL filtering — drop documents on
+    # their crawl metadata BEFORE any content processing
+    if url_meta is not None:
+        from myhadoop_spark.operators.url_filter import url_filter
+
+        survivors = url_filter(
+            url_meta, blocked_domains=url_blocklist,
+            keywords=tuple(url_keywords), threshold=url_threshold,
+            keep_score=False).select("doc_id")
+        raw = raw.join(survivors, "doc_id")
+        stats["after_url_filter"] = raw.count()
+
     frontiers: list[DataFrame] = []
     try:
         return _curate(spark, raw, stats, out_path, train_frac_mod,
                        n_shards, frontiers, wide_hash, seen_filter,
                        n_filter_shards, lm_max_ppl, compression_band,
-                       dsir_budget)
+                       dsir_budget, line_clean_args, line_dedup_lines,
+                       fuzzy_bench_decontam)
     finally:
         # release the cached frontiers on every exit path — a failed
         # stage must not leave corpus-sized blocks pinned for the rest
@@ -135,7 +190,10 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             seen_filter: DataFrame | None, n_filter_shards: int,
             lm_max_ppl: float | None = None,
             compression_band: tuple[float, float] | None = None,
-            dsir_budget: int | None = None) -> dict:
+            dsir_budget: int | None = None,
+            line_clean_args: dict | None = None,
+            line_dedup_lines: bool = False,
+            fuzzy_bench_decontam: bool = False) -> dict:
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         frontiers.append(df)
@@ -187,6 +245,36 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
                                                max_ratio=hi))
         stats["after_compression_gate"] = clean.count()
 
+    # 1d. optional C4/RefinedWeb line-wise cleaning (r12): per-line +
+    #     doc-level rules in one narrow HOF pass; survivors carry the
+    #     rebuilt text so the classifier trains on what it will score
+    if line_clean_args is not None:
+        from myhadoop_spark.operators.line_filter import (
+            clean_lines,
+            split_lines,
+        )
+
+        clean = _persist(
+            clean_lines(clean, lines_col=split_lines("text"),
+                        **line_clean_args)
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "n_lines", "n_kept"))
+        stats["after_line_clean"] = clean.count()
+
+    # 1e. optional CCNet corpus-wide line dedup (r12): keep-first
+    #     survivor carried through the partial min(struct) agg — one
+    #     shuffle on the line key, hot lines never funnel one task
+    if line_dedup_lines:
+        from myhadoop_spark.operators.line_dedup import line_dedup
+        from myhadoop_spark.operators.line_filter import split_lines
+
+        clean = _persist(
+            line_dedup(clean, lines_col=split_lines("text"),
+                       min_kept_lines=1)
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "n_lines", "n_kept"))
+        stats["after_line_dedup"] = clean.count()
+
     # 2. classifier-filtered quality: train on the deterministic even
     #    split of the scrubbed corpus, keep pred-positive docs.
     #    PERSIST the frontier: the count below materializes it, so
@@ -226,6 +314,29 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             .select(F.col("doc_b").alias("doc_id")).distinct())
     deduped = _persist(kept.join(drop, "doc_id", "left_anti"))
     stats["after_dedup"] = deduped.count()
+
+    # 3b. optional fuzzy benchmark decontamination (r12): MinHash-LSH
+    #     near-dups of the protected bench slice drop as WHOLE docs
+    #     (paraphrase-level leakage) before the verbatim-span surgery;
+    #     bench members themselves are exempt — stage 4 excludes them
+    #     from the export anyway, and self-hits would be vacuous
+    if fuzzy_bench_decontam:
+        from myhadoop_spark.queries.dedup import _hashed_token_sets
+        from myhadoop_spark.queries.fuzzy_decontam import (
+            fuzzy_contaminated,
+        )
+
+        bench_f = reference.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id", "text")
+        corpus_f = deduped.filter(F.col("doc_id") % 20 != 0).select(
+            "doc_id", "text")
+        hits = (fuzzy_contaminated(
+            spark,
+            _hashed_token_sets(spark, "", docs=corpus_f),
+            _hashed_token_sets(spark, "", docs=bench_f))
+            .select("doc_id").distinct())
+        deduped = _persist(deduped.join(hits, "doc_id", "left_anti"))
+        stats["after_fuzzy_decontam"] = deduped.count()
 
     # 4. benchmark decontamination SURGERY: cut verbatim eval-set runs
     #    out of surviving documents (span removal, not doc drops) —

@@ -84,6 +84,31 @@ def test_partitioning_invariance_regimes(spark):
             assert abs(r["estimate"] - 5_000) <= 0.081 * 5_000, r
 
 
+def test_stable_pins_dense_regime_bitwise(spark):
+    """group_sketches(stable=True) gives cross-run, cross-input-
+    partitioning BITWISE estimates even in the dense regime: the
+    key-hash repartition leaves exactly one partial sketch per group,
+    so there is no merge path left to vary (and the estimates still
+    sit inside the rsd bound)."""
+    big = _vals(spark, 20_000, grp=4)
+    runs = [sorted(map(tuple, estimate(
+                group_sketches(d, ["g"], "v", stable=True),
+                ["g"]).collect()))
+            for d in (big, big.repartition(13), big.repartition(3),
+                      big.repartition(13))]
+    assert all(r == runs[0] for r in runs[1:])
+    for _, _, est in runs[0]:
+        assert abs(est - 5_000) <= 0.081 * 5_000
+    # stable must not change the coupon regime's exact answers
+    small = _vals(spark, 300, grp=4)
+    assert (sorted(map(tuple, estimate(
+                group_sketches(small, ["g"], "v", stable=True),
+                ["g"]).collect()))
+            == sorted(map(tuple, estimate(
+                group_sketches(small, ["g"], "v"),
+                ["g"]).collect())))
+
+
 def test_parquet_round_trip(spark, tmp_path):
     df = _vals(spark, 250, grp=5)
     path = str(tmp_path / "hll")

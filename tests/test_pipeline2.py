@@ -279,3 +279,177 @@ def test_dsir_budget_knob(spark, tmp_path):
                spark.read.parquet(str(tmp_path / "b")).collect()}
     assert chosen2 == chosen
     assert s1["after_decontam"] == base["after_decontam"]  # gates equal
+
+
+# ----------------------------------------------------------- r12 knobs
+
+
+def _url_meta(spark, with_spam=True):
+    """Deterministic crawl metadata for every fixture doc_id."""
+    from myhadoop_spark.catalog import load
+
+    ids = load(spark, SF_SMOKE, "documents").select("doc_id")
+    dom = F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".com"))
+    mark = (F.when((F.col("doc_id") % 11 == 0) & F.lit(with_spam),
+                   F.lit("spam-")).otherwise(F.lit("")))
+    return ids.select(
+        "doc_id", dom.alias("domain"),
+        F.concat(F.lit("http://"), dom, F.lit("/"), mark,
+                 F.lit("p"), F.col("doc_id").cast("string"))
+        .alias("canon_url"))
+
+
+def test_url_filter_knob(spark, tmp_path):
+    """A vacuous url_meta (no blocklist, no keywords) is
+    output-identical to the default run; a biting blocklist+keyword
+    config drops exactly the predicted ids before any content work."""
+    base = curate(spark, SF_SMOKE, str(tmp_path / "d"))
+    loose = curate(spark, SF_SMOKE, str(tmp_path / "l"),
+                   url_meta=_url_meta(spark))
+    assert loose.pop("after_url_filter") == base["raw"]
+    assert loose == base
+    a = spark.read.parquet(str(tmp_path / "d"))
+    b = spark.read.parquet(str(tmp_path / "l"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    blocked = spark.createDataFrame([("d0.com",), ("d3.com",)],
+                                    "domain string")
+    tight = curate(spark, SF_SMOKE, str(tmp_path / "t"),
+                   url_meta=_url_meta(spark), url_blocklist=blocked,
+                   url_keywords=(("spam-", 5),), url_threshold=5)
+    from myhadoop_spark.catalog import load
+
+    want = {r.doc_id for r in
+            load(spark, SF_SMOKE, "documents").select("doc_id").collect()
+            if r.doc_id % 7 not in (0, 3) and r.doc_id % 11 != 0}
+    assert tight["after_url_filter"] == len(want)
+    exported = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "t")).select("doc_id").collect()}
+    assert exported <= want
+
+    # guard: blocklist without metadata is a loud error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="url_meta"):
+        curate(spark, SF_SMOKE, str(tmp_path / "x"),
+               url_blocklist=blocked)
+
+
+_VACUOUS_CLEAN = dict(min_words_per_line=1,
+                      require_terminal_punct=False,
+                      line_drop_substrings=(), doc_drop_substrings=(),
+                      min_kept_lines=1)
+
+
+def test_line_clean_knob(spark, tmp_path):
+    """Vacuous line rules (every non-empty doc keeps its single
+    fixture line verbatim) are export-identical to the default run; a
+    min-words rule at the corpus median verifiably bites and every
+    exported doc clears it."""
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.operators.scrub import scrub_text
+
+    clean = (load(spark, SF_SMOKE, "documents")
+             .select("doc_id", scrub_text("text").alias("text")))
+    wcs = sorted(len([w for w in r.text.split() if w])
+                 for r in clean.collect())
+    n_nonempty = sum(1 for w in wcs if w >= 1)
+
+    base = curate(spark, SF_SMOKE, str(tmp_path / "d"))
+    loose = curate(spark, SF_SMOKE, str(tmp_path / "l"),
+                   line_clean_args=dict(_VACUOUS_CLEAN))
+    assert loose.pop("after_line_clean") == n_nonempty
+    assert loose == base
+    a = spark.read.parquet(str(tmp_path / "d"))
+    b = spark.read.parquet(str(tmp_path / "l"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    cut = wcs[len(wcs) // 2]  # median word count: the rule must bite
+    tight_args = dict(_VACUOUS_CLEAN, min_words_per_line=cut)
+    tight = curate(spark, SF_SMOKE, str(tmp_path / "t"),
+                   line_clean_args=tight_args)
+    assert tight["after_line_clean"] < base["raw"]
+    assert tight["after_quality"] <= tight["after_line_clean"]
+    exported_ids = spark.read.parquet(str(tmp_path / "t")).select("doc_id")
+    short = (clean.join(exported_ids, "doc_id")
+             .filter(F.size(F.split("text", r"\s+")) < cut))
+    # exported docs were cleaned BEFORE surgery; verify on pre-surgery
+    # text: every exported id passed the word-count rule
+    passed = {r.doc_id for r in clean.collect()
+              if len([w for w in r.text.split() if w]) >= cut}
+    assert {r.doc_id for r in exported_ids.collect()} <= passed
+
+
+def test_line_dedup_knob(spark, tmp_path):
+    """Every fixture text is distinct (single-line docs), so
+    corpus-wide keep-first line dedup is output-identical to the
+    default run — and the stage count proves it looked."""
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.operators.scrub import scrub_text
+
+    clean = (load(spark, SF_SMOKE, "documents")
+             .select("doc_id", scrub_text("text").alias("text")))
+    n_nonempty = clean.filter(F.length("text") > 0).count()
+    base = curate(spark, SF_SMOKE, str(tmp_path / "d"))
+    armed = curate(spark, SF_SMOKE, str(tmp_path / "a"),
+                   line_dedup_lines=True)
+    assert armed.pop("after_line_dedup") == n_nonempty
+    assert armed == base
+    a = spark.read.parquet(str(tmp_path / "d"))
+    b = spark.read.parquet(str(tmp_path / "a"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_fuzzy_decontam_knob(spark, tmp_path):
+    """Arming the MinHash bench near-dup drop removes EXACTLY the
+    independently recomputed hit set from the export (hit-ness is a
+    per-document property of (doc, bench), so it commutes with the
+    other per-doc stages)."""
+    from myhadoop_spark.catalog import load
+    from myhadoop_spark.operators.scrub import scrub_text
+    from myhadoop_spark.queries.dedup import _hashed_token_sets
+    from myhadoop_spark.queries.fuzzy_decontam import fuzzy_contaminated
+
+    base = curate(spark, SF_SMOKE, str(tmp_path / "d"))
+    armed = curate(spark, SF_SMOKE, str(tmp_path / "a"),
+                   fuzzy_bench_decontam=True)
+    assert armed["after_fuzzy_decontam"] <= armed["after_dedup"]
+    assert armed["after_dedup"] == base["after_dedup"]
+
+    clean = (load(spark, SF_SMOKE, "documents")
+             .select("doc_id", scrub_text("text").alias("text")))
+    hits = {r.doc_id for r in fuzzy_contaminated(
+        spark,
+        _hashed_token_sets(spark, "",
+                           docs=clean.filter("doc_id % 20 != 0")),
+        _hashed_token_sets(spark, "",
+                           docs=clean.filter("doc_id % 20 = 0")))
+        .select("doc_id").distinct().collect()}
+    base_ids = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "d")).select("doc_id").collect()}
+    armed_ids = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "a")).select("doc_id").collect()}
+    assert armed_ids == base_ids - hits
+
+
+def test_all_r12_stages_end_to_end(spark, tmp_path):
+    """One run arming URL filtering, line cleaning, line dedup, AND
+    fuzzy bench decontam together (RefinedWeb order): the funnel is
+    monotone through every stage and the export verifies."""
+    blocked = spark.createDataFrame([("d0.com",)], "domain string")
+    out = str(tmp_path / "all")
+    stats = curate(spark, SF_SMOKE, out,
+                   url_meta=_url_meta(spark), url_blocklist=blocked,
+                   url_keywords=(("spam-", 3),), url_threshold=3,
+                   line_clean_args=dict(_VACUOUS_CLEAN,
+                                        min_words_per_line=2),
+                   line_dedup_lines=True,
+                   fuzzy_bench_decontam=True)
+    order = ["raw", "after_url_filter", "after_line_clean",
+             "after_line_dedup", "after_quality", "after_dedup",
+             "after_fuzzy_decontam", "after_decontam"]
+    counts = [stats[k] for k in order]
+    assert counts == sorted(counts, reverse=True)
+    assert stats["manifest"]["total_rows"] == stats["after_decontam"]
+    statuses = {r.status for r in verify_export(spark, out).collect()}
+    assert statuses == {"ok"} or stats["after_decontam"] == 0

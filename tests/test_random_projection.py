@@ -90,6 +90,20 @@ def test_guards(spark):
         project("embedding", k=4, dim=0)
 
 
+def test_literal_footprint_guard(spark):
+    """k·dim past MAX_LITERALS raises with guidance instead of
+    silently inlining a multi-MB plan (a 1k-dim × 256-k call must not
+    build quietly); the boundary itself is allowed."""
+    from myhadoop_spark.operators.random_projection import MAX_LITERALS
+
+    with pytest.raises(ValueError, match="broadcast-join"):
+        sign_matrix(256, 1024)
+    with pytest.raises(ValueError, match="broadcast-join"):
+        project("embedding", k=256, dim=1024)
+    k = 8
+    assert len(sign_matrix(k, MAX_LITERALS // k)) == k
+
+
 def test_plan_is_narrow(spark):
     plan = plan_of(spark, "jl_project")
     assert "hashpartitioning" not in plan.lower(), plan
