@@ -231,8 +231,33 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_hamming + 1, one hash equi-join on (block, value),
     candidate-sized bit_count verify, never all-pairs; hot
     boilerplate fingerprints fail loudly via max_bucket upstream."""
-    from myhadoop_spark.operators.phash import dhash64
     from myhadoop_spark.operators.simhash_join import hamming_pairs
+
+    sh = _planted_hashes(spark).select("media_id", "dhash")
+    return (hamming_pairs(sh, bits=64, max_hamming=2,
+                          id_col="media_id", sim_col="dhash")
+            .orderBy("id_a", "id_b"))
+
+
+_ND_GRID_SQL = f"""
+    m AS (SELECT id AS media_id, id // {_ND_V} AS g,
+                 id % {_ND_V} AS v
+          FROM generate_series(0, {N_ND_GROUPS * _ND_V - 1}) t(id)),
+    g AS (SELECT media_id, v,
+                 list_transform(generate_series(0, 71), i ->
+                     CASE WHEN v IN (1, 2)
+                               AND (7 * v + g) % 72 = i
+                          THEN ({_ND_PIX} + 128) % 256
+                          ELSE {_ND_PIX} END) AS grid
+          FROM m),
+    h AS (SELECT media_id, v, {_DHASH_SQL} AS dhash FROM g)
+"""
+
+
+def _planted_hashes(spark: SparkSession) -> DataFrame:
+    """(media_id, v, dhash) for the planted near-dup grid table —
+    the shared engine side of the media_neardup family."""
+    from myhadoop_spark.operators.phash import dhash64
 
     base = spark.range(N_ND_GROUPS * _ND_V).select(
         F.col("id").alias("media_id"),
@@ -249,9 +274,78 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(hit, (pix + 128) % 256).otherwise(pix)
 
     grids = base.select(
-        "media_id", F.array(*[pixel(i) for i in range(72)]).alias("grid"))
-    sh = grids.select(
-        "media_id", dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))
-    return (hamming_pairs(sh, bits=64, max_hamming=2,
+        "media_id", "v",
+        F.array(*[pixel(i) for i in range(72)]).alias("grid"))
+    return grids.select(
+        "media_id", "v",
+        dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))
+
+
+@register(
+    "media_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_ND_GRID_SQL},
+    pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM h a JOIN h b ON a.media_id < b.media_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym) n(a)
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    )
+    SELECT id AS media_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id ORDER BY media_id
+    """,
+    gate=False,
+    tags=("multimodal", "dedup", "extension", "iterative"),
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, component): perceptual near-dup pairs → transitive
+    clusters → min-id keep-one representative — the media twin of
+    dedup_clusters (identical CC machinery; the oracle walks the
+    closure with WITH RECURSIVE over the media_neardup pair oracle).
+    sf_dir unused — planted grids (see media_neardup).
+
+    Scale: pairs are the banded Hamming join; CC is the audited
+    pointer-jumping loop (iteration-bound, flat 1000× curve)."""
+    from myhadoop_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = media_neardup(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (connected_components(pairs)
+            .select(F.col("id").alias("media_id"), "component")
+            .orderBy("media_id"))
+
+
+@register(
+    "media_probe",
+    oracle=f"""
+    WITH {_ND_GRID_SQL}
+    SELECT DISTINCT p.media_id
+    FROM h p JOIN h s
+      ON p.v <> 0 AND s.v = 0
+     AND bit_count(xor(p.dhash, s.dhash)) <= 2
+    ORDER BY p.media_id
+    """,
+    gate=False,
+    tags=("multimodal", "dedup", "extension", "lsh"),
+)
+def media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id): the cross-set suppression face — which incoming
+    media are perceptual near-dups of an already-accepted reference
+    set (here: the planted v0 bases) — `hamming_probe` over dHash,
+    the ingest-time decontam shape for media. Exact recall by the
+    same pigeonhole blocks; the oracle is the brute-force cross
+    join. sf_dir unused — planted grids (see media_neardup)."""
+    from myhadoop_spark.operators.simhash_join import hamming_probe
+
+    hashes = _planted_hashes(spark).localCheckpoint()
+    seen = hashes.filter(F.col("v") == 0).select("media_id", "dhash")
+    probe = hashes.filter(F.col("v") != 0).select("media_id", "dhash")
+    return (hamming_probe(probe, seen, bits=64, max_hamming=2,
                           id_col="media_id", sim_col="dhash")
-            .orderBy("id_a", "id_b"))
+            .orderBy("media_id"))

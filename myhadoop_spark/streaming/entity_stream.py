@@ -27,11 +27,19 @@ Emitted per batch: ``{path}/assign/batch_id=N`` with one
 discipline (idempotent replay skip, loud lineage/param guards,
 one-deep retention).
 
-Scale note: the cross probe runs the gram-prefix candidate stage
-over batch-reps ∪ catalog — dedupe-first and prefix selectivity
-bound it, but unlike the LSH signature index the catalog side is not
-partition-pruned; a pruned persistent q-gram index is the r12-queue
-follow-on if catalogs outgrow this.
+Scale note: by default the cross probe runs the gram-prefix
+candidate stage over batch-reps ∪ catalog — dedupe-first and prefix
+selectivity bound it, but the catalog side is re-exploded,
+re-ranked, and fully read every batch. ``pruned_index=True`` (r12)
+switches the probe to the persistent partition-pruned q-gram prefix
+index (operators/edjoin_index.py): the catalog's per-tier prefix
+rows are appended to bucket-partitioned parquet as entities are
+accepted, the gram ORDER is frozen at the founding batch (exactness
+needs only a COMMON order — see the index module), and each batch
+reads only the buckets its own prefix grams hash to plus the bounded
+short tier. Assignments are BITWISE identical to the default probe
+(both are exact-recall candidate generators in front of the same
+exact verify) — pinned in tests/test_entity_stream.py.
 """
 
 from __future__ import annotations
@@ -82,13 +90,18 @@ def _cluster_canonicals(batch: DataFrame, *, max_dist: int,
 
 def start_entity_stream(rec_stream: DataFrame, *, path: str,
                         checkpoint: str, max_dist: int = 2,
-                        q: int = 2, stats: list | None = None):
+                        q: int = 2, pruned_index: bool = False,
+                        n_buckets: int = 64,
+                        stats: list | None = None):
     """Resolve each micro-batch of (id, nm) records against the
     incrementally-built canonical catalog (availableNow-friendly).
     Pass ``stats`` (a list) to receive one {batch, records, matched,
-    new_entities, catalog} dict per batch."""
+    new_entities, catalog} dict per batch (plus buckets_read /
+    index_rows_read when ``pruned_index``)."""
     if int(max_dist) < 1 or int(q) < 1:
         raise ValueError("max_dist and q must be >= 1")
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -100,6 +113,16 @@ def start_entity_stream(rec_stream: DataFrame, *, path: str,
                 f"{meta['max_dist']}, q={meta['q']}; restarting with "
                 f"max_dist={max_dist}, q={q} would change what counts "
                 "as the same entity — start a fresh state path")
+        if meta is not None and (
+                meta.get("index", False) != bool(pruned_index)
+                or (pruned_index
+                    and meta.get("n_buckets") != int(n_buckets))):
+            raise ValueError(
+                f"entity catalog at {path} was built with index="
+                f"{meta.get('index', False)}, n_buckets="
+                f"{meta.get('n_buckets')}; the prefix index only "
+                "covers entities accepted while it was on — start a "
+                "fresh state path to switch probe modes")
         if meta is not None and batch_id == meta["last_batch"]:
             return  # crash-replay of the last batch — idempotent skip
         if meta is not None and batch_id < meta["last_batch"]:
@@ -122,7 +145,36 @@ def start_entity_stream(rec_stream: DataFrame, *, path: str,
                 "negative range")
         reps = lab.select(F.col("_cid").alias("id"),
                           F.col("_cnm").alias("nm")).distinct()
-        if meta is not None:
+        probe_stats: dict = {}
+        if meta is not None and pruned_index:
+            from myhadoop_spark.operators.edjoin_index import (
+                prefix_rows,
+                probe,
+                read_pruned,
+            )
+
+            state = spark.read.parquet(
+                f"{path}/canon_v{meta['last_batch']}")
+            order = spark.read.parquet(f"{path}/gram_df")
+            b_names = reps.select(F.col("id").alias("entity"), "nm")
+            # bucket set of THIS batch's prefix grams — ≤ n_buckets
+            # values, the collect is bounded by construction
+            buckets = [r["bucket"] for r in
+                       prefix_rows(b_names, order, max_dist=max_dist,
+                                   q=q, n_buckets=n_buckets)
+                       .filter(F.col("tier") != "short")
+                       .select("bucket").distinct().collect()]
+            idx = read_pruned(spark, path, buckets)
+            probe_stats["buckets_read"] = len(buckets)
+            probe_stats["index_rows_read"] = idx.count()
+            cross = probe(b_names, idx, order, max_dist=max_dist,
+                          q=q, n_buckets=n_buckets)
+            match = (cross.groupBy("probe_id")
+                     .agg(F.min(F.struct("dist", F.col("entity")))
+                          .alias("_m"))
+                     .select(F.col("probe_id").alias("_rid"),
+                             F.col("_m.entity").alias("_match")))
+        elif meta is not None:
             state = spark.read.parquet(
                 f"{path}/canon_v{meta['last_batch']}")
             # cross probe through the tag-union: catalog ids ride
@@ -175,10 +227,34 @@ def start_entity_stream(rec_stream: DataFrame, *, path: str,
                      if state is not None else new_canon)
         new_state.write.mode("overwrite").parquet(
             f"{path}/canon_v{batch_id}")
+        if pruned_index:
+            from myhadoop_spark.operators.edjoin_index import (
+                freeze_order,
+                prefix_rows,
+            )
+
+            if meta is None:
+                # freeze the gram order on the FOUNDING catalog —
+                # exactness needs only a COMMON order, so this order
+                # serves every later append and probe unchanged
+                freeze_order(
+                    new_canon.select("entity",
+                                     F.col("canon_nm").alias("nm")),
+                    q=q).write.mode("overwrite").parquet(
+                        f"{path}/gram_df")
+            order = spark.read.parquet(f"{path}/gram_df")
+            (prefix_rows(
+                new_canon.select("entity",
+                                 F.col("canon_nm").alias("nm")),
+                order, max_dist=max_dist, q=q, n_buckets=n_buckets)
+             .write.mode("overwrite").partitionBy("tier", "bucket")
+             .parquet(f"{path}/prefix/batch_id={batch_id}"))
         write_small_file(spark, f"{path}/meta.json",
                          json.dumps({"last_batch": batch_id,
                                      "max_dist": int(max_dist),
-                                     "q": int(q)}))
+                                     "q": int(q),
+                                     "index": bool(pruned_index),
+                                     "n_buckets": int(n_buckets)}))
         keep = {f"canon_v{batch_id}"}
         if meta is not None:
             keep.add(f"canon_v{meta['last_batch']}")
@@ -195,6 +271,7 @@ def start_entity_stream(rec_stream: DataFrame, *, path: str,
                 "new_entities": new_canon.count(),
                 "catalog": spark.read.parquet(
                     f"{path}/canon_v{batch_id}").count(),
+                **probe_stats,
             })
 
     return (rec_stream.writeStream

@@ -96,3 +96,80 @@ def test_negative_ids_rejected(spark, tmp_path):
     path = str(tmp_path / "er")
     with pytest.raises(Exception, match="non-negative"):
         _run(spark, src, path, str(tmp_path / "ck"))
+
+
+# ------------------------------------------------ pruned index probe
+
+
+def _names(b, n=14):
+    """Deterministic product-name batches with planted near-dups of
+    earlier batches (suffix variants) and genuinely new names."""
+    base = ["acme anvil", "roadrunner feed", "tnt box", "coyote suit",
+            "desert cactus", "canyon rope", "bird seed premium"]
+    rows = []
+    for i in range(n):
+        nm = base[i % len(base)]
+        if i % 3 == 1:
+            nm = nm + "x"          # 1 edit from a base name
+        elif i % 3 == 2:
+            nm = nm + f" v{b}{i}"  # farther away
+        rows.append((b * 100 + i, nm))
+    rows.append((b * 100 + 98, "zq"[: 1 + b % 2]))  # short tier
+    return rows
+
+
+def test_pruned_index_probe_equals_default(spark, tmp_path):
+    """pruned_index=True produces BITWISE-identical assignments and
+    catalog across a multi-batch run (both probes are exact-recall
+    candidate generators in front of the same exact verify), while
+    reading only the batch's gram buckets plus the short tier."""
+    batches = [_names(b) for b in range(4)]
+    src = _write_src(spark, tmp_path, batches)
+    p1, p2 = str(tmp_path / "er1"), str(tmp_path / "er2")
+    stats: list = []
+    _run(spark, src, p1, str(tmp_path / "c1"))
+    _run(spark, src, p2, str(tmp_path / "c2"), pruned_index=True,
+         n_buckets=16, stats=stats)
+    a1 = sorted(map(tuple, read_assignments(spark, p1).collect()))
+    a2 = sorted(map(tuple, read_assignments(spark, p2).collect()))
+    assert a1 == a2
+    c1 = sorted(map(tuple, read_catalog(spark, p1).collect()))
+    c2 = sorted(map(tuple, read_catalog(spark, p2).collect()))
+    assert c1 == c2
+    # probes after the founding batch read a bounded bucket subset
+    probed = [s for s in stats if "buckets_read" in s]
+    assert probed and all(s["buckets_read"] <= 16 for s in probed)
+
+
+def test_pruned_index_partition_pruning_bites(spark, tmp_path):
+    """A tiny probe batch against a larger catalog reads strictly
+    fewer index rows than the index holds (the bucket filter prunes
+    parquet partitions, not just rows)."""
+    big = [(i, f"warehouse item number {i:04d}") for i in range(40)]
+    tiny = [(900, "zzz unrelated widget")]
+    src = _write_src(spark, tmp_path, [big, tiny])
+    path = str(tmp_path / "er")
+    stats: list = []
+    _run(spark, src, path, str(tmp_path / "ck"), pruned_index=True,
+         n_buckets=32, stats=stats)
+    total = spark.read.parquet(f"{path}/prefix").count()
+    probe = [s for s in stats if "index_rows_read" in s][-1]
+    assert probe["index_rows_read"] < total
+    assert probe["buckets_read"] < 32
+
+
+def test_pruned_index_replay_and_mode_guard(spark, tmp_path):
+    src = _write_src(spark, tmp_path, [_names(0)])
+    path = str(tmp_path / "er")
+    _run(spark, src, path, str(tmp_path / "ck"), pruned_index=True)
+    before = sorted(map(tuple, read_assignments(spark, path).collect()))
+    # fresh checkpoint replays batch 0 -> idempotent skip
+    _run(spark, src, path, str(tmp_path / "ck2"), pruned_index=True)
+    assert sorted(map(tuple,
+                      read_assignments(spark, path).collect())) == before
+    # switching probe modes on existing state fails loudly
+    with pytest.raises(Exception, match="probe modes"):
+        _run(spark, src, path, str(tmp_path / "ck3"))
+    with pytest.raises(Exception, match="probe modes"):
+        _run(spark, src, path, str(tmp_path / "ck4"), pruned_index=True,
+             n_buckets=8)
