@@ -126,3 +126,45 @@ def line_dedup(docs: DataFrame, *, lines_col: str | Column,
     return dedup_against(docs, None, lines_col=lines_col,
                          id_col=id_col, normalize=normalize,
                          min_kept_lines=min_kept_lines)
+
+
+def within_doc_dedup(docs: DataFrame, *, lines_col: str | Column,
+                     id_col: str = "doc_id",
+                     normalize: bool = False,
+                     min_kept_lines: int = 1) -> DataFrame:
+    """Per-document repeated-line removal — the C4/RefinedWeb
+    per-page line correction (keep each document's FIRST occurrence
+    of every line key, drop later in-document repeats), as ONE
+    zero-shuffle narrow pass: no corpus state, no join, no window —
+    each doc is compared only against itself. The corpus-wide CCNet
+    face is ``line_dedup``; this face is what a pipeline arms when
+    cross-document boilerplate is handled elsewhere (df-threshold or
+    corpus dedup) and only in-page repetition must go.
+
+    Returns surviving docs with (n_lines, n_kept, clean_text); the
+    comparison key is the raw line or its CCNet normalization, the
+    OUTPUT always keeps the original line text of the first
+    occurrence. Arrays are materialized into columns before the
+    indexed filter (the HOF-recompute discipline)."""
+    if int(min_kept_lines) < 1:
+        raise ValueError(
+            f"min_kept_lines must be >= 1, got {min_kept_lines}")
+    lc = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+    base = docs.withColumn("_lines", lc)
+    keys = (F.transform("_lines", ccnet_normalize) if normalize
+            else F.col("_lines"))
+    base = base.withColumn("_keys", keys)
+    # element i survives iff the FIRST occurrence of its key is at i
+    # (filter's i is 0-based, [] indexing 0-based, array_position
+    # 1-based first match — identical to the DuckDB twin's
+    # list_position/list_filter with 1-based i)
+    kept = F.expr(
+        "filter(_lines, (x, i) -> "
+        "array_position(_keys, _keys[i]) = i + 1)")
+    out = (base.withColumn("_kept", kept)
+           .withColumn("n_lines", F.size("_lines").cast("long"))
+           .withColumn("n_kept", F.size("_kept").cast("long"))
+           .filter(F.col("n_kept") >= F.lit(int(min_kept_lines)))
+           .withColumn("clean_text", F.array_join("_kept", "\n"))
+           .drop("_lines", "_keys", "_kept"))
+    return out

@@ -306,3 +306,37 @@ def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = scores.join(toks, "doc_id")
     budget = fraction_budget(ds, 1, 2)
     return budget_select(ds, budget, bands=32).orderBy("doc_id")
+
+
+@register(
+    "within_doc_dedup",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    l AS (SELECT doc_id, {_sql_lines(2)} AS lines FROM t),
+    d AS (SELECT doc_id, lines,
+                 list_filter(lines, (x, i) ->
+                     list_position(lines, lines[i]) = i) AS kept
+          FROM l)
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS clean_text
+    FROM d WHERE len(kept) >= 1 ORDER BY doc_id
+    """,
+    gate=False,
+    tags=("dedup", "curation", "extension"),
+)
+def within_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): per-document
+    repeated-line removal over 2-word chunk lines (the 31-word
+    fixture vocabulary makes 2-word lines repeat heavily WITHIN long
+    documents, so the in-page face verifiably bites without any
+    corpus state) — one zero-shuffle narrow pass, the C4/RefinedWeb
+    per-page correction beside the corpus-wide `line_dedup`."""
+    from myhadoop_spark.operators.line_dedup import within_doc_dedup
+    from myhadoop_spark.operators.line_filter import word_lines
+
+    docs = load_wide(spark, sf_dir, "documents")
+    return (within_doc_dedup(docs.withColumn("_l", word_lines("text", 2)),
+                             lines_col="_l", min_kept_lines=1)
+            .select("doc_id", "n_lines", "n_kept", "clean_text")
+            .orderBy("doc_id"))

@@ -207,3 +207,71 @@ def test_line_dedup_plan_no_window_no_cartesian(spark):
         assert "BatchEvalPython" not in plan, f"{name}:\n{plan}"
         assert re.search(r"partial_?min", plan.lower()) or \
             "partial" in plan.lower(), f"{name}:\n{plan}"
+
+
+# ------------------------------------------------- within-doc dedup
+
+
+def test_within_doc_dedup_model_parity(spark):
+    """Keep-first WITHIN each doc only: repeats inside a doc drop,
+    the same line in another doc survives (no corpus state)."""
+    from myhadoop_spark.operators.line_dedup import within_doc_dedup
+
+    docs = spark.createDataFrame(
+        [(1, ["a b", "c d", "a b", "e f", "c d"]),
+         (2, ["a b", "a b"]),          # survives once here too
+         (3, ["x y"])],
+        "doc_id long, _l array<string>")
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+           for r in within_doc_dedup(docs, lines_col="_l").collect()}
+    assert got == {1: (5, 3, "a b\nc d\ne f"),
+                   2: (2, 1, "a b"),
+                   3: (1, 1, "x y")}
+
+
+def test_within_doc_dedup_normalized_keys(spark):
+    """normalize=True compares CCNet keys but emits the ORIGINAL
+    first-occurrence line."""
+    from myhadoop_spark.operators.line_dedup import within_doc_dedup
+
+    # digit-stripping makes 'Call 555 now' ≡ 'call  now' (the double
+    # space survives normalization on both) — the twin drops, the
+    # ORIGINAL first-occurrence text is emitted
+    docs = spark.createDataFrame(
+        [(1, ["Call 555 now", "call  now", "other"])],
+        "doc_id long, _l array<string>")
+    r = within_doc_dedup(docs, lines_col="_l", normalize=True).head()
+    assert r["n_kept"] == 2 and r["clean_text"] == "Call 555 now\nother"
+    # single-space 'call now' is a DIFFERENT key — both survive
+    docs2 = spark.createDataFrame(
+        [(1, ["Call 555 now", "call now", "other"])],
+        "doc_id long, _l array<string>")
+    r2 = within_doc_dedup(docs2, lines_col="_l", normalize=True).head()
+    assert r2["n_kept"] == 3
+    # without normalization nothing collides
+    r3 = within_doc_dedup(docs, lines_col="_l", normalize=False).head()
+    assert r3["n_kept"] == 3
+
+
+def test_within_doc_dedup_zero_shuffle(spark):
+    """The in-page face is a narrow pass — no exchange in the plan."""
+    from myhadoop_spark.operators.line_dedup import within_doc_dedup
+    from myhadoop_spark.operators.line_filter import word_lines
+
+    docs = spark.createDataFrame([(1, "a b a b c d")],
+                                 "doc_id long, text string")
+    plan = (within_doc_dedup(docs.withColumn("_l",
+                                             word_lines("text", 2)),
+                             lines_col="_l")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_within_doc_dedup_guards(spark):
+    from myhadoop_spark.operators.line_dedup import within_doc_dedup
+
+    docs = spark.createDataFrame([(1, ["a"])],
+                                 "doc_id long, _l array<string>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        within_doc_dedup(docs, lines_col="_l", min_kept_lines=0)
