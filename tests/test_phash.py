@@ -232,3 +232,15 @@ def test_dim_guards():
         dhash64(F.col("g"), rows=8, cols=8)
     with pytest.raises(ValueError):
         ahash64(F.col("g"), rows=8, cols=9)
+
+
+def test_phash_plan_is_jvm_and_join_is_hash(spark):
+    """dHash/aHash are pure JVM expressions (no BatchEvalPython in
+    the hash projection) and the Hamming-ball join is a hash
+    equi-join on (block, value) — never a cartesian product."""
+    from myhadoop_spark.queries.media import media_neardup
+
+    plan = (media_neardup(spark, "")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
