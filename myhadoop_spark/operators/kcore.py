@@ -34,7 +34,7 @@ Reference analog: none — §2.3 extension surface (graph family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,69 @@ def core_numbers(edges: DataFrame, *, src: str = "src",
                   .localCheckpoint())
     raise RuntimeError(f"graph still has a non-empty {k_max}-core — "
                        "raise k_max")
+
+
+def core_numbers_hindex(edges: DataFrame, *, src: str = "src",
+                        dst: str = "dst",
+                        max_iterations: int = 100,
+                        stats: dict | None = None) -> DataFrame:
+    """[id, core] by the distributed h-index fixpoint (Lü et al.
+    2016, "The H-index of a network node and its relation to degree
+    and coreness"; Montresor et al. 2013 distributed k-core): start
+    every vertex at its degree and repeatedly set
+    core(v) = H({core(u) : u ~ v}) — the estimates decrease
+    monotonically and converge to the EXACT core numbers. One
+    fixpoint loop over the whole decomposition instead of one peel
+    loop per k (``core_numbers``): rounds ∝ convergence depth, not
+    Σ per-k peel rounds — the better shape when k_max is large.
+
+    Scale shape per round: one equi-join of the (symmetric) edge set
+    against the current estimates, one PARTIAL-AGGREGABLE
+    groupBy(v, c) count (a hot vertex's million equal-estimate
+    neighbors collapse map-side), then the h-index over ≤ distinct-c
+    rows per vertex — the window is bounded by the current core
+    estimate range, never adjacency-sized. One action per round: the
+    estimate SUM is monotone decreasing and integer, so equality IS
+    convergence. Pinned ≡ core_numbers in tests/test_kcore.py.
+
+    Reference analog: none — §2.3 extension surface (graph family).
+    """
+    sym = _sym(edges, src, dst).localCheckpoint()
+    est = (sym.groupBy(F.col("a").alias("id"))
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .localCheckpoint())
+    total = est.agg(F.sum("c")).head()[0]
+    if total is None:
+        return est.select("id", F.col("c").alias("core")).limit(0)
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        nbr = (sym.join(est.select(F.col("id").alias("b"), "c"), "b")
+               .groupBy(F.col("a").alias("id"), "c")
+               .agg(F.count(F.lit(1)).alias("n")))
+        w = (Window.partitionBy("id")
+             .orderBy(F.col("c").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        # h = max over distinct values c (desc) of min(c, #nbrs >= c)
+        hidx = (nbr.withColumn("_cum", F.sum("n").over(w))
+                .groupBy("id")
+                .agg(F.max(F.least(F.col("c"), F.col("_cum")))
+                     .cast("long").alias("h")))
+        nxt = (est.join(hidx, "id", "left")
+               .select("id",
+                       F.least(F.col("c"),
+                               F.coalesce("h", F.lit(0).cast("long")))
+                       .alias("c"))
+               .localCheckpoint(eager=False))
+        new_total = nxt.agg(F.sum("c")).head()[0]
+        est = nxt
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"core_numbers_hindex did not converge within "
+            f"{max_iterations} rounds — raise max_iterations")
+    if stats is not None:
+        stats["iterations"] = rounds
+    return est.select("id", F.col("c").alias("core"))

@@ -241,12 +241,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, core): exact core numbers over the embedding near-dup
     pair graph — the dense duplicate families (high cores: template
     farms, mirror clusters) vs incidental near-dups (core 1). The
-    peeling fixpoint has no SQL twin (a recursive CTE cannot express
+    decomposition has no SQL twin (a recursive CTE cannot express
     decreasing iteration), so the query is rows-only for the driver;
     correctness is pinned against the pure-Python peel in
-    tests/test_kcore.py — the pagerank/mmr precedent."""
-    from myhadoop_spark.operators.kcore import core_numbers
+    tests/test_kcore.py — the pagerank/mmr precedent. r12: runs the
+    h-index fixpoint (one loop for the whole decomposition, pinned
+    label-identical to the per-k peel hierarchy in
+    test_hindex_fixpoint_matches_peeling; kcore_study.tsv: 2 rounds
+    vs 18 total peel rounds on the dedup-shaped generator)."""
+    from myhadoop_spark.operators.kcore import core_numbers_hindex
 
     edges = simsearch.embed_neardup(spark, sf_dir).select(
         F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    return core_numbers(edges).orderBy("id")
+    return core_numbers_hindex(edges).orderBy("id")

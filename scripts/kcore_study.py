@@ -9,6 +9,11 @@ families + chain tails) and records the PER-K SURVIVING EDGE CURVE —
 the property that matters at 100 TB is that the k-th peel's input is
 the previous core, not the original graph.
 
+Also runs core_numbers_hindex on the same graphs: the h-index
+fixpoint does the WHOLE decomposition in one loop (rounds = its
+convergence depth) where the peel hierarchy pays one loop per k —
+the rounds comparison is the 100 TB scheduling-cost story.
+
 Appends to kcore_study.tsv:
 
     engine  scale  n_edges  k_max  wall_s  edges_per_k  full_rescan_cost  incremental_cost
@@ -28,7 +33,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from myhadoop_spark.operators.kcore import core_numbers
+from myhadoop_spark.operators.kcore import core_numbers, core_numbers_hindex
 from myhadoop_spark.session import get_spark
 
 OUT = Path(__file__).resolve().parent.parent / "kcore_study.tsv"
@@ -62,7 +67,8 @@ def main() -> None:
         if new_file:
             f.write("engine\tscale\tn_edges\tk_max\twall_s\t"
                     "edges_per_k\tfull_rescan_cost\t"
-                    "incremental_cost\n")
+                    "incremental_cost\thindex_rounds\t"
+                    "hindex_wall_s\tpeel_rounds_total\n")
         for scale in scales:
             edges = _graph(scale)
             df = spark.createDataFrame(edges, "src long, dst long")
@@ -76,13 +82,23 @@ def main() -> None:
             k_max = curve[-1][0]
             full = k_max * n_sym
             incremental = n_sym + sum(n for _, n in curve[:-1])
+            hstats: dict = {}
+            t1 = time.time()
+            core_numbers_hindex(df, stats=hstats).count()
+            hwall = time.time() - t1
+            peel_rounds = sum(r for _, r in
+                              stats["iterations_per_k"])
             f.write(f"myhadoop_spark\t{scale}\t{len(edges)}\t{k_max}\t"
                     f"{wall:.2f}\t"
                     f"{','.join(str(n) for _, n in curve)}\t"
-                    f"{full}\t{incremental}\n")
+                    f"{full}\t{incremental}\t"
+                    f"{hstats['iterations']}\t{hwall:.2f}\t"
+                    f"{peel_rounds}\n")
             print(f"scale={scale} edges={len(edges)} k_max={k_max} "
                   f"wall={wall:.2f}s curve={[n for _, n in curve]} "
-                  f"full={full} incr={incremental}")
+                  f"full={full} incr={incremental} "
+                  f"hindex_rounds={hstats['iterations']} "
+                  f"hindex_wall={hwall:.2f}s peel_rounds={peel_rounds}")
     spark.stop()
 
 

@@ -115,3 +115,31 @@ def test_core_numbers_input_shrinks_per_k(spark):
     # intact and empties at k=5
     ks = dict(stats["edges_per_k"])
     assert ks[3] == 20 and ks[4] == 20 and ks[5] == 0
+
+
+def test_hindex_fixpoint_matches_peeling(spark):
+    """core_numbers_hindex (one h-index fixpoint) ≡ core_numbers
+    (per-k peels) ≡ the pure-Python model on random graphs and
+    hand-built structures — two independent algorithms, one truth."""
+    from myhadoop_spark.operators.kcore import core_numbers_hindex
+
+    cases = [_lcg_graph(30, 70, 9), _lcg_graph(40, 90, 4),
+             [(a, b) for a in range(5) for b in range(a + 1, 5)]
+             + [(4, 10), (10, 11)],
+             [(1, 1), (1, 2)],       # self-loop dropped
+             [(i, i + 1) for i in range(9)]]  # chain: all core 1
+    for edges in cases:
+        want = _py_cores(edges)
+        stats: dict = {}
+        got = {r["id"]: r["core"]
+               for r in core_numbers_hindex(_df(spark, edges),
+                                            stats=stats).collect()}
+        assert got == want, edges[:5]
+        assert stats["iterations"] >= 1
+
+
+def test_hindex_empty_graph(spark):
+    from myhadoop_spark.operators.kcore import core_numbers_hindex
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert core_numbers_hindex(df).count() == 0

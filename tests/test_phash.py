@@ -244,3 +244,48 @@ def test_phash_plan_is_jvm_and_join_is_hash(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_media_ingest_stream_suppression(spark, tmp_path):
+    """Media ingest suppression end to end: BMP payloads → real
+    decode → dHash (bits=64) → the generic simhash dedup stream —
+    exact copies and single-box near-dups of ACCEPTED media drop on
+    arrival; unrelated media pass (the multimodal streaming face is
+    the existing fingerprint stream, no new machinery)."""
+    import time
+
+    from myhadoop_spark.streaming.simhash_stream import (
+        read_clean,
+        start_simhash_dedup_stream,
+    )
+
+    base = _image(7)
+    near = [row[:] for row in base]
+    for r in range(5):
+        for c in range(4):
+            near[r][c] = (0, 0, 0)
+    b1 = [(1, _encode_bmp(base)), (2, _encode_bmp(_image(30)))]
+    b2 = [(10, _encode_bmp(base)),        # exact copy -> drops
+          (11, _encode_bmp(near)),        # near-dup  -> drops
+          (12, _encode_bmp(_image(60)))]  # new       -> survives
+    src = str(tmp_path / "src")
+    for rows in (b1, b2):
+        (spark.createDataFrame(rows, "media_id long, payload binary")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream
+              .schema("media_id long, payload binary")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    fp = decode_image_grid(stream, fake=False).select(
+        F.col("media_id").alias("doc_id"),
+        dhash64(F.col("grid")).alias("simhash"))
+    q = start_simhash_dedup_stream(
+        fp, path=str(tmp_path / "st"),
+        checkpoint=str(tmp_path / "ck"), bits=64, max_hamming=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        time.sleep(0.2)
+    kept = {r["doc_id"]
+            for r in read_clean(spark, str(tmp_path / "st")).collect()}
+    assert kept == {1, 2, 12}
