@@ -188,5 +188,10 @@ def read_pruned(spark: SparkSession, path: str,
     short tier — a partition-pruned read (bucket and tier are
     partition columns)."""
     idx = spark.read.parquet(f"{path}/prefix")
+    short_only = F.col("tier") == "short"
+    if not buckets:
+        # a batch whose every name is in the content-blind class
+        # probes only the bounded short tier
+        return idx.filter(short_only)
     return idx.filter(F.col("bucket").isin([int(x) for x in buckets])
-                      | (F.col("tier") == "short"))
+                      | short_only)

@@ -173,3 +173,21 @@ def test_pruned_index_replay_and_mode_guard(spark, tmp_path):
     with pytest.raises(Exception, match="probe modes"):
         _run(spark, src, path, str(tmp_path / "ck4"), pruned_index=True,
              n_buckets=8)
+
+
+def test_pruned_index_all_short_batch(spark, tmp_path):
+    """A probe batch made entirely of content-blind short names
+    (len <= 2d) reads only the bounded short tier (empty bucket
+    list) and still matches the default probe bitwise."""
+    b1 = _names(0)
+    b2 = [(900, "zq"), (901, "ab"), (902, "zq")]   # all len <= 2d=4
+    src = _write_src(spark, tmp_path, [b1, b2])
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    stats: list = []
+    _run(spark, src, p1, str(tmp_path / "c1"))
+    _run(spark, src, p2, str(tmp_path / "c2"), pruned_index=True,
+         stats=stats)
+    a1 = sorted(map(tuple, read_assignments(spark, p1).collect()))
+    a2 = sorted(map(tuple, read_assignments(spark, p2).collect()))
+    assert a1 == a2
+    assert stats[-1]["buckets_read"] == 0
