@@ -3,11 +3,14 @@
 Design (SURVEY.md §2.3): media payloads are opaque ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
-The image/audio codec libraries are NOT in this container, so the codec
-step is stubbed: ``decode_media(..., fake=True)`` produces deterministic
-fake features (so the Spark-side plumbing — schema, batching, partition
-behavior — is real and tested), while ``fake=False`` raises
-NotImplementedError at the exact point a codec would plug in.
+The image/audio codec libraries are NOT in this container, so the
+general codec step is stubbed: ``decode_media(..., fake=True)`` produces
+deterministic fake features (so the Spark-side plumbing — schema,
+batching, partition behavior — is real and tested), while ``fake=False``
+raises NotImplementedError at the exact point a codec would plug in —
+EXCEPT the image path, which IS implemented pure-Python for P6 PPM,
+24-bpp BMP, and 8-bit RGB/RGBA PNG in ``decode_image_grid(fake=False)``
+(r12, VERDICT r11 #3 stretch).
 
 At 100 TB: payloads stay in executor-side Arrow batches end-to-end
 (no driver collect); `spark.read.format("binaryFile")` is the ingest
@@ -109,8 +112,8 @@ def decode_media(df: DataFrame, fake: bool = True,
                 raise NotImplementedError(
                     "real media decode requires codec libraries (PIL/ffmpeg) "
                     "not present in this container; plug decode here — the "
-                    "image path IS implemented for P6 PPM / 24-bpp BMP in "
-                    "decode_image_grid(fake=False)")
+                    "image path IS implemented for P6 PPM / 24-bpp BMP / "
+                    "8-bit PNG in decode_image_grid(fake=False)")
             out = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
@@ -211,6 +214,88 @@ def _parse_bmp(buf: bytes):
     return w, h, rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Undo PNG per-scanline filtering (types 0-4). Returns
+    ndarray[h, w, ch] uint8. Sequential within a row by the spec —
+    the per-pixel loop is fine at decode-batch scale."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw[pos + 1:pos + 1 + stride],
+                             dtype=np.uint8).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:                       # Up
+            cur = (line + prev) % 256
+        else:                              # Sub / Average / Paeth
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def _parse_png(buf: bytes):
+    """Minimal PNG parser (stdlib zlib only): 8-bit, color type 2
+    (RGB) or 6 (RGBA, alpha dropped), non-interlaced. Returns
+    (width, height, ndarray[h, w, 3] uint8)."""
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, interlace = data[8:13]
+            if depth != 8 or ctype not in (2, 6):
+                raise ValueError(
+                    f"only 8-bit RGB/RGBA PNG supported, got "
+                    f"depth={depth} color_type={ctype}")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG "
+                                 "compression/filter/interlace")
+            ch = 3 if ctype == 2 else 4
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(idat)
+    need = h * (1 + w * ch)
+    if len(raw) < need:
+        raise ValueError("truncated PNG raster")
+    px = _png_unfilter(raw, w, h, ch)
+    return w, h, px[:, :, :3].copy()
+
+
 def gray_grid(rgb, grid_rows: int, grid_cols: int) -> list[int]:
     """Integer luma + integer box-mean downsample of an
     ndarray[h, w, 3] to a row-major grid_rows × grid_cols list —
@@ -244,8 +329,10 @@ def decode_image_grid(df: DataFrame, *, grid_rows: int = 8,
     grid[i] = byte (i·7 mod 32) of sha256(payload) (the
     media_features precedent: SQL-reproducible, so the differential
     covers this exact path). fake=False: REAL pure-Python decode of
-    P6 PPM and 24-bpp uncompressed BMP payloads (magic-sniffed),
-    integer luma + integer box-mean downsample; other codecs raise
+    P6 PPM, 24-bpp uncompressed BMP, and 8-bit RGB/RGBA
+    non-interlaced PNG payloads (magic-sniffed; PNG via stdlib zlib
+    + full scanline unfiltering, all five filter types), integer
+    luma + integer box-mean downsample; other codecs raise
     NotImplementedError at the plug-in point."""
     from myhadoop_spark.shipping import ensure_shipped
 
@@ -268,10 +355,13 @@ def decode_image_grid(df: DataFrame, *, grid_rows: int = 8,
                     w, h, rgb = _parse_ppm(buf)
                 elif buf[:2] == b"BM":
                     w, h, rgb = _parse_bmp(buf)
+                elif buf[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, rgb = _parse_png(buf)
                 else:
                     raise NotImplementedError(
-                        "real decode implemented for P6 PPM and "
-                        "24-bpp BMP only; other codecs plug in here")
+                        "real decode implemented for P6 PPM, 24-bpp "
+                        "BMP, and 8-bit RGB/RGBA PNG; other codecs "
+                        "plug in here")
                 out.append({"media_id": mid, "width": w, "height": h,
                             "grid": gray_grid(rgb, rows_, cols_)})
             yield pd.DataFrame(

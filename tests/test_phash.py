@@ -289,3 +289,85 @@ def test_media_ingest_stream_suppression(spark, tmp_path):
     kept = {r["doc_id"]
             for r in read_clean(spark, str(tmp_path / "st")).collect()}
     assert kept == {1, 2, 12}
+
+
+def _encode_png(rgb_rows, alpha=False, filters=(0,)):
+    """Pure-Python PNG encoder for the decoder tests: applies the
+    requested per-scanline filter types (0-4), so every unfilter
+    path in the decoder is exercised against known pixels."""
+    import zlib
+
+    h, w = len(rgb_rows), len(rgb_rows[0])
+    ch = 4 if alpha else 3
+    raw = b""
+    prev = [0] * (w * ch)
+    for y, row in enumerate(rgb_rows):
+        flat = []
+        for px in row:
+            flat += list(px) + ([255 - (y % 7)] if alpha else [])
+        f = filters[y % len(filters)]
+        line = bytearray()
+        for x in range(w * ch):
+            a = flat[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (a if pa <= pb and pa <= pc
+                        else b if pb <= pc else c)
+            line.append((flat[x] - pred) % 256)
+        raw += bytes([f]) + bytes(line)
+        prev = flat
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 6 if alpha else 2, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types(spark):
+    """Real PNG decode (stdlib zlib + scanline unfiltering): every
+    filter type 0-4 round-trips to the known pixel grid."""
+    img = _image(5)
+    rows = [(0, _encode_png(img, filters=(0, 1, 2, 3, 4))),
+            (1, _encode_png(img, filters=(4,))),
+            (2, _encode_png(img, filters=(3, 4, 1)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    want = _py_gray_grid(img, 8, 9)
+    got = {r["media_id"]: (r["width"], r["height"], list(r["grid"]))
+           for r in decode_image_grid(df, fake=False).collect()}
+    for i, _ in rows:
+        assert got[i] == (36, 40, want), i
+
+
+def test_png_rgba_alpha_dropped_and_guards(spark):
+    """RGBA PNGs decode to the same grid as their RGB twin (alpha
+    dropped); unsupported bit depth fails loudly."""
+    img = _image(9)
+    df = spark.createDataFrame(
+        [(0, _encode_png(img, alpha=True, filters=(2, 4))),
+         (1, _encode_png(img, alpha=False, filters=(1,)))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: list(r["grid"])
+           for r in decode_image_grid(df, fake=False).collect()}
+    assert got[0] == got[1] == _py_gray_grid(img, 8, 9)
+
+    bad = bytearray(_encode_png(img))
+    bad[24] = 16  # IHDR bit depth byte
+    df2 = spark.createDataFrame([(1, bytes(bad))],
+                                "media_id long, payload binary")
+    with pytest.raises(Exception, match="8-bit"):
+        decode_image_grid(df2, fake=False).collect()
