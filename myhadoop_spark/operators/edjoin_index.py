@@ -183,11 +183,21 @@ def probe(batch_names: DataFrame, index: DataFrame,
 
 
 def read_pruned(spark: SparkSession, path: str,
-                buckets: list[int]) -> DataFrame:
+                buckets: list[int],
+                max_batch: int | None = None) -> DataFrame:
     """The stored prefix table restricted to ``buckets`` plus the
-    short tier — a partition-pruned read (bucket and tier are
-    partition columns)."""
+    short tier — a partition-pruned read (bucket, tier, and batch_id
+    are partition columns). ``max_batch`` restricts the read to
+    COMMITTED batches (``batch_id <= max_batch``): a crash between
+    the prefix write for batch N and the meta.json commit leaves an
+    orphan ``batch_id=N`` dir, and a replay of batch N must never
+    probe its own failed-attempt rows (it would match itself at
+    dist 0 and the catalog would permanently omit those entities).
+    Pass the meta's ``last_batch``; ``None`` reads everything (only
+    safe outside the replay path, e.g. offline inspection)."""
     idx = spark.read.parquet(f"{path}/prefix")
+    if max_batch is not None:
+        idx = idx.filter(F.col("batch_id") <= int(max_batch))
     short_only = F.col("tier") == "short"
     if not buckets:
         # a batch whose every name is in the content-blind class

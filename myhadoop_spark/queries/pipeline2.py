@@ -77,6 +77,7 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
            url_blocklist: DataFrame | None = None,
            url_keywords: tuple = (),
            url_threshold: int | None = None,
+           url_missing: str = "keep",
            line_clean_args: dict | None = None,
            line_dedup_lines: bool = False,
            fuzzy_bench_decontam: bool = False) -> dict:
@@ -128,7 +129,13 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
       signal — blocked documents never even reach the scrub):
       ``url_blocklist`` domains drop via the broadcast anti join and
       ``url_keywords``/``url_threshold`` score the canonical URL
-      (operators/url_filter.py, the curate_mix stage-one machinery);
+      (operators/url_filter.py, the curate_mix stage-one machinery).
+      ``url_missing`` decides documents ABSENT from url_meta (a crawl
+      metadata coverage gap): ``"keep"`` (default — only an explicit
+      rule drop deletes a document; metadata-less docs pass),
+      ``"drop"`` (metadata is a pass requirement — the strict crawl
+      posture), or ``"error"`` (coverage is a contract; any gap is a
+      loud failure);
     * ``line_clean_args={...}`` arms C4/RefinedWeb line-wise cleaning
       (operators/line_filter.py clean_lines kwargs; lines split on
       newlines) after the cheap gates and BEFORE classifier training,
@@ -148,25 +155,56 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
     the SCRUBBED corpus, captured before every optional gate — a
     line-cleaned document is matched against the bench windows of
     its PRE-cleaning text, so arming a gate can never shrink the
-    protected reference.
+    protected reference. The URL gate honors this too (r13): the
+    reference slice is captured from the PRE-URL-filter corpus, so a
+    bench document blocked on its crawl metadata still has verbatim /
+    near-dup copies of it excised from what ships.
     """
     if (url_blocklist is not None or url_keywords) and url_meta is None:
         raise ValueError("url_blocklist/url_keywords given without "
                          "url_meta (doc_id, canon_url, domain)")
+    if url_missing not in ("keep", "drop", "error"):
+        raise ValueError(f"url_missing must be 'keep', 'drop', or "
+                         f"'error', got {url_missing!r}")
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
     stats = {"raw": raw.count()}
 
     # stage 0 (r12): RefinedWeb URL filtering — drop documents on
     # their crawl metadata BEFORE any content processing
+    ref_override = None
     if url_meta is not None:
         from myhadoop_spark.operators.url_filter import url_filter
 
+        # the protected bench/LM reference slice is captured BEFORE
+        # the URL gate (scrubbed inside _curate) — the one stage-zero
+        # exception to "blocked docs never reach the scrub": the
+        # reference is 1/20 of the corpus and pays one narrow regexp
+        # pass so decontamination never loses a protected document
+        ref_override = raw.filter(F.col("doc_id") % 20 == 0)
         survivors = url_filter(
             url_meta, blocked_domains=url_blocklist,
             keywords=tuple(url_keywords), threshold=url_threshold,
             keep_score=False).select("doc_id")
-        raw = raw.join(survivors, "doc_id")
+        if url_missing == "error":
+            gap = (raw.select("doc_id")
+                   .join(url_meta.select("doc_id"), "doc_id",
+                         "left_anti").count())
+            if gap:
+                raise ValueError(
+                    f"url_meta is missing {gap} corpus doc_ids "
+                    "(url_missing='error'); fix the crawl metadata or "
+                    "choose url_missing='keep'/'drop'")
+            raw = raw.join(survivors, "doc_id")
+        elif url_missing == "drop":
+            # strict posture: no metadata row = no pass (inner join)
+            raw = raw.join(survivors, "doc_id")
+        else:
+            # default: only an EXPLICIT rule drop deletes a document —
+            # a metadata coverage gap must not silently delete corpus
+            dropped = (url_meta.select("doc_id")
+                       .join(survivors, "doc_id", "left_anti"))
+            raw = raw.join(dropped, "doc_id", "left_anti")
         stats["after_url_filter"] = raw.count()
 
     frontiers: list[DataFrame] = []
@@ -175,7 +213,7 @@ def curate(spark: SparkSession, sf_dir: str, out_path: str,
                        n_shards, frontiers, wide_hash, seen_filter,
                        n_filter_shards, lm_max_ppl, compression_band,
                        dsir_budget, line_clean_args, line_dedup_lines,
-                       fuzzy_bench_decontam)
+                       fuzzy_bench_decontam, ref_override)
     finally:
         # release the cached frontiers on every exit path — a failed
         # stage must not leave corpus-sized blocks pinned for the rest
@@ -193,7 +231,8 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
             dsir_budget: int | None = None,
             line_clean_args: dict | None = None,
             line_dedup_lines: bool = False,
-            fuzzy_bench_decontam: bool = False) -> dict:
+            fuzzy_bench_decontam: bool = False,
+            ref_override: DataFrame | None = None) -> dict:
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         frontiers.append(df)
@@ -229,8 +268,14 @@ def _curate(spark: SparkSession, raw: DataFrame, stats: dict,
     # the decontam benchmark and LM reference are the doc_id%20 split
     # of the SCRUBBED corpus (the documented invariant) — captured
     # BEFORE any optional gate below so arming a gate can never shrink
-    # the reference and let a verbatim benchmark copy ship unexcised
-    reference = clean
+    # the reference and let a verbatim benchmark copy ship unexcised.
+    # When the URL gate ran (ref_override), the slice comes from the
+    # PRE-URL corpus: URL-blocked bench docs stay protected (r13)
+    if ref_override is not None:
+        reference = _persist(
+            ref_override.withColumn("text", scrub_text("text")))
+    else:
+        reference = clean
 
     # 1c. optional compression-band gate: the Gopher repetition/noise
     #     heuristic — one narrow Arrow pass, dropped docs never reach

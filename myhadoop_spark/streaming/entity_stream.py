@@ -164,9 +164,14 @@ def start_entity_stream(rec_stream: DataFrame, *, path: str,
                                    q=q, n_buckets=n_buckets)
                        .filter(F.col("tier") != "short")
                        .select("bucket").distinct().collect()]
-            idx = read_pruned(spark, path, buckets)
-            probe_stats["buckets_read"] = len(buckets)
-            probe_stats["index_rows_read"] = idx.count()
+            # committed batches only (<= last_batch): a crash after
+            # the batch-N prefix write but before the meta commit
+            # must not let the replay probe its own orphan rows
+            idx = read_pruned(spark, path, buckets,
+                              max_batch=meta["last_batch"])
+            if stats is not None:
+                probe_stats["buckets_read"] = len(buckets)
+                probe_stats["index_rows_read"] = idx.count()
             cross = probe(b_names, idx, order, max_dist=max_dist,
                           q=q, n_buckets=n_buckets)
             match = (cross.groupBy("probe_id")

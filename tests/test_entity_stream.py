@@ -191,3 +191,43 @@ def test_pruned_index_all_short_batch(spark, tmp_path):
     a2 = sorted(map(tuple, read_assignments(spark, p2).collect()))
     assert a1 == a2
     assert stats[-1]["buckets_read"] == 0
+
+
+def test_pruned_index_crash_replay_not_poisoned(spark, tmp_path):
+    """A crash AFTER the batch-N prefix write but BEFORE the meta.json
+    commit leaves an orphan prefix/batch_id=N dir. The replay of batch
+    N must NOT probe those failed-attempt rows — else its own new
+    entities would match 'existing' at dist 0, is_new=False, and the
+    catalog would permanently omit entities the assignments reference.
+    read_pruned restricts the probe to committed batches (ADVICE r12)."""
+    import shutil
+
+    b0 = _names(0)
+    b1 = [(900, "totally novel gadget zzz")]   # genuinely new, long tier
+    # reference run: both batches, clean lifecycle
+    src_ref = _write_src(spark, tmp_path / "rsrc", [b0, b1])
+    p_ref = str(tmp_path / "ref")
+    _run(spark, src_ref, p_ref, str(tmp_path / "rck"),
+         pruned_index=True, n_buckets=16)
+
+    # crashed run: batch 0 committed; then plant batch 1's own prefix
+    # rows as the orphan of a failed attempt (meta still last_batch=0)
+    src = _write_src(spark, tmp_path / "src", [b0])
+    path = str(tmp_path / "er")
+    ck = str(tmp_path / "ck")
+    _run(spark, src, path, ck, pruned_index=True, n_buckets=16)
+    shutil.copytree(f"{p_ref[len('file:'):] if p_ref.startswith('file:') else p_ref}/prefix/batch_id=1",
+                    f"{path}/prefix/batch_id=1")
+
+    # resume the SAME checkpoint: batch 1 replays against the orphan
+    _write_src(spark, tmp_path / "src", [b1])
+    _run(spark, src, path, ck, pruned_index=True, n_buckets=16)
+
+    a = {r["id"]: r for r in read_assignments(spark, path).collect()}
+    assert a[900]["is_new"] is True            # not self-matched
+    cat = {r["entity"] for r in read_catalog(spark, path).collect()}
+    assert 900 in cat                          # catalog holds it
+    # end state bitwise ≡ the clean reference run
+    ar = sorted(map(tuple, read_assignments(spark, p_ref).collect()))
+    ac = sorted(map(tuple, read_assignments(spark, path).collect()))
+    assert ar == ac

@@ -453,3 +453,59 @@ def test_all_r12_stages_end_to_end(spark, tmp_path):
     assert stats["manifest"]["total_rows"] == stats["after_decontam"]
     statuses = {r.status for r in verify_export(spark, out).collect()}
     assert statuses == {"ok"} or stats["after_decontam"] == 0
+
+
+def test_url_gate_protects_bench_reference(spark, tmp_path):
+    """ADVICE r12 (medium): the protected doc_id%20 bench/LM reference
+    is captured from the PRE-URL corpus. Blocking every bench doc's
+    domain removes them from the corpus FLOW but decontamination must
+    still excise their verbatim spans from what ships — before the
+    r13 fix the reference slice went empty and tokens_excised was 0."""
+    from myhadoop_spark.catalog import load
+
+    ids = load(spark, SF_SMOKE, "documents").select("doc_id")
+    n_bench = ids.filter(F.col("doc_id") % 20 == 0).count()
+    dom = (F.when(F.col("doc_id") % 20 == 0, F.lit("bench.com"))
+           .otherwise(F.lit("ok.com")))
+    meta = ids.select(
+        "doc_id", dom.alias("domain"),
+        F.concat(F.lit("http://"), dom, F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("canon_url"))
+    blocked = spark.createDataFrame([("bench.com",)], "domain string")
+    s = curate(spark, SF_SMOKE, str(tmp_path / "o"), url_meta=meta,
+               url_blocklist=blocked)
+    assert s["after_url_filter"] == s["raw"] - n_bench
+    # the reference survived the URL drop: bench spans still excised
+    assert s["tokens_excised"] > 0
+
+
+def test_url_missing_knob(spark, tmp_path):
+    """ADVICE r12 (low): documents absent from url_meta. Default
+    'keep' passes them through (only an explicit rule drop deletes),
+    'drop' requires metadata (the old inner-join posture), 'error'
+    makes a coverage gap a loud failure."""
+    from myhadoop_spark.catalog import load
+
+    ids = load(spark, SF_SMOKE, "documents").select("doc_id")
+    n_raw = ids.count()
+    covered = ids.filter(F.col("doc_id") % 2 == 0)
+    n_cov = covered.count()
+    meta = covered.select(
+        "doc_id", F.lit("ok.com").alias("domain"),
+        F.concat(F.lit("http://ok.com/p"),
+                 F.col("doc_id").cast("string")).alias("canon_url"))
+
+    keep = curate(spark, SF_SMOKE, str(tmp_path / "k"), url_meta=meta)
+    assert keep["after_url_filter"] == n_raw          # gap passes
+
+    drop = curate(spark, SF_SMOKE, str(tmp_path / "d"), url_meta=meta,
+                  url_missing="drop")
+    assert drop["after_url_filter"] == n_cov          # gap drops
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing"):
+        curate(spark, SF_SMOKE, str(tmp_path / "e"), url_meta=meta,
+               url_missing="error")
+    with _pytest.raises(ValueError, match="url_missing"):
+        curate(spark, SF_SMOKE, str(tmp_path / "x"), url_meta=meta,
+               url_missing="banana")
