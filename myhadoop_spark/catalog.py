@@ -114,9 +114,21 @@ def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default parallelism, repartition round-robin up to it; on real
     multi-file data (the 100 TB case) the scan already produces at
     least that many splits and this is a NO-OP — no shuffle appears in
-    the plan."""
+    the plan.
+
+    The widening is pinned with a LAZY localCheckpoint (r13): Catalyst
+    pushes deterministic predicates through Repartition, so a heavy
+    doc-level filter written after load_wide (clean_lines' keep_doc,
+    langid margins …) would otherwise evaluate BELOW the exchange on
+    the one-split scan — a single-core floor the widening exists to
+    remove (measured: a 5.4 s one-task stage inside curate_lines at
+    sf0.1). The checkpoint truncates lineage so the filter stays on
+    the widened side; it materializes the (small, single-split by
+    definition of this branch) table once per call on first action.
+    The multi-split branch returns the scan untouched — at real scale
+    there is no exchange to defeat and scan pushdown keeps working."""
     df = load(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+        df = df.repartition(par).localCheckpoint(eager=False)
     return df

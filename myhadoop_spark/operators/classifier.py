@@ -105,9 +105,12 @@ def train_token_weights(labeled: DataFrame, label_col: str = "label",
     counts = (tok_rows.groupBy("tok")
               .agg(F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).alias("n_pos"),
                    F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).alias("n_neg")))
-    totals = tok_rows.agg(
-        F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).alias("t_pos"),
-        F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).alias("t_neg"))
+    # class totals fold over the BOUNDED per-token count table, not a
+    # second explode of the training split (r13 stage fusion):
+    # t_pos = Σ_tok n_pos(tok) exactly, and Catalyst cannot share the
+    # explode across the two aggregations on a lazy chain
+    totals = counts.agg(F.sum("n_pos").alias("t_pos"),
+                        F.sum("n_neg").alias("t_neg"))
     # single-class training is a caller bug, not a silent model: Spark's
     # integer DIV 0 yields NULL (all-null weights) while DuckDB's //
     # raises — fail loudly and identically here instead

@@ -61,13 +61,21 @@ def dedup_against(docs: DataFrame, seen: DataFrame | None, *,
                   lines_col: str | Column,
                   id_col: str = "doc_id",
                   normalize: bool = False,
-                  min_kept_lines: int = 1) -> DataFrame:
+                  min_kept_lines: int = 1,
+                  carry_base: bool = True) -> DataFrame:
     """The composable core: keep-first line dedup WITHIN ``docs``,
     after first discarding every line whose key appears in ``seen``
     (a one-column ``key`` DataFrame — the already-ingested corpus).
     ``seen=None`` is the pure batch semantics (line_dedup). The seen
     set is data-sized (distinct lines so far), so it joins
     hash-partitioned (left_anti) — never assumed broadcastable.
+
+    ``carry_base=False`` skips the rebuild join back against ``docs``
+    and returns only (id_col, n_kept, clean_text): every id in the
+    survivor rebuild came FROM docs, so the inner join adds nothing
+    but docs' other columns (n_lines, original text) — a composition
+    that doesn't read them saves one shuffle join and one recompute
+    of the docs subtree (r13 stage fusion).
     """
     if int(min_kept_lines) < 1:
         # a doc with zero survivors is always dropped (CCNet drops
@@ -106,6 +114,10 @@ def dedup_against(docs: DataFrame, seen: DataFrame | None, *,
                             lambda s: s["line"]),
                         "\n").alias("clean_text"),
                     F.count("*").alias("n_kept")))
+    if not carry_base:
+        return (rebuilt
+                .filter(F.col("n_kept") >= F.lit(int(min_kept_lines)))
+                .withColumnRenamed("_id", id_col))
     out = (base.join(rebuilt,
                      base[id_col] == rebuilt["_id"], "inner")
            .filter(F.col("n_kept") >= F.lit(int(min_kept_lines)))
@@ -116,16 +128,20 @@ def dedup_against(docs: DataFrame, seen: DataFrame | None, *,
 def line_dedup(docs: DataFrame, *, lines_col: str | Column,
                id_col: str = "doc_id",
                normalize: bool = False,
-               min_kept_lines: int = 1) -> DataFrame:
+               min_kept_lines: int = 1,
+               carry_base: bool = True) -> DataFrame:
     """Surviving docs with (n_lines, n_kept, clean_text) after
     corpus-wide keep-first line dedup.
 
     ``lines_col`` is an array<string> column (see
     operators/line_filter.py's split_lines / word_lines producers).
+    ``carry_base=False`` returns only (id_col, n_kept, clean_text)
+    without the rebuild join — see dedup_against.
     """
     return dedup_against(docs, None, lines_col=lines_col,
                          id_col=id_col, normalize=normalize,
-                         min_kept_lines=min_kept_lines)
+                         min_kept_lines=min_kept_lines,
+                         carry_base=carry_base)
 
 
 def within_doc_dedup(docs: DataFrame, *, lines_col: str | Column,

@@ -106,6 +106,7 @@ def clean_lines(docs: DataFrame, *, lines_col: str | Column,
                                                         "{"),
                 min_kept_lines: int = 3,
                 max_removed_frac: tuple[int, int] | None = None,
+                keep_lines: bool = False,
                 ) -> DataFrame:
     """Surviving docs with (n_lines, n_kept, clean_text).
 
@@ -115,6 +116,11 @@ def clean_lines(docs: DataFrame, *, lines_col: str | Column,
     removed_words * den > total_words * num — exact on both engines.
     Dropped documents are REMOVED from the result (this is the
     filter face); clean_text re-joins kept lines with newlines.
+    ``keep_lines=True`` additionally carries the kept array as
+    ``kept_lines`` so a downstream line stage (line_dedup) can chain
+    on the array directly instead of re-splitting clean_text — the
+    fused clean→dedup rebuild (r13; identical semantics since kept
+    lines cannot contain the newline separator by construction).
     """
     if int(min_kept_lines) < 0:
         raise ValueError(f"min_kept_lines must be >= 0, "
@@ -155,6 +161,8 @@ def clean_lines(docs: DataFrame, *, lines_col: str | Column,
         keep_doc = keep_doc & (
             (F.col("_w_all") - F.col("_w_kept")) * F.lit(den)
             <= F.col("_w_all") * F.lit(num))
-    return (out.filter(keep_doc)
-            .withColumn("clean_text", F.array_join("_kept", "\n"))
-            .drop("_lines", "_kept", "_low_doc", "_w_all", "_w_kept"))
+    out = (out.filter(keep_doc)
+           .withColumn("clean_text", F.array_join("_kept", "\n")))
+    if keep_lines:
+        out = out.withColumn("kept_lines", F.col("_kept"))
+    return out.drop("_lines", "_kept", "_low_doc", "_w_all", "_w_kept")

@@ -107,15 +107,16 @@ def test_window_battery_two_exchanges(spark):
 
 def test_doc_metrics_is_narrow(spark):
     """Per-document text features are one narrow codegen pass. On the
-    single-split fixture doc_metrics carries exactly one ROUND-ROBIN
-    scan-widening exchange (catalog.load_wide — absent on multi-split
-    data); none of them may hash-shuffle or drop into Python."""
+    single-split fixture doc_metrics reads the load_wide checkpoint
+    barrier (Scan ExistingRDD — the materialized round-robin widening;
+    absent on multi-split data); none of them may hash-shuffle or
+    drop into Python."""
     for name in ("doc_metrics", "array_fns", "map_struct_fns"):
         plan = plan_of(spark, name)
         n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
         if name == "doc_metrics":
-            assert n_exchange == 1, f"{name}:\n{plan}"
-            assert "roundrobinpartitioning" in plan.lower(), plan
+            assert n_exchange == 0, f"{name}:\n{plan}"
+            assert "ExistingRDD" in plan, plan
             assert "hashpartitioning" not in plan.lower(), plan
         else:
             assert n_exchange == 0, f"{name}:\n{plan}"
