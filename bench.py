@@ -307,6 +307,7 @@ def main() -> None:
     drift_widened: dict[str, float] = {}  # name -> prior-round median
     anchor_widened: dict[str, float] = {}  # name -> pinned anchor level
     spread_widened: dict[str, float] = {}  # name -> 3-rep max/min spread
+    trimmed: dict[str, int] = {}  # name -> reps dropped by the 2×-floor trim
     for name, fn in qs.items():
         # per-query isolation: one broken query costs one row, never the
         # whole artifact (round 2 lost its entire bench run to a single
@@ -370,7 +371,21 @@ def main() -> None:
             meter.new_stages()
             continue
         all_reps[name] = rep_times
-        times[name] = round(statistics.median(rep_times), 4)
+        # r13 (VERDICT r12 #1): on WIDENED queries the all-rep median
+        # can commit a warm-up/contention descent as the level — the
+        # r12 terminal capture's simsearch_ivf drew 44.3/45.3/28.5/
+        # 7.7/4.7 and committed 28.5 while its own last reps sat at
+        # the warm band. Widening exists to find the level, so the
+        # statistic must be level-shaped: drop reps > 2× the rep
+        # minimum (the floor class) before taking the median. A
+        # non-widened query keeps the plain median.
+        if len(rep_times) > reps and min(rep_times) > 0:
+            floor_reps = [t for t in rep_times
+                          if t <= 2.0 * min(rep_times)]
+            trimmed[name] = len(rep_times) - len(floor_reps)
+            times[name] = round(statistics.median(floor_reps), 4)
+        else:
+            times[name] = round(statistics.median(rep_times), 4)
 
     total = round(sum(times.values()), 4)
 
@@ -385,7 +400,8 @@ def main() -> None:
         json.dump({"sf": sf, "reps": all_reps, "queries": telemetry,
                    "drift_widened": drift_widened,
                    "anchor_widened": anchor_widened,
-                   "spread_widened": spread_widened}, f, indent=1)
+                   "spread_widened": spread_widened,
+                   "trimmed": trimmed}, f, indent=1)
 
     # TSV record mirroring the reference's export shape
     # (/root/reference/export_record.py:8-56: one row per run — config
