@@ -98,6 +98,10 @@ def _hashed_token_sets(spark: SparkSession, sf_dir: str,
            c.content_hash, c.keep_id, c.n_copies
     FROM d JOIN c ON md5(d.text) = c.content_hash
     """,
+    gate=False,  # demoted r13 — the md5 keep-min-id stage is stage 2 of
+    #              the gated corpus_prep, and keep-one-per-component is
+    #              pinned by the gated dedup_clusters + media_dedup;
+    #              still a full ungated differential
     tags=("dedup", "extension"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

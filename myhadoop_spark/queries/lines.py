@@ -334,7 +334,9 @@ def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(kept, chr(10)) AS clean_text
     FROM d WHERE len(kept) >= 1 ORDER BY doc_id
     """,
-    gate=False,
+    gate=True,  # promoted r13 (VERDICT r12 #3): the C4/RefinedWeb
+    #             per-page dedup face beside the gated corpus-wide
+    #             line_dedup
     tags=("dedup", "curation", "extension"),
 )
 def within_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:

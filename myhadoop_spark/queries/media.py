@@ -213,7 +213,9 @@ _ND_PIX = "CAST(concat('0x', substr(md5(concat(g, ':', i)), 1, 2)) AS INT)"
     WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
     ORDER BY id_a, id_b
     """,
-    gate=False,
+    gate=True,  # promoted r13 — the multimodal family's first gate row
+    #             (VERDICT r12 #3): the join-face pin through the real
+    #             Arrow decode plumbing
     tags=("multimodal", "dedup", "extension", "lsh"),
 )
 def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +300,8 @@ def _planted_hashes(spark: SparkSession) -> DataFrame:
     SELECT id AS media_id, CAST(MIN(r) AS BIGINT) AS component
     FROM reach GROUP BY id ORDER BY media_id
     """,
-    gate=False,
+    gate=True,  # promoted r13 (VERDICT r12 #3): the keep-one composition
+    #             pin (pairs -> CC -> representative) for the media family
     tags=("multimodal", "dedup", "extension", "iterative"),
 )
 def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

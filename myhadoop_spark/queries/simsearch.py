@@ -85,6 +85,10 @@ _SQL_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
            floor(cos * 1e6) / 1e6 AS cosine
     FROM r WHERE rn <= {TOP_K}
     """,
+    gate=False,  # demoted r13 — the exact brute-force top-k is computed
+    #              ALONGSIDE inside the gated simsearch_ivf as its
+    #              in-query recall reference (identical cosine/top-k
+    #              machinery); still a full ungated differential
     tags=("simsearch", "extension"),
 )
 def simsearch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,6 +229,11 @@ def _max_run(arr: Column) -> Column:
     FROM h LEFT JOIN tw USING (doc_id) LEFT JOIN cr USING (doc_id)
          LEFT JOIN wfp USING (doc_id)
     """,
+    gate=False,  # demoted r13 — the quality heuristic is stage 4 of the
+    #              gated corpus_prep AND the teacher inside the gated
+    #              curate_lines' oracle; the lang-marker hit machinery
+    #              is pinned by the gated langid_predict; still a full
+    #              ungated differential
     tags=("text", "extension"),
 )
 def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
