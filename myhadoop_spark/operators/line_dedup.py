@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.operators.hof import let
+
 
 def ccnet_normalize(line: Column) -> Column:
     """CCNet-style line key: lowercase, digit runs removed, outer
@@ -147,7 +149,8 @@ def line_dedup(docs: DataFrame, *, lines_col: str | Column,
 def within_doc_dedup(docs: DataFrame, *, lines_col: str | Column,
                      id_col: str = "doc_id",
                      normalize: bool = False,
-                     min_kept_lines: int = 1) -> DataFrame:
+                     min_kept_lines: int = 1,
+                     max_lines: int | None = None) -> DataFrame:
     """Per-document repeated-line removal — the C4/RefinedWeb
     per-page line correction (keep each document's FIRST occurrence
     of every line key, drop later in-document repeats), as ONE
@@ -160,27 +163,62 @@ def within_doc_dedup(docs: DataFrame, *, lines_col: str | Column,
     Returns surviving docs with (n_lines, n_kept, clean_text); the
     comparison key is the raw line or its CCNet normalization, the
     OUTPUT always keeps the original line text of the first
-    occurrence. Arrays are materialized into columns before the
-    indexed filter (the HOF-recompute discipline)."""
+    occurrence. The lines and key arrays are LET-BOUND to lambda
+    variables (operators/hof.py) so the indexed filter reads
+    attributes, never re-evaluates the producing expression per
+    element (the HOF-recompute discipline, closed structurally).
+
+    Cost bound: ``array_position`` scans the key prefix per element —
+    O(L^2) key comparisons per document (shared by the DuckDB twin's
+    list_position, so the differential stays honest). Page-sized
+    documents (the C4/RefinedWeb unit, tens to hundreds of lines) are
+    well inside the bound; for corpora that may carry degenerate
+    multi-thousand-line documents, set ``max_lines`` to fail loudly
+    in-plan (the max_bucket refusal discipline) and route such docs
+    through the corpus-wide ``line_dedup`` (linear via explode +
+    groupBy) instead."""
     if int(min_kept_lines) < 1:
         raise ValueError(
             f"min_kept_lines must be >= 1, got {min_kept_lines}")
+    if max_lines is not None and int(max_lines) < 1:
+        raise ValueError(f"max_lines must be >= 1, got {max_lines}")
     lc = F.col(lines_col) if isinstance(lines_col, str) else lines_col
-    base = docs.withColumn("_lines", lc)
-    keys = (F.transform("_lines", ccnet_normalize) if normalize
-            else F.col("_lines"))
-    base = base.withColumn("_keys", keys)
-    # element i survives iff the FIRST occurrence of its key is at i
-    # (filter's i is 0-based, [] indexing 0-based, array_position
-    # 1-based first match — identical to the DuckDB twin's
-    # list_position/list_filter with 1-based i)
-    kept = F.expr(
-        "filter(_lines, (x, i) -> "
-        "array_position(_keys, _keys[i]) = i + 1)")
-    out = (base.withColumn("_kept", kept)
-           .withColumn("n_lines", F.size("_lines").cast("long"))
-           .withColumn("n_kept", F.size("_kept").cast("long"))
+    if max_lines is not None:
+        guard = F.assert_true(
+            F.size(lc) <= F.lit(int(max_lines)),
+            F.concat(F.lit("within_doc_dedup: document exceeds "
+                           f"max_lines={int(max_lines)} (O(L^2) "
+                           "per-doc bound) — got "),
+                     F.size(lc).cast("string"),
+                     F.lit(" lines; use line_dedup for degenerate "
+                           "documents")))
+        # assert_true returns NULL on pass; folding it into the bound
+        # value keeps it alive under column pruning (the budget 1-row
+        # contract pattern, operators/budget_select.py)
+        lc = F.when(guard.isNull(), lc)
+
+    def _doc_struct(ls: Column) -> Column:
+        # element i survives iff the FIRST occurrence of its key is
+        # at i (filter's i is 0-based, [] indexing 0-based,
+        # array_position 1-based first match — identical to the
+        # DuckDB twin's list_position/list_filter with 1-based i)
+        def _with_keys(ks: Column) -> Column:
+            kept = F.filter(
+                ls, lambda x, i:
+                F.array_position(ks, ks[i]) == i + F.lit(1))
+            return let(kept, lambda kp: F.struct(
+                F.size(ls).cast("long").alias("n_lines"),
+                F.size(kp).cast("long").alias("n_kept"),
+                F.array_join(kp, "\n").alias("clean_text")))
+
+        if normalize:
+            return let(F.transform(ls, ccnet_normalize), _with_keys)
+        return _with_keys(ls)
+
+    out = (docs.withColumn("_s", let(lc, _doc_struct))
+           .withColumn("n_lines", F.col("_s.n_lines"))
+           .withColumn("n_kept", F.col("_s.n_kept"))
            .filter(F.col("n_kept") >= F.lit(int(min_kept_lines)))
-           .withColumn("clean_text", F.array_join("_kept", "\n"))
-           .drop("_lines", "_keys", "_kept"))
+           .withColumn("clean_text", F.col("_s.clean_text"))
+           .drop("_s"))
     return out

@@ -23,10 +23,12 @@ Rules implemented (all public-paper semantics):
         integer arithmetic on both engines — no float thresholds.
 
 Everything is a narrow higher-order-function projection over a lines
-array — no shuffle, no UDFs, whole-stage codegen end to end — so the
-pass costs one corpus scan at any scale. Line arrays are materialized
-as columns before reuse (the r4 HOF-recompute lesson: an expression
-referenced from inside a lambda is re-evaluated per element).
+array — no shuffle, no UDFs — so the pass costs one corpus scan at any
+scale. HOF lambdas evaluate interpreted with no subexpression sharing,
+so every array reused across consumers is LET-BOUND to a lambda
+variable (operators/hof.py), never an alias a projection collapse can
+inline back into per-element recompute (the r4 lesson, closed
+structurally in r13).
 
 The documents fixture has no newlines or punctuation, so the
 registered differential derives lines deterministically with
@@ -43,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.operators.hof import let
+
 _TERMINAL = (".", "!", "?", '"')
 
 
@@ -57,23 +61,32 @@ def split_lines(text_col: str | Column, delim: str = r"\n") -> Column:
 def word_lines(text_col: str | Column, k: int) -> Column:
     """array<string> of k-word chunks — the deterministic line shim
     for corpora without line structure (the fixtures). The final
-    chunk is whatever remains (< k words)."""
+    chunk is whatever remains (< k words).
+
+    The token array is let-bound (operators/hof.py): the transform
+    lambda slices it per produced chunk, and an unbound reference
+    would re-split the full text per chunk — O(words * chunks)
+    re-tokenization, measured 5x the whole pass at sf0.001."""
     if int(k) < 1:
         raise ValueError(f"words per line must be >= 1, got {k}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    toks0 = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
     # guard: sequence(1, 0) runs DESCENDING (the interval-join trap)
-    return F.when(
-        F.size(toks) >= 1,
-        F.transform(
-            F.sequence(F.lit(1),
-                       F.floor((F.size(toks) + F.lit(k - 1)) / F.lit(k))
-                       .cast("int")),
-            lambda i: F.array_join(
-                F.slice(toks, (i - F.lit(1)) * F.lit(k) + F.lit(1),
-                        F.lit(k)), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def _chunks(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 1,
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.floor((F.size(toks) + F.lit(k - 1))
+                                   / F.lit(k)).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - F.lit(1)) * F.lit(k) + F.lit(1),
+                            F.lit(k)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(toks0, _chunks)
 
 
 def _wc(line: Column) -> Column:
@@ -132,37 +145,56 @@ def clean_lines(docs: DataFrame, *, lines_col: str | Column,
                              f"non-negative rational, got "
                              f"{max_removed_frac}")
     lc = F.col(lines_col) if isinstance(lines_col, str) else lines_col
-    base = docs.withColumn("_lines", lc)
-    kept = F.filter(
-        F.col("_lines"),
-        lambda x: line_keep(
-            x, min_words_per_line=min_words_per_line,
-            require_terminal_punct=require_terminal_punct,
-            line_drop_substrings=line_drop_substrings))
-    out = (base
-           .withColumn("_kept", kept)
-           .withColumn("n_lines", F.size("_lines").cast("long"))
-           .withColumn("n_kept", F.size("_kept").cast("long")))
+
+    # one let-bound struct pass (operators/hof.py): the lines array
+    # and the kept array are each evaluated ONCE per row — the kept
+    # filter, both sizes, the doc-level substring scan, the word
+    # sums, and the rebuild all read lambda variables, so neither a
+    # caller-supplied word_lines expression nor the kept filter is
+    # ever re-evaluated per consumer (the r4 HOF-recompute lesson,
+    # closed structurally in r13)
+    def _doc_struct(ls: Column) -> Column:
+        kept = F.filter(
+            ls,
+            lambda x: line_keep(
+                x, min_words_per_line=min_words_per_line,
+                require_terminal_punct=require_terminal_punct,
+                line_drop_substrings=line_drop_substrings))
+
+        def _with_kept(kp: Column) -> Column:
+            fields = [F.size(ls).cast("long").alias("n_lines"),
+                      F.size(kp).cast("long").alias("n_kept"),
+                      F.array_join(kp, "\n").alias("clean_text"),
+                      kp.alias("kept_lines")]
+            if doc_drop_substrings:
+                fields.append(F.lower(F.array_join(ls, "\n"))
+                              .alias("low_doc"))
+            if max_removed_frac is not None:
+                w = lambda c: F.aggregate(  # noqa: E731 — summing fold
+                    c, F.lit(0).cast("long"),
+                    lambda acc, x: acc + _wc(x).cast("long"))
+                fields.append(w(ls).alias("w_all"))
+                fields.append(w(kp).alias("w_kept"))
+            return F.struct(*fields)
+
+        return let(kept, _with_kept)
+
+    out = docs.withColumn("_s", let(lc, _doc_struct))
     # doc-level drop rules --------------------------------------------
-    keep_doc = F.col("n_kept") >= F.lit(int(min_kept_lines))
+    keep_doc = F.col("_s.n_kept") >= F.lit(int(min_kept_lines))
     if doc_drop_substrings:
-        low_doc = F.lower(F.array_join(F.col("_lines"), "\n"))
-        out = out.withColumn("_low_doc", low_doc)
         for s in doc_drop_substrings:
-            keep_doc = keep_doc & (F.instr(F.col("_low_doc"),
+            keep_doc = keep_doc & (F.instr(F.col("_s.low_doc"),
                                            s.lower()) == F.lit(0))
     if max_removed_frac is not None:
         num, den = int(max_removed_frac[0]), int(max_removed_frac[1])
-        w = lambda c: F.aggregate(  # noqa: E731 — local summing fold
-            c, F.lit(0).cast("long"),
-            lambda acc, x: acc + _wc(x).cast("long"))
-        out = (out.withColumn("_w_all", w(F.col("_lines")))
-               .withColumn("_w_kept", w(F.col("_kept"))))
         keep_doc = keep_doc & (
-            (F.col("_w_all") - F.col("_w_kept")) * F.lit(den)
-            <= F.col("_w_all") * F.lit(num))
+            (F.col("_s.w_all") - F.col("_s.w_kept")) * F.lit(den)
+            <= F.col("_s.w_all") * F.lit(num))
     out = (out.filter(keep_doc)
-           .withColumn("clean_text", F.array_join("_kept", "\n")))
+           .withColumn("n_lines", F.col("_s.n_lines"))
+           .withColumn("n_kept", F.col("_s.n_kept"))
+           .withColumn("clean_text", F.col("_s.clean_text")))
     if keep_lines:
-        out = out.withColumn("kept_lines", F.col("_kept"))
-    return out.drop("_lines", "_kept", "_low_doc", "_w_all", "_w_kept")
+        out = out.withColumn("kept_lines", F.col("_s.kept_lines"))
+    return out.drop("_s")

@@ -20,17 +20,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.operators.hof import let
 from myhadoop_spark.queries.dedup import MINHASH_FAM, MINHASH_P
 
 
 def minhash_signature_col(text_col: str = "text") -> Column:
     """Full 16-minhash signature of a text column as a single string —
     the same hash family as the batch operator (dedup.py), computed as
-    one narrow expression so it is legal inside a streaming query."""
-    hashed = _hashed_tokens_col(text_col)
-    return F.array_join(
-        F.array(*[_mh_fold(hashed, i).cast("string")
-                  for i in range(len(MINHASH_FAM))]), ",")
+    one narrow expression so it is legal inside a streaming query.
+
+    The hashed token array is LET-BOUND (operators/hof.py): the 16
+    fold expressions share one projection, but HOF-bearing projections
+    evaluate interpreted with no subexpression elimination, so an
+    unbound ``hashed`` would tokenize+md5 the document 16x per row."""
+    return let(
+        _hashed_tokens_col(text_col),
+        lambda hashed: F.array_join(
+            F.array(*[_mh_fold(hashed, i).cast("string")
+                      for i in range(len(MINHASH_FAM))]), ","))
 
 
 def _hashed_tokens_col(text_col: str) -> Column:
@@ -41,15 +48,10 @@ def _hashed_tokens_col(text_col: str) -> Column:
 
 
 def _mh_fold(hashed: Column, i: int) -> Column:
-    """One minhash fold, UNROLLED per hash function: the previous form
-    iterated transform(sequence(0, 15), i -> aggregate(hashed, ...)),
-    which placed `hashed` (tokenize + md5) inside the per-i lambda —
-    higher-order-function lambdas are re-evaluated per element with no
-    loop-invariant hoisting, so the tokenize+hash ran 16x per row (the
-    r4 recompute-trap family, operators/substring.py). Unrolled, the 16
-    aggregate expressions share `hashed` as a common subexpression in
-    ONE projection, which codegen subexpression elimination evaluates
-    once."""
+    """One minhash fold over an already let-bound hashed token
+    array (`minhash_signature_col` binds it; HOF projections evaluate
+    interpreted, so only a lambda-variable reference is free — the r4
+    recompute-trap family, operators/substring.py)."""
     _, a, b = MINHASH_FAM[i]
     return F.aggregate(
         hashed,
@@ -85,17 +87,21 @@ BAND_ROWS = 4  # bands of 4 minhashes each, matching dedup.py
 def band_keys_col(text_col: str = "text") -> Column:
     """Array of 4 band keys ('band_index:sig') for a text column —
     bands built directly from the unrolled folds (each fold appears
-    once; `hashed` is CSE'd across all 16), not by re-parsing the full
+    once over the LET-BOUND hashed token array; an unbound reference
+    would tokenize+md5 16x per row — interpreted HOF projections have
+    no subexpression elimination), not by re-parsing the full
     signature string per band."""
-    hashed = _hashed_tokens_col(text_col)
     n_bands = len(MINHASH_FAM) // BAND_ROWS
-    return F.array(*[
-        F.concat(
-            F.lit(f"{b}:"),
-            F.array_join(
-                F.array(*[_mh_fold(hashed, b * BAND_ROWS + r).cast("string")
-                          for r in range(BAND_ROWS)]), ","))
-        for b in range(n_bands)])
+    return let(
+        _hashed_tokens_col(text_col),
+        lambda hashed: F.array(*[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.array_join(
+                    F.array(*[_mh_fold(hashed, b * BAND_ROWS + r)
+                              .cast("string")
+                              for r in range(BAND_ROWS)]), ","))
+            for b in range(n_bands)]))
 
 
 BAND_TTL_MS = 6 * 3600 * 1000  # band ownership expires 6h of event time
