@@ -37,6 +37,8 @@ from operator import add
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from myhadoop_spark.operators.hof import let
+
 
 def _mask(j: int) -> int:
     """Signed-long mask for bit j (two's complement for j = 63)."""
@@ -49,39 +51,57 @@ def dhash64(grid: Column, *, rows: int = 8, cols: int = 9) -> Column:
     """64-bit difference hash of a row-major ``rows`` × ``cols``
     grayscale grid (array<int>): bit r·(cols−1)+c is set iff
     grid[r][c] > grid[r][c+1]. The canonical shape is 8 × 9 (64
-    comparisons); any rows × cols with rows·(cols−1) = 64 works."""
+    comparisons); any rows × cols with rows·(cols−1) = 64 works.
+
+    The grid is LET-BOUND (operators/hof.py): the 64 comparisons read
+    it 128 times in one interpreted projection, so a caller passing a
+    grid EXPRESSION (planted-grid differentials, a decode struct
+    field) would otherwise re-evaluate it per reference — measured
+    18.4 s -> sub-second on the 256-row media_neardup gate row."""
     if rows * (cols - 1) != 64:
         raise ValueError(
             f"dhash64 needs rows*(cols-1) == 64, got {rows}x{cols}")
-    terms = []
-    for r in range(rows):
-        for c in range(cols - 1):
-            j = r * (cols - 1) + c
-            terms.append(
-                F.when(F.get(grid, r * cols + c)
-                       > F.get(grid, r * cols + c + 1),
-                       F.lit(_mask(j)).cast("long"))
-                .otherwise(F.lit(0).cast("long")))
-    return reduce(add, terms)
+
+    def _bits(g: Column) -> Column:
+        terms = []
+        for r in range(rows):
+            for c in range(cols - 1):
+                j = r * (cols - 1) + c
+                terms.append(
+                    F.when(F.get(g, r * cols + c)
+                           > F.get(g, r * cols + c + 1),
+                           F.lit(_mask(j)).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+        return reduce(add, terms)
+
+    return let(grid, _bits)
 
 
 def ahash64(grid: Column, *, rows: int = 8, cols: int = 8) -> Column:
     """64-bit average hash of a row-major ``rows`` × ``cols``
     grayscale grid (array<int>, rows·cols = 64): bit i is set iff
     grid[i]·64 > Σgrid (strictly above the mean — the comparison is
-    pure integer, so the threshold is exact on every engine)."""
+    pure integer, so the threshold is exact on every engine).
+
+    Grid AND sum are let-bound: the 64 bit terms each compare against
+    Σgrid, and an unbound ``tot`` would re-run the aggregate fold per
+    bit (64 folds per row) on top of re-evaluating a non-attribute
+    grid per reference."""
     if rows * cols != 64:
         raise ValueError(
             f"ahash64 needs rows*cols == 64, got {rows}x{cols}")
-    tot = F.aggregate(grid, F.lit(0).cast("long"),
-                      lambda acc, x: acc + x.cast("long"))
-    terms = [
-        F.when(F.get(grid, j).cast("long") * 64 > tot,
-               F.lit(_mask(j)).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    return reduce(add, terms)
+
+    def _bits(g: Column) -> Column:
+        tot0 = F.aggregate(g, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x.cast("long"))
+        return let(tot0, lambda tot: reduce(add, [
+            F.when(F.get(g, j).cast("long") * 64 > tot,
+                   F.lit(_mask(j)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(64)
+        ]))
+
+    return let(grid, _bits)
 
 
 def drop_last_column(grid: Column, *, cols: int = 9) -> Column:

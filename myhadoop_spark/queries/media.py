@@ -178,7 +178,12 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from myhadoop_spark.sources.multimodal import decode_image_grid
 
-    mdf = spark.range(N_PHASH).select(
+    # 8 range splits, not defaultParallelism: each split feeds one
+    # Python worker through the Arrow decode, and 32 one-row tasks'
+    # worker spin-up dominates a 48-row fixture (partition count
+    # should track data volume — the binaryFile ingest path sizes by
+    # maxPartitionBytes for exactly this reason)
+    mdf = spark.range(0, N_PHASH, 1, 8).select(
         F.col("id").alias("media_id"),
         F.repeat(F.sha2((F.col("id") / 3).cast("long").cast("string"),
                         256), 4).cast("binary").alias("payload"))
@@ -258,7 +263,16 @@ _ND_GRID_SQL = f"""
 
 def _planted_hashes(spark: SparkSession) -> DataFrame:
     """(media_id, v, dhash) for the planted near-dup grid table —
-    the shared engine side of the media_neardup family."""
+    the shared engine side of the media_neardup family.
+
+    The grid is ONE transform lambda over sequence(0, 71), not 72
+    unrolled per-index expressions: values are identical (the lambda
+    index plays the unrolled literal's role), but the r12 unrolled
+    form was a ~2,000-node projection whose per-plan analysis +
+    codegen cost ~10 s at EVERY fresh call — pure driver floor on a
+    256-row fixture (the r13 plan-size lesson: fixed-size generated
+    tables want loop-form expressions, same bytes out)."""
+    from myhadoop_spark.operators.hof import let
     from myhadoop_spark.operators.phash import dhash64
 
     base = spark.range(N_ND_GROUPS * _ND_V).select(
@@ -266,18 +280,21 @@ def _planted_hashes(spark: SparkSession) -> DataFrame:
         (F.col("id") / _ND_V).cast("long").alias("g"),
         (F.col("id") % _ND_V).alias("v"))
 
-    def pixel(idx: int):
+    def cell(i):
         s = F.md5(F.concat_ws(
-            ":", F.col("g").cast("string"), F.lit(str(idx))))
-        pix = F.conv(F.substring(s, 1, 2), 16, 10).cast("int")
+            ":", F.col("g").cast("string"), i.cast("string")))
+        pix0 = F.conv(F.substring(s, 1, 2), 16, 10).cast("int")
         hit = (F.col("v").isin(1, 2)
                & ((F.lit(7) * F.col("v") + F.col("g")) % 72
-                  == F.lit(idx)))
-        return F.when(hit, (pix + 128) % 256).otherwise(pix)
+                  == i.cast("long")))
+        return let(pix0,
+                   lambda pix: F.when(hit, (pix + 128) % 256)
+                   .otherwise(pix))
 
     grids = base.select(
         "media_id", "v",
-        F.array(*[pixel(i) for i in range(72)]).alias("grid"))
+        F.transform(F.sequence(F.lit(0), F.lit(71)), cell)
+        .alias("grid"))
     return grids.select(
         "media_id", "v",
         dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))

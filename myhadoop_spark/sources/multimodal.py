@@ -16,6 +16,16 @@ At 100 TB: payloads stay in executor-side Arrow batches end-to-end
 (no driver collect); `spark.read.format("binaryFile")` is the ingest
 path for real media directories, and partition sizing follows bytes
 (maxPartitionBytes), not row counts, since rows are megabyte-scale.
+
+JPEG — the format that dominates real crawls — deliberately has NO
+pure-Python path here (baseline JPEG needs Huffman + dequant + IDCT +
+chroma upsampling; a numpy implementation would be slow enough to
+mislead every rehearsal): it is the documented codec plug-in. Wire a
+real decoder (PIL/libjpeg-turbo) into the magic-sniff chain in
+``decode_image_grid`` — everything downstream (grid schema, phash,
+Hamming join, suppression faces) is format-agnostic and already
+exercised end to end over on-disk PNG/BMP/PPM corpora
+(scripts/media_dir_study.py, tests/test_media_dir.py).
 """
 
 from __future__ import annotations

@@ -17,7 +17,15 @@ Appends to edjoin_index_study.tsv:
 
     engine  scale  batch  catalog  buckets_read  n_buckets  rows_read  rows_total  wall_pruned_s  wall_default_s
 
-Run: python scripts/edjoin_index_study.py [scales...]  (default 1 4)
+r13 (VERDICT r12 #5): the wall columns now time ONLY the probe phase
+(per probe batch, catalog founding excluded on both engines) — the
+crossover question is what a small batch costs against an
+already-built catalog; rows appended before r13 averaged over all
+batches instead.
+
+Run: python scripts/edjoin_index_study.py [scales...]  (default 1 4;
+the r13 crossover sweep used 1 4 16 67 — up to a ~100k-entity
+catalog)
 """
 
 from __future__ import annotations
@@ -65,10 +73,18 @@ def _rows(b: int, n: int) -> list[tuple[int, str]]:
     return out
 
 
-def _run(spark, batches, path, ckpt, **kw):
+def _run(spark, batches, path, ckpt, split_at: int | None = None, **kw):
+    """Replay ``batches`` through the entity stream. With ``split_at``
+    the first ``split_at`` batches (catalog founding) are processed
+    first and only the REMAINING (probe) batches are timed — the wall
+    number the crossover question actually asks about (a small probe
+    against an already-built catalog). Returns (stats, wall_s) where
+    wall_s covers the timed phase."""
     src = tempfile.mkdtemp(prefix="ej_src_")
     try:
-        for rows in batches:
+        head = batches if split_at is None else batches[:split_at]
+        tail = [] if split_at is None else batches[split_at:]
+        for rows in head:
             (spark.createDataFrame(rows, "id long, nm string")
              .coalesce(1).write.mode("append").parquet(src))
         stream = (spark.readStream.schema("id long, nm string")
@@ -79,6 +95,12 @@ def _run(spark, batches, path, ckpt, **kw):
                                 stats=stats, **kw)
         try:
             q.processAllAvailable()
+            if tail:
+                for rows in tail:
+                    (spark.createDataFrame(rows, "id long, nm string")
+                     .coalesce(1).write.mode("append").parquet(src))
+                t0 = time.time()          # time ONLY the probe phase
+                q.processAllAvailable()
         finally:
             q.stop()
         return stats, time.time() - t0
@@ -87,6 +109,9 @@ def _run(spark, batches, path, ckpt, **kw):
 
 
 def main() -> None:
+    # scale s -> catalog of 3 * 500 * s entities; the r13 crossover
+    # sweep (VERDICT r12 #5) runs 1 4 16 67 => up to ~100k entities,
+    # with the probe phase timed SEPARATELY from catalog founding
     scales = [int(s) for s in sys.argv[1:]] or [1, 4]
     spark = get_spark("edjoin_index_study")
     new_file = not OUT.exists()
@@ -112,27 +137,31 @@ def main() -> None:
                          for j in range(5)]
                 probes.append(rows)
             batches = founding + probes
-            n_all = FOUNDING + PROBES
             tmp = tempfile.mkdtemp(prefix="ej_state_")
             try:
                 sp, wp = _run(spark, batches, f"{tmp}/p",
-                              f"{tmp}/cp", pruned_index=True,
-                              n_buckets=N_BUCKETS)
-                sd, wd = _run(spark, batches, f"{tmp}/d", f"{tmp}/cd")
+                              f"{tmp}/cp", split_at=FOUNDING,
+                              pruned_index=True, n_buckets=N_BUCKETS)
+                sd, wd = _run(spark, batches, f"{tmp}/d", f"{tmp}/cd",
+                              split_at=FOUNDING)
                 total = spark.read.parquet(f"{tmp}/p/prefix").count()
                 for st in sp[FOUNDING:]:
+                    # wall columns = PROBE-phase wall per probe batch
+                    # (founding excluded on both engines — the r13
+                    # crossover measure; pre-r13 rows in this TSV
+                    # averaged over ALL batches)
                     f.write(
                         f"myhadoop_spark\t{scale}\t{st['batch']}\t"
                         f"{st['catalog']}\t{st['buckets_read']}\t"
                         f"{N_BUCKETS}\t"
                         f"{st['index_rows_read']}\t{total}\t"
-                        f"{wp / n_all:.2f}\t{wd / n_all:.2f}\n")
+                        f"{wp / PROBES:.2f}\t{wd / PROBES:.2f}\n")
                     print(f"scale={scale} batch={st['batch']} "
                           f"catalog={st['catalog']} "
                           f"buckets={st['buckets_read']}/{N_BUCKETS} "
                           f"rows={st['index_rows_read']}/{total} "
-                          f"wall p/d={wp / n_all:.2f}/"
-                          f"{wd / n_all:.2f}s")
+                          f"probe wall p/d={wp / PROBES:.2f}/"
+                          f"{wd / PROBES:.2f}s")
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
