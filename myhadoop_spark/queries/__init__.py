@@ -11,6 +11,7 @@ dropped — every operator the r1 registry exercised is still exercised.
 """
 
 from myhadoop_spark.queries import (  # noqa: F401
+    audio,
     clusters,
     corpus_stats,
     curation_gate,

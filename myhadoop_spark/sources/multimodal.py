@@ -10,7 +10,10 @@ batching, partition behavior — is real and tested), while ``fake=False``
 raises NotImplementedError at the exact point a codec would plug in —
 EXCEPT the image path, which IS implemented pure-Python for P6 PPM,
 24-bpp BMP, and 8-bit RGB/RGBA PNG in ``decode_image_grid(fake=False)``
-(r12, VERDICT r11 #3 stretch).
+(r12, VERDICT r11 #3 stretch), and the audio path, which IS implemented
+pure-Python for 16-bit PCM RIFF/WAVE in ``decode_audio_grid(fake=False)``
+(r13 — RIFF chunk walk, integer channel-mean downmix, numpy rfft band
+energies).
 
 At 100 TB: payloads stay in executor-side Arrow batches end-to-end
 (no driver collect); `spark.read.format("binaryFile")` is the ingest
@@ -83,7 +86,8 @@ def fake_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     ))
 
 
-def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+def read_media_dir(spark: SparkSession, path: str, glob: str = "*",
+                   kind: str = "image") -> DataFrame:
     """Ingest a real media directory as binary columns (the production
     path; binaryFile carries path/length/modificationTime + content)."""
     return (
@@ -92,7 +96,7 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
         .load(path)
         .select(
             F.abs(F.xxhash64("path")).alias("media_id"),
-            F.lit("image").alias("kind"),
+            F.lit(kind).alias("kind"),
             F.col("content").alias("payload"),
             F.struct(
                 F.col("path").alias("source_uri"),
@@ -379,6 +383,136 @@ def decode_image_grid(df: DataFrame, *, grid_rows: int = 8,
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=GRID_SCHEMA)
+
+
+def _parse_wav(buf: bytes):
+    """Minimal RIFF/WAVE parser (PCM, 16-bit): returns
+    (sample_rate, n_channels, ndarray[n] int32 mono samples — integer
+    floor-mean over channels). Pure Python/numpy, no codec library —
+    the audio twin of _parse_ppm/_parse_bmp/_parse_png."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(buf)
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = buf[pos:pos + 4]
+        ln = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"only 16-bit PCM WAV supported, got format_tag="
+                    f"{fmt_tag} bits={bits}")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("truncated WAV (no fmt /data chunk)")
+    if channels < 1:
+        raise ValueError(f"bad WAV channel count {channels}")
+    frames = len(data) // (2 * channels)
+    if frames == 0:
+        raise ValueError("empty WAV data chunk")
+    samples = (np.frombuffer(data[:frames * 2 * channels], dtype="<i2")
+               .astype(np.int32).reshape(frames, channels))
+    # integer floor-mean over channels (Python semantics: -3 // 2 = -2)
+    mono = np.floor_divide(samples.sum(axis=1, dtype=np.int64),
+                           channels).astype(np.int32)
+    return rate, channels, mono
+
+
+def band_energies(mono, frames: int, bands: int) -> list[int]:
+    """Framed spectral band-energy grid of a mono int sample array:
+    split into ``frames`` equal time frames, rfft each, sum |X|^2 into
+    ``bands`` equal-width frequency bins, floor-divide by the frame
+    length — a row-major ``frames`` x ``bands`` list of int energies
+    (the audio analog of gray_grid). The DC bin sits in band 0, so a
+    pure DC change to one frame moves exactly one grid cell — the
+    provable-locality hook the planted near-dup fixtures use."""
+    import numpy as np
+
+    n = int(len(mono))
+    if n < frames:
+        raise ValueError(f"need >= {frames} samples, got {n}")
+    flen = n // frames
+    out: list[int] = []
+    for fr in range(frames):
+        seg = np.asarray(mono[fr * flen:(fr + 1) * flen], dtype=np.float64)
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        nb = len(spec)
+        for b in range(bands):
+            lo, hi = (b * nb) // bands, ((b + 1) * nb) // bands
+            hi = max(hi, lo + 1)
+            out.append(int(spec[lo:hi].sum()) // flen)
+    return out
+
+
+AUDIO_GRID_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("energies", T.ArrayType(T.LongType())),
+])
+
+
+def decode_audio_grid(df: DataFrame, *, frames: int = 9, bands: int = 9,
+                      fake: bool = True) -> DataFrame:
+    """payload → row-major ``frames`` × ``bands`` band-energy grid
+    (array<long>) over mapInPandas (Arrow batches) — the decode stage
+    in front of the Haitsma–Kalker audio fingerprint
+    (operators/audio_fp.py), mirroring decode_image_grid.
+
+    fake=True: deterministic pseudo-grid from the payload digest —
+    energies[i] = byte (i·5 mod 32) of sha256(payload)
+    (SQL-reproducible, so the audio_fp differential covers this exact
+    Arrow path). fake=False: REAL pure-Python decode of 16-bit PCM
+    RIFF/WAVE payloads (magic-sniffed; integer channel-mean downmix,
+    numpy rfft band energies); MP3/AAC-class codecs raise
+    NotImplementedError at the plug-in point."""
+    from myhadoop_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    frames_, bands_ = int(frames), int(bands)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if fake:
+                    digest = hashlib.sha256(buf).digest()
+                    grid = [digest[(i * 5) % 32]
+                            for i in range(frames_ * bands_)]
+                    out.append({"media_id": mid, "sample_rate": 0,
+                                "n_samples": len(buf),
+                                "energies": grid})
+                    continue
+                if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                    rate, _ch, mono = _parse_wav(buf)
+                else:
+                    raise NotImplementedError(
+                        "real audio decode implemented for 16-bit PCM "
+                        "RIFF/WAVE; compressed codecs (MP3/AAC/Opus) "
+                        "plug in here")
+                out.append({"media_id": mid, "sample_rate": rate,
+                            "n_samples": len(mono),
+                            "energies": band_energies(mono, frames_,
+                                                      bands_)})
+            yield pd.DataFrame(
+                out, columns=["media_id", "sample_rate", "n_samples",
+                              "energies"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_GRID_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
