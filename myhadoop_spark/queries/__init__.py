@@ -46,5 +46,6 @@ from myhadoop_spark.queries import (  # noqa: F401
     udtf_demo,
     unimax,
     urls,
+    video,
     wordcount,
 )

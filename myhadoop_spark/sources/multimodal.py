@@ -515,6 +515,191 @@ def decode_audio_grid(df: DataFrame, *, frames: int = 9, bands: int = 9,
         batches, schema=AUDIO_GRID_SCHEMA)
 
 
+def _lzw_decode(mcs: int, data: bytes) -> list[int]:
+    """GIF variable-width LZW decode (LSB-first bit packing, width
+    grows 9→12, CLEAR resets, deferred-clear at a full table). Pure
+    Python — the inverse of sources/videogen.lzw_encode but accepts
+    any conformant stream."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width, next_code, prev = mcs + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            return out
+        if code < next_code and code != eoi:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code} (next={next_code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _parse_gif(buf: bytes):
+    """Minimal animated-GIF parser (GIF87a/89a: global color table,
+    full-frame non-interlaced images, no local tables): returns
+    (width, height, [ndarray[h, w, 3] uint8 per frame]). LZW via
+    _lzw_decode. Extensions (graphic control, comments, loops) are
+    skipped; transparency/disposal composition is out of scope —
+    the generator writes full opaque frames (the PNG subset
+    precedent)."""
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    flags = buf[10]
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    pal = (np.frombuffer(buf[pos:pos + gct_n * 3], dtype=np.uint8)
+           .reshape(gct_n, 3))
+    pos += gct_n * 3
+    frames = []
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:          # trailer
+            break
+        if b0 == 0x21:          # extension: label + sub-blocks
+            pos += 1
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left = int.from_bytes(buf[pos:pos + 2], "little")
+        top = int.from_bytes(buf[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(buf[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(buf[pos + 6:pos + 8], "little")
+        iflags = buf[pos + 8]
+        pos += 9
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError("partial-frame GIF images unsupported")
+        if iflags & 0x80:
+            raise ValueError("GIF local color tables unsupported")
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        mcs = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos] != 0:
+            ln = buf[pos]
+            data += buf[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(mcs, bytes(data))
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF frame raster")
+        arr = np.asarray(idx[:w * h], dtype=np.int32)
+        if int(arr.max(initial=0)) >= gct_n:
+            raise ValueError("GIF index outside the color table")
+        frames.append(pal[arr].reshape(h, w, 3))
+    if not frames:
+        raise ValueError("GIF with no image blocks")
+    return w, h, frames
+
+
+VIDEO_GRID_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("grid", T.ArrayType(T.IntegerType())),
+])
+
+
+def decode_video_grids(df: DataFrame, *, grid_rows: int = 8,
+                       grid_cols: int = 9, max_frames: int = 8,
+                       fake: bool = True) -> DataFrame:
+    """payload → one row PER SAMPLED FRAME with a row-major
+    ``grid_rows`` × ``grid_cols`` grayscale grid — the row-expanding
+    video decode + frame-sample stage in front of per-frame
+    perceptual hashes (operators/phash.py) and the positional
+    frame-match join (operators/video_fp.py). At most ``max_frames``
+    frames are kept, sampled evenly across the video; ``frame_idx``
+    is the SAMPLE position (0-based), ``n_frames`` the true frame
+    count, so equal-length near-dup videos align positionally.
+
+    fake=True: deterministic pseudo-frames from the payload digest —
+    n_frames = 2 + byte4 % 3, frame f's grid[i] = byte
+    ((i·7 + 13·f) mod 32) of sha256(payload) (SQL-reproducible, so
+    the video_frames differential covers this exact Arrow path).
+    fake=False: REAL pure-Python decode of animated GIF payloads
+    (global-palette full-frame non-interlaced, LZW via _lzw_decode),
+    integer luma + box-mean grid per sampled frame; other containers
+    (MP4/WebM) raise NotImplementedError at the plug-in point."""
+    from myhadoop_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    rows_, cols_, maxf_ = int(grid_rows), int(grid_cols), int(max_frames)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if fake:
+                    digest = hashlib.sha256(buf).digest()
+                    nf = 2 + digest[4] % 3
+                    for f in range(min(nf, maxf_)):
+                        grid = [digest[(i * 7 + 13 * f) % 32]
+                                for i in range(rows_ * cols_)]
+                        out.append({"media_id": mid, "frame_idx": f,
+                                    "n_frames": nf, "width": cols_,
+                                    "height": rows_, "grid": grid})
+                    continue
+                if buf[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, frames = _parse_gif(buf)
+                else:
+                    raise NotImplementedError(
+                        "real video decode implemented for animated "
+                        "GIF; container formats (MP4/WebM) plug in "
+                        "here")
+                nf = len(frames)
+                k = min(nf, maxf_)
+                for j in range(k):
+                    rgb = frames[(j * nf) // k]
+                    out.append({"media_id": mid, "frame_idx": j,
+                                "n_frames": nf, "width": w,
+                                "height": h,
+                                "grid": gray_grid(rgb, rows_, cols_)})
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_frames",
+                              "width", "height", "grid"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_GRID_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """'Frame sampling' shape for video payloads: one output row per
     sampled offset — demonstrates the row-expanding media transform
