@@ -91,3 +91,53 @@ def frame_match_pairs(frames: DataFrame, *, bits: int = 64,
     return (matched.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared_frames"))
             .filter(F.col("shared_frames") >= F.lit(int(min_shared))))
+
+
+def frame_match_probe(probe: DataFrame, seen: DataFrame, *,
+                      bits: int = 64, max_hamming: int = 2,
+                      min_shared: int = 2,
+                      id_col: str = "media_id",
+                      frame_col: str = "frame_idx",
+                      sim_col: str = "fhash") -> DataFrame:
+    """(id): the ``probe`` videos that share ≥ ``min_shared`` aligned
+    sample positions (within ``max_hamming`` bits per position) with
+    ANY single ``seen`` video — the cross-set face (ingest-time
+    suppression of re-uploads against an already-accepted corpus).
+    Same pigeonhole blocks with frame_idx in the key, so recall is
+    exact; the seen side is data-sized and joins hash-partitioned
+    (the hamming_probe discipline)."""
+    if not 1 <= int(max_hamming) < int(bits):
+        raise ValueError(f"max_hamming must be in [1, bits), got "
+                         f"{max_hamming}")
+    if int(min_shared) < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    bounds = _block_bounds(int(bits), int(max_hamming) + 1)
+
+    def blocks(df: DataFrame, tag: str) -> DataFrame:
+        block_arr = F.array(*[
+            F.struct(F.lit(i).alias("bi"),
+                     F.shiftright(F.col(sim_col), s)
+                     .bitwiseAND(F.lit((1 << w) - 1)).alias("bv"))
+            for i, (s, w) in enumerate(bounds)])
+        return (df.select(F.col(id_col).alias(f"_id{tag}"),
+                          F.col(frame_col).alias(f"_f{tag}"),
+                          F.col(sim_col).alias(f"_s{tag}"),
+                          F.explode(block_arr).alias("_b"))
+                .select(f"_id{tag}", f"_f{tag}", f"_s{tag}",
+                        F.col("_b.bi").alias("bi"),
+                        F.col("_b.bv").alias("bv")))
+
+    p, s = blocks(probe, "p"), blocks(seen, "s")
+    ham = F.bit_count(F.col("_sp").bitwiseXOR(F.col("_ss")))
+    matched = (p.join(s, (p["_fp"] == s["_fs"])
+                      & (p["bi"] == s["bi"]) & (p["bv"] == s["bv"]))
+               .select("_idp", "_ids", "_fp", "_sp", "_ss")
+               .distinct()                  # one row per matched block
+               .filter(ham <= F.lit(int(max_hamming)))
+               .select("_idp", "_ids", "_fp")
+               .distinct())                 # one row per matched position
+    return (matched.groupBy("_idp", "_ids")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= F.lit(int(min_shared)))
+            .select(F.col("_idp").alias(id_col))
+            .distinct())

@@ -152,6 +152,60 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+_VND_GRID_SQL = f"""
+    m AS (SELECT id AS media_id, id // {_VND_V} AS g,
+                 id % {_VND_V} AS v
+          FROM generate_series(0, {N_VND_GROUPS * _VND_V - 1}) t(id)),
+    fr AS (SELECT media_id, g, v, f
+           FROM m, generate_series(0, {_VND_FRAMES - 1}) s(f)),
+    g AS (SELECT media_id, v, f,
+                 list_transform(generate_series(0, 71), i ->
+                     CASE WHEN v IN (1, 2) AND f = v
+                               AND (7 * v + g) % 72 = i
+                          THEN ({_VND_PIX} + 128) % 256
+                          ELSE {_VND_PIX} END) AS grid
+          FROM fr),
+    h AS (SELECT media_id, v, f, {_DHASH_SQL} AS fhash FROM g)
+"""
+
+
+@register(
+    "video_probe",
+    oracle=f"""
+    WITH {_VND_GRID_SQL},
+    matched AS (SELECT DISTINCT p.media_id, s.media_id AS sid, p.f
+                FROM h p JOIN h s
+                  ON p.v <> 0 AND s.v = 0 AND p.f = s.f
+                 AND bit_count(xor(p.fhash, s.fhash)) <= 2)
+    SELECT DISTINCT media_id
+    FROM (SELECT media_id, sid, COUNT(*) AS n
+          FROM matched GROUP BY media_id, sid
+          HAVING COUNT(*) >= {_VND_FRAMES - 1})
+    ORDER BY media_id
+    """,
+    gate=False,
+    tags=("multimodal", "video", "dedup", "extension", "lsh"),
+)
+def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id): the cross-set suppression face for video — which
+    incoming videos share ≥ min_shared aligned frame positions
+    (within 2 bits each) with any single already-accepted reference
+    video (here: the planted v0 bases) — `frame_match_probe`, the
+    ingest-time re-upload gate. Exact recall by the same positional
+    pigeonhole blocks; the oracle is the brute-force cross join.
+    sf_dir unused — planted grids (see video_neardup)."""
+    from myhadoop_spark.operators.video_fp import frame_match_probe
+
+    fh = _planted_frame_hashes(spark).localCheckpoint()
+    seen = fh.filter(F.col("v") == 0).select(
+        "media_id", "frame_idx", "fhash")
+    probe = fh.filter(F.col("v") != 0).select(
+        "media_id", "frame_idx", "fhash")
+    return (frame_match_probe(probe, seen, bits=64, max_hamming=2,
+                              min_shared=_VND_FRAMES - 1)
+            .orderBy("media_id"))
+
+
 def _planted_frame_hashes(spark: SparkSession) -> DataFrame:
     """(media_id, v, frame_idx, fhash) for the planted frame-grid
     table — the shared engine side of the video_neardup family. One

@@ -700,6 +700,30 @@ def decode_video_grids(df: DataFrame, *, grid_rows: int = 8,
         batches, schema=VIDEO_GRID_SCHEMA)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_media_kind(payload) -> "F.Column":
+    """Magic-byte media-kind classifier as a pure JVM expression
+    (binary substring compares — no UDF, no decode): 'image' for
+    PPM/BMP/PNG, 'audio' for RIFF/WAVE, 'video' for GIF, NULL for
+    unknown payloads. The production router for MIXED crawl
+    directories: one binaryFile scan, kind-routed to the family
+    decoders (decode_image_grid / decode_audio_grid /
+    decode_video_grids) without reading payload bytes driver-side."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    two = F.substring(p, 1, 2)
+    return (
+        F.when(F.substring(p, 1, 8) == F.lit(_PNG_SIG), "image")
+        .when(two == F.lit(b"P6"), "image")
+        .when(two == F.lit(b"BM"), "image")
+        .when((F.substring(p, 1, 4) == F.lit(b"RIFF"))
+              & (F.substring(p, 9, 4) == F.lit(b"WAVE")), "audio")
+        .when((F.substring(p, 1, 6) == F.lit(b"GIF87a"))
+              | (F.substring(p, 1, 6) == F.lit(b"GIF89a")), "video")
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """'Frame sampling' shape for video payloads: one output row per
     sampled offset — demonstrates the row-expanding media transform
