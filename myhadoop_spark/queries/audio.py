@@ -71,7 +71,10 @@ _HK_SQL = f"""CAST(list_sum(list_transform(generate_series(0, 63),
     SELECT media_id, {_HK_SQL} AS afp
     FROM g ORDER BY media_id
     """,
-    gate=False,
+    gate=True,  # promoted r13 — the audio family's gate row: the
+    #             Haitsma–Kalker packing AND the Arrow audio decode
+    #             plumbing pinned through one differential
+    #             (media_features demoted in exchange — see its note)
     tags=("multimodal", "audio", "dedup", "extension"),
 )
 def audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:

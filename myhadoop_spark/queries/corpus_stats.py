@@ -49,6 +49,13 @@ from myhadoop_spark.registry import register
     SELECT 'pos', s.tok, COUNT(*), CAST(s.pos AS BIGINT), NULL
     FROM p GROUP BY s.pos, s.tok
     """,
+    gate=False,  # demoted r13 (for the video_neardup promotion): its
+    #              machinery is gate-pinned elsewhere — token explode +
+    #              grouped count by wc/wc_reference_corpus, the in-array
+    #              gram build by udtf_tokens and the gram-join family
+    #              (ppjoin_pairs/edit_dist_join), the vocabulary ranking
+    #              window by window_fns. Stays a full ungated
+    #              differential.
     tags=("text", "extension"),
 )
 def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,6 +61,12 @@ _SQL_BYTE = "CAST(concat('0x', substr(digest, 2 * {i} + 1, 2)) AS INT)"
            CAST(SUM(feat_bytes) AS BIGINT) AS feat_checksum
     FROM f GROUP BY kind
     """,
+    gate=False,  # demoted r13 (for the audio_fp promotion): its Arrow
+    #              mapInPandas decode plumbing is gate-pinned by audio_fp
+    #              (decode_audio_grid, the same digest-fake through-decode
+    #              contract) and the gated media_neardup/media_dedup
+    #              family; the per-kind rollup shape by agg_q1 /
+    #              cube_rollup. Stays a full ungated differential.
     tags=("multimodal", "extension"),
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

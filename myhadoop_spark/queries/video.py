@@ -126,7 +126,11 @@ _VND_PIX = ("CAST(concat('0x', substr(md5(concat(g, '#', f, ':', i)), "
     HAVING COUNT(*) >= {_VND_FRAMES - 1}
     ORDER BY id_a, id_b
     """,
-    gate=False,
+    gate=True,  # promoted r13 — the video family's gate row: the
+    #             positional frame-match join (frame_idx in the block
+    #             key + min_shared counting) is machinery no other
+    #             gated row runs (ngram_stats demoted in exchange —
+    #             see its note)
     tags=("multimodal", "video", "dedup", "extension", "lsh"),
 )
 def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
