@@ -20,15 +20,23 @@ At 100 TB: payloads stay in executor-side Arrow batches end-to-end
 path for real media directories, and partition sizing follows bytes
 (maxPartitionBytes), not row counts, since rows are megabyte-scale.
 
-JPEG — the format that dominates real crawls — deliberately has NO
-pure-Python path here (baseline JPEG needs Huffman + dequant + IDCT +
-chroma upsampling; a numpy implementation would be slow enough to
-mislead every rehearsal): it is the documented codec plug-in. Wire a
-real decoder (PIL/libjpeg-turbo) into the magic-sniff chain in
-``decode_image_grid`` — everything downstream (grid schema, phash,
-Hamming join, suppression faces) is format-agnostic and already
-exercised end to end over on-disk PNG/BMP/PPM corpora
-(scripts/media_dir_study.py, tests/test_media_dir.py).
+JPEG — the format that dominates real crawls — IS implemented
+pure-Python for baseline (SOF0/SOF1) streams as of r13:
+``_parse_jpeg`` walks the markers, reads DQT/DHT from the bitstream
+(no table shared with the test encoder in sources/imagegen.py),
+Huffman-decodes with 0xFF00 unstuffing + RSTn restart segments, and
+runs dequant + batched numpy IDCT + chroma upsampling + YCbCr→RGB.
+Honest wall note: the entropy decode is a per-bit Python loop — fine
+for the kB-scale rehearsal corpora here, but a production cluster
+would wire libjpeg-turbo at the same plug-in point (the decoder is
+the reference semantics, not the throughput path). Progressive
+(SOF2) and arithmetic-coded streams raise NotImplementedError at
+that plug-in point. Everything downstream (grid schema, phash,
+Hamming join, suppression faces) is format-agnostic and exercised
+end to end over on-disk PNG/BMP/PPM/JPEG corpora
+(scripts/media_dir_study.py, tests/test_media_dir.py,
+tests/test_jpeg.py) — the JPEG rows rehearse near-dup recovery
+through a genuinely LOSSY payload path.
 """
 
 from __future__ import annotations
@@ -310,6 +318,239 @@ def _parse_png(buf: bytes):
     return w, h, px[:, :, :3].copy()
 
 
+# zigzag scan order (ITU-T T.81): natural index of the k-th coefficient
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (0xFF00
+    stuffing already removed by the segment splitter)."""
+
+    __slots__ = ("buf", "pos", "bit")
+
+    def __init__(self, buf: bytes):
+        self.buf, self.pos, self.bit = buf, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy segment")
+        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude field to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(buf: bytes):
+    """Baseline JPEG (JFIF) decoder, pure Python + numpy: marker walk,
+    DQT/DHT/SOF0/SOS/DRI parsed FROM THE BITSTREAM (no table is shared
+    with the encoder in sources/imagegen.py — a table bug cannot
+    cancel), canonical Huffman entropy decode with 0xFF00 unstuffing
+    and RSTn restart segments, dequant + batched orthonormal IDCT
+    (numpy matmul over all blocks of a component at once), per-spec
+    chroma upsampling (sample replication) for any h, v sampling
+    factors, YCbCr -> RGB. Supports 1- or 3-component SOF0/SOF1 scans;
+    progressive (SOF2) and arithmetic coding raise. Returns
+    (width, height, ndarray[h, w, 3] uint8)."""
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None          # [(comp_id, h, v, tq)]
+    h = w = 0
+    dri = 0
+    scan = None           # (scan_comps, entropy_bytes_start)
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        data = buf[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:                      # DQT (1+ tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT not supported")
+                zz = data[i + 1:i + 65]
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_JPEG_ZIGZAG[k]] = zz[k]
+                qt[tq] = tab
+                i += 65
+        elif marker in (0xC0, 0xC1):            # SOF0 / SOF1 baseline
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            comps = [(data[6 + 3 * i], data[7 + 3 * i] >> 4,
+                      data[7 + 3 * i] & 0x0F, data[8 + 3 * i])
+                     for i in range(nc)]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}) — "
+                "progressive/arithmetic streams plug in here")
+        elif marker == 0xC4:                    # DHT (1+ tables)
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0x0F
+                counts = data[i + 1:i + 17]
+                nv = sum(counts)
+                vals = data[i + 17:i + 17 + nv]
+                table, code, vi = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                i += 17 + nv
+        elif marker == 0xDD:                    # DRI
+            dri = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:                    # SOS
+            ns = data[0]
+            scan_comps = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
+                           data[2 + 2 * i] & 0x0F) for i in range(ns)]
+            scan = (scan_comps, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if comps is None or scan is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    # split the entropy stream into restart segments, unstuffing 0xFF00
+    scan_comps, epos = scan
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = epos
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = buf[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:                 # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:                                   # EOI / next marker
+            break
+    segments.append(bytes(cur))
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    by_id = {c[0]: c for c in comps}
+    order = []                                  # (comp_idx, dc_tab, ac_tab)
+    for cid, dc_id, ac_id in scan_comps:
+        ci = comps.index(by_id[cid])
+        order.append((ci, huff[(0, dc_id)], huff[(1, ac_id)]))
+
+    n_mcus = mcus_x * mcus_y
+    coef = [np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int32)
+            for c in comps]
+    mcu_i = 0
+    for seg_bytes in segments:
+        bits = _JpegBits(seg_bytes)
+        preds = [0] * len(comps)
+        seg_mcus = dri if dri else n_mcus - mcu_i
+        for _ in range(min(seg_mcus, n_mcus - mcu_i)):
+            my, mx = divmod(mcu_i, mcus_x)
+            for ci, dc_tab, ac_tab in order:
+                _, sh, sv, _tq = comps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = [0] * 64
+                        s = _jpeg_huff_decode(bits, dc_tab)
+                        diff = _jpeg_extend(bits.read_bits(s), s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:     # ZRL
+                                    k += 16
+                                    continue
+                                break           # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                            k += 1
+                        row = coef[ci][my * sv + by, mx * sh + bx]
+                        for k2 in range(64):
+                            row[_JPEG_ZIGZAG[k2]] = zz[k2]
+            mcu_i += 1
+        if mcu_i >= n_mcus:
+            break
+    if mcu_i < n_mcus:
+        raise ValueError("truncated JPEG entropy data")
+
+    # dequant + batched IDCT per component, then upsample to full size
+    x = np.arange(8)
+    t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    t[0] *= np.sqrt(0.5)
+    t *= 0.5
+    planes = []
+    for ci, (_cid, sh, sv, tq) in enumerate(comps):
+        bh, bw_ = coef[ci].shape[0], coef[ci].shape[1]
+        blocks = (coef[ci].reshape(bh * bw_, 8, 8).astype(np.float64)
+                  * np.asarray(qt[tq], dtype=np.float64).reshape(8, 8))
+        spatial = t.T @ blocks @ t + 128.0
+        plane = (spatial.reshape(bh, bw_, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))
+        plane = np.repeat(np.repeat(plane, max_v // sv, axis=0),
+                          max_h // sh, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        yv = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, np.stack([yv, yv, yv], axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def gray_grid(rgb, grid_rows: int, grid_cols: int) -> list[int]:
     """Integer luma + integer box-mean downsample of an
     ndarray[h, w, 3] to a row-major grid_rows × grid_cols list —
@@ -343,11 +584,12 @@ def decode_image_grid(df: DataFrame, *, grid_rows: int = 8,
     grid[i] = byte (i·7 mod 32) of sha256(payload) (the
     media_features precedent: SQL-reproducible, so the differential
     covers this exact path). fake=False: REAL pure-Python decode of
-    P6 PPM, 24-bpp uncompressed BMP, and 8-bit RGB/RGBA
-    non-interlaced PNG payloads (magic-sniffed; PNG via stdlib zlib
-    + full scanline unfiltering, all five filter types), integer
-    luma + integer box-mean downsample; other codecs raise
-    NotImplementedError at the plug-in point."""
+    P6 PPM, 24-bpp uncompressed BMP, 8-bit RGB/RGBA non-interlaced
+    PNG (stdlib zlib + full scanline unfiltering, all five filter
+    types), and baseline JPEG payloads (magic-sniffed; Huffman +
+    dequant + batched IDCT + chroma upsampling, tables read from the
+    bitstream), integer luma + integer box-mean downsample; other
+    codecs raise NotImplementedError at the plug-in point."""
     from myhadoop_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -371,11 +613,13 @@ def decode_image_grid(df: DataFrame, *, grid_rows: int = 8,
                     w, h, rgb = _parse_bmp(buf)
                 elif buf[:8] == b"\x89PNG\r\n\x1a\n":
                     w, h, rgb = _parse_png(buf)
+                elif buf[:2] == b"\xff\xd8":
+                    w, h, rgb = _parse_jpeg(buf)
                 else:
                     raise NotImplementedError(
                         "real decode implemented for P6 PPM, 24-bpp "
-                        "BMP, and 8-bit RGB/RGBA PNG; other codecs "
-                        "plug in here")
+                        "BMP, 8-bit RGB/RGBA PNG, and baseline JPEG; "
+                        "other codecs plug in here")
                 out.append({"media_id": mid, "width": w, "height": h,
                             "grid": gray_grid(rgb, rows_, cols_)})
             yield pd.DataFrame(
@@ -706,8 +950,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff_media_kind(payload) -> "F.Column":
     """Magic-byte media-kind classifier as a pure JVM expression
     (binary substring compares — no UDF, no decode): 'image' for
-    PPM/BMP/PNG, 'audio' for RIFF/WAVE, 'video' for GIF, NULL for
-    unknown payloads. The production router for MIXED crawl
+    PPM/BMP/PNG/JPEG, 'audio' for RIFF/WAVE, 'video' for GIF, NULL
+    for unknown payloads. The production router for MIXED crawl
     directories: one binaryFile scan, kind-routed to the family
     decoders (decode_image_grid / decode_audio_grid /
     decode_video_grids) without reading payload bytes driver-side."""
@@ -717,6 +961,7 @@ def sniff_media_kind(payload) -> "F.Column":
         F.when(F.substring(p, 1, 8) == F.lit(_PNG_SIG), "image")
         .when(two == F.lit(b"P6"), "image")
         .when(two == F.lit(b"BM"), "image")
+        .when(two == F.lit(b"\xff\xd8"), "image")
         .when((F.substring(p, 1, 4) == F.lit(b"RIFF"))
               & (F.substring(p, 9, 4) == F.lit(b"WAVE")), "audio")
         .when((F.substring(p, 1, 6) == F.lit(b"GIF87a"))

@@ -38,22 +38,34 @@ from myhadoop_spark.operators.connected_components import (  # noqa: E402
 from myhadoop_spark.operators.phash import dhash64  # noqa: E402
 from myhadoop_spark.operators.simhash_join import hamming_pairs  # noqa: E402
 from myhadoop_spark.session import get_spark  # noqa: E402
-from myhadoop_spark.sources.imagegen import write_image_corpus  # noqa: E402
+from myhadoop_spark.sources.imagegen import (  # noqa: E402
+    write_image_corpus,
+    write_jpeg_corpus,
+)
 from myhadoop_spark.sources.multimodal import (  # noqa: E402
     decode_image_grid,
     read_media_dir,
 )
 
 SIZES = (64, 256, 1024)
+JPEG_SIZES = (64, 256, 1024)
 VARIANTS = 4
 
+# codec -> corpus writer: "lossless" mixes PNG/BMP/PPM (byte-exact
+# pixels through decode); "jpeg" writes baseline JPEGs of SMOOTH
+# bases — the near-dup recovery must survive a genuinely lossy
+# round trip, and the decode wall honestly carries the per-bit
+# Python Huffman loop (the production plug-in is libjpeg-turbo)
+_WRITERS = {"lossless": write_image_corpus, "jpeg": write_jpeg_corpus}
 
-def run_size(spark, n_groups: int, rows: list) -> None:
+
+def run_size(spark, n_groups: int, rows: list,
+             codec: str = "lossless") -> None:
     tmp = Path(tempfile.mkdtemp(prefix=f"media_dir_{n_groups}_"))
     try:
         t0 = time.time()
-        stats = write_image_corpus(tmp, n_groups=n_groups,
-                                   variants=VARIANTS)
+        stats = _WRITERS[codec](tmp, n_groups=n_groups,
+                                variants=VARIANTS)
         t_gen = time.time() - t0
 
         t0 = time.time()
@@ -79,6 +91,7 @@ def run_size(spark, n_groups: int, rows: list) -> None:
         t_cc = time.time() - t0
 
         rows.append({
+            "codec": codec,
             "n_groups": n_groups,
             "files": stats["files"],
             "bytes": stats["bytes"],
@@ -100,7 +113,9 @@ def main() -> None:
     spark = get_spark("media-dir-study", cpus=32)
     rows: list = []
     for n in SIZES:
-        run_size(spark, n, rows)
+        run_size(spark, n, rows, codec="lossless")
+    for n in JPEG_SIZES:
+        run_size(spark, n, rows, codec="jpeg")
     cols = list(rows[0].keys())
     with open(out_tsv, "w") as f:
         f.write("\t".join(cols) + "\n")

@@ -3,7 +3,8 @@
 (operators/video_fp.frame_match_probe): one binaryFile scan over a
 directory holding PNG/BMP/PPM images, PCM WAVs, and animated GIFs,
 kind-routed by magic bytes (pure JVM expression) into the real
-decoders — the production crawl-ingest shape."""
+decoders — the production crawl-ingest shape. r13: the image route
+also carries baseline JPEGs (the lossy fourth format)."""
 
 from __future__ import annotations
 
@@ -12,7 +13,10 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.operators.video_fp import frame_match_probe
 from myhadoop_spark.sources.audiogen import write_audio_corpus
-from myhadoop_spark.sources.imagegen import write_image_corpus
+from myhadoop_spark.sources.imagegen import (
+    write_image_corpus,
+    write_jpeg_corpus,
+)
 from myhadoop_spark.sources.multimodal import (
     decode_audio_grid,
     decode_image_grid,
@@ -27,6 +31,7 @@ N_GROUPS, VARIANTS = 3, 4
 
 def test_mixed_dir_sniff_and_route(spark, tmp_path):
     write_image_corpus(tmp_path, n_groups=N_GROUPS, variants=VARIANTS)
+    write_jpeg_corpus(tmp_path, n_groups=1, variants=VARIANTS)
     write_audio_corpus(tmp_path, n_groups=N_GROUPS, variants=VARIANTS)
     write_video_corpus(tmp_path, n_groups=N_GROUPS, variants=VARIANTS)
     (tmp_path / "junk.bin").write_bytes(b"\x00\x01\x02\x03" * 8)
@@ -35,16 +40,17 @@ def test_mixed_dir_sniff_and_route(spark, tmp_path):
              .withColumn("kind", sniff_media_kind("payload"))
              .localCheckpoint())
     n = N_GROUPS * VARIANTS
+    n_img = n + VARIANTS                     # + the lossy JPEG group
     counts = {r.kind: r.n for r in
               media.groupBy("kind").agg(F.count("*").alias("n"))
               .collect()}
-    assert counts == {"image": n, "audio": n, "video": n, None: 1}
+    assert counts == {"image": n_img, "audio": n, "video": n, None: 1}
 
     # each routed family decodes for real, end to end
     img = decode_image_grid(media.filter(F.col("kind") == "image"),
                             fake=False)
-    assert img.count() == n and img.filter(
-        F.size("grid") == 72).count() == n
+    assert img.count() == n_img and img.filter(
+        F.size("grid") == 72).count() == n_img
     aud = decode_audio_grid(media.filter(F.col("kind") == "audio"),
                             fake=False)
     assert aud.count() == n and aud.filter(
