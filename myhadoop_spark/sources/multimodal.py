@@ -538,8 +538,41 @@ def _parse_jpeg(buf: bytes):
         spatial = t.T @ blocks @ t + 128.0
         plane = (spatial.reshape(bh, bw_, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))
-        plane = np.repeat(np.repeat(plane, max_v // sv, axis=0),
-                          max_h // sh, axis=1)
+
+        # chroma upsampling: triangular ("fancy") interpolation for
+        # power-of-two factors — out[2i] = (3·p[i] + p[i−1])/4,
+        # out[2i+1] = (3·p[i] + p[i+1])/4, edges replicated — the
+        # libjpeg family's method, which is what JVM ImageIO and PIL
+        # decode with; the method is decoder's choice per T.81, but
+        # matching it keeps the cross-decoder differential
+        # (tests/test_jpeg.py) within ±2 instead of ±27 at saturated
+        # chroma edges. Non-power-of-two factors fall back to
+        # sample replication.
+        def _up2(p, axis):
+            lo = np.take(p, [0], axis=axis)
+            hi = np.take(p, [-1], axis=axis)
+            prev = np.concatenate([lo, np.delete(p, -1, axis=axis)],
+                                  axis=axis)
+            nxt = np.concatenate([np.delete(p, 0, axis=axis), hi],
+                                 axis=axis)
+            even = (3.0 * p + prev) / 4.0
+            odd = (3.0 * p + nxt) / 4.0
+            out = np.empty((p.shape[0] * 2, p.shape[1])
+                           if axis == 0 else
+                           (p.shape[0], p.shape[1] * 2), dtype=p.dtype)
+            if axis == 0:
+                out[0::2], out[1::2] = even, odd
+            else:
+                out[:, 0::2], out[:, 1::2] = even, odd
+            return out
+
+        for axis, fac in ((0, max_v // sv), (1, max_h // sh)):
+            f = fac
+            while f > 1 and f % 2 == 0:
+                plane = _up2(plane, axis)
+                f //= 2
+            if f > 1:
+                plane = np.repeat(plane, f, axis=axis)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         yv = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -187,6 +187,52 @@ def test_on_disk_jpeg_corpus_recovers_groups(spark, tmp_path):
         assert (g, frozenset((0, variants - 1))) in ham0
 
 
+_SPARK_SAMPLE_IMAGES = \
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_SPARK_SAMPLE_IMAGES),
+    reason="Spark distribution sample images not present")
+def test_real_world_jpegs_match_jvm_imageio_decoder(spark):
+    """CROSS-DECODER differential on real camera/libjpeg-produced
+    JPEGs (the sample images shipped inside the Spark distribution):
+    our pure-Python decode vs the JVM ImageIO decode
+    (spark.read.format('image'), BGR byte buffer) must agree within
+    rounding on every baseline image — 4:2:0 streams with real-world
+    Huffman tables, APP segments, and saturated chroma edges (the
+    triangular-upsampling case). Progressive samples raise at the
+    documented plug-in point."""
+    import glob
+    import os
+
+    import numpy as np
+
+    paths = sorted(glob.glob(os.path.join(
+        _SPARK_SAMPLE_IMAGES, "**", "*.jpg"), recursive=True))
+    assert paths, "no sample jpegs found"
+    n_baseline = n_progressive = 0
+    for p in paths:
+        buf = open(p, "rb").read()
+        try:
+            w, h, mine = _parse_jpeg(buf)
+        except NotImplementedError:
+            n_progressive += 1
+            continue
+        n_baseline += 1
+        row = (spark.read.format("image").load(p)
+               .select("image.*").collect()[0])
+        assert (row.width, row.height) == (w, h), p
+        ref = (np.frombuffer(bytes(row.data), dtype=np.uint8)
+               .reshape(row.height, row.width, row.nChannels)[:, :, ::-1])
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        assert d.max() <= 10, (p, int(d.max()))
+        assert d.mean() <= 0.6, (p, float(d.mean()))
+        assert (d > 2).mean() <= 0.001, (p, float((d > 2).mean()))
+    assert n_baseline >= 5 and n_progressive >= 1, \
+        (n_baseline, n_progressive)
+
+
 def test_sniff_routes_jpeg_to_image_decoder(spark):
     """Magic-byte router classifies a JPEG payload as 'image' and the
     routed decode produces the same grid as a direct pure-Python
