@@ -64,37 +64,66 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
     """Exact-recall candidate (id_a, id_b) pairs for
     levenshtein <= max_dist — the Ed-Join prefix join plus the
     short-string block (module docstring). Deduplicated; every true
-    pair is present (pinned in tests/test_edjoin.py)."""
+    pair is present (pinned in tests/test_edjoin.py).
+
+    r13 (optimization): tier construction is ADAPTIVE — one narrow
+    (len-only) aggregate counts each length class up front and only
+    the non-empty tiers are planned and executed. On real catalogs
+    the mid/tiny classes are usually empty, yet their full
+    explode→df-rank→self-join subplans used to be optimized by
+    Catalyst, re-optimized per AQE stage, and executed as empty
+    shuffles on EVERY run — measured ~2/3 of the query's plan tree
+    for zero output rows (guide §1.2: fix the distributed algorithm /
+    plan shape first). The count pass is one column-pruned scan of
+    (len) — negligible next to the gram explode any tier pays. Each
+    built tier's PREFIX table (≤ q·d+1 rows per string) is
+    localCheckpointed so the self-join reads materialized rows
+    instead of duplicating the explode+window subtree in both join
+    branches (guide §3.3: materializing an intermediate truncates the
+    plan; the r12-measured pattern that cut Catalyst time ~2×)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
     d, pref_len = max_dist, q * max_dist + 1
     base = _base(df, id_col, str_col)
+    mid_top = q * (d + 1) + d - 1
+
+    # one narrow pass over len decides which tiers exist at all
+    cnt = base.agg(
+        F.count(F.when(F.col("len") >= q * (d + 1), 1)).alias("n_long"),
+        F.count(F.when((F.col("len") >= d + 1)
+                       & (F.col("len") <= mid_top), 1)).alias("n_mid"),
+        F.count(F.when(F.col("len") <= d, 1)).alias("n_tiny"),
+    ).collect()[0]
+    tiers: list[DataFrame] = []
 
     # --- long strings: Ed-Join prefix-gram candidates -----------------
-    longs = base.filter(F.col("len") >= q * (d + 1))
-    ex = longs.select(
-        "id", "len",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, len - {q - 1}), p -> substring(s, p, {q}))"
-        )).alias("pos", "gram"))
-    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(),
-                                         F.col("gram").asc(),
-                                         F.col("pos").asc())
-    pref = (ex.join(freq, "gram")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= pref_len)
-            .select("id", "len", "gram"))
-    a = pref.select(F.col("id").alias("id_a"), F.col("len").alias("len_a"),
-                    "gram")
-    b = pref.select(F.col("id").alias("id_b"), F.col("len").alias("len_b"),
-                    "gram")
-    long_cand = (a.join(b, "gram")
-                 .filter((F.col("id_a") < F.col("id_b"))
-                         & (F.abs(F.col("len_a") - F.col("len_b")) <= d))
-                 .select("id_a", "id_b"))
+    if cnt.n_long:
+        longs = base.filter(F.col("len") >= q * (d + 1))
+        ex = longs.select(
+            "id", "len",
+            F.posexplode(F.expr(
+                f"transform(sequence(1, len - {q - 1}),"
+                f" p -> substring(s, p, {q}))"
+            )).alias("pos", "gram"))
+        freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                             F.col("gram").asc(),
+                                             F.col("pos").asc())
+        pref = (ex.join(freq, "gram")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= pref_len)
+                .select("id", "len", "gram")
+                .localCheckpoint())
+        a = pref.select(F.col("id").alias("id_a"),
+                        F.col("len").alias("len_a"), "gram")
+        b = pref.select(F.col("id").alias("id_b"),
+                        F.col("len").alias("len_b"), "gram")
+        tiers.append(a.join(b, "gram")
+                     .filter((F.col("id_a") < F.col("id_b"))
+                             & (F.abs(F.col("len_a") - F.col("len_b")) <= d))
+                     .select("id_a", "id_b"))
 
     # --- short strings: tiered exact-recall refinement (r8) -----------
     # The pre-r8 block joined every short string to every string within
@@ -116,49 +145,57 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
     #     BOUNDED: dedupe-first (edit_distance_pairs) leaves at most
     #     sum_{l<=d} |alphabet|^l distinct tiny values regardless of
     #     corpus size.
-    mid_top = q * (d + 1) + d - 1
-    mids = base.filter((F.col("len") >= d + 1) & (F.col("len") <= mid_top))
-    ex1 = mids.select(
-        "id", "len",
-        F.posexplode(F.expr(
-            "transform(sequence(1, len), p -> substring(s, p, 1))"
-        )).alias("pos", "gram"))
-    freq1 = ex1.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    w1 = Window.partitionBy("id").orderBy(F.col("df").asc(),
-                                          F.col("gram").asc(),
-                                          F.col("pos").asc())
-    pref1 = (ex1.join(freq1, "gram")
-             .withColumn("rn", F.row_number().over(w1))
-             .filter(F.col("rn") <= d + 1)
-             .select("id", "len", "gram"))
-    a1 = pref1.select(F.col("id").alias("id_a"), F.col("len").alias("len_a"),
-                      "gram")
-    b1 = pref1.select(F.col("id").alias("id_b"), F.col("len").alias("len_b"),
-                      "gram")
-    # min-length < q*(d+1) keeps this tier disjoint from the long tier
-    # (pairs of two longs are its job); the length filter composes as
-    # in the long tier
-    mid_cand = (a1.join(b1, "gram")
-                .filter((F.col("id_a") < F.col("id_b"))
-                        & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
-                        & (F.least("len_a", "len_b") < q * (d + 1)))
-                .select("id_a", "id_b"))
+    if cnt.n_mid:
+        mids = base.filter((F.col("len") >= d + 1)
+                           & (F.col("len") <= mid_top))
+        ex1 = mids.select(
+            "id", "len",
+            F.posexplode(F.expr(
+                "transform(sequence(1, len), p -> substring(s, p, 1))"
+            )).alias("pos", "gram"))
+        freq1 = ex1.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        w1 = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                              F.col("gram").asc(),
+                                              F.col("pos").asc())
+        pref1 = (ex1.join(freq1, "gram")
+                 .withColumn("rn", F.row_number().over(w1))
+                 .filter(F.col("rn") <= d + 1)
+                 .select("id", "len", "gram")
+                 .localCheckpoint())
+        a1 = pref1.select(F.col("id").alias("id_a"),
+                          F.col("len").alias("len_a"), "gram")
+        b1 = pref1.select(F.col("id").alias("id_b"),
+                          F.col("len").alias("len_b"), "gram")
+        # min-length < q*(d+1) keeps this tier disjoint from the long
+        # tier (pairs of two longs are its job); the length filter
+        # composes as in the long tier
+        tiers.append(a1.join(b1, "gram")
+                     .filter((F.col("id_a") < F.col("id_b"))
+                             & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+                             & (F.least("len_a", "len_b") < q * (d + 1)))
+                     .select("id_a", "id_b"))
 
-    tiny = base.filter(F.col("len") <= d)
-    probe = tiny.select(
-        F.col("id").alias("id_s"),
-        F.explode(F.sequence(F.col("len"), F.col("len") + d))
-        .alias("len"))
-    tgt = base.select(F.col("id").alias("id_t"), "len")
-    tiny_cand = (probe.join(tgt, "len")
-                 .filter(F.col("id_s") != F.col("id_t"))
-                 .select(F.least("id_s", "id_t").alias("id_a"),
-                         F.greatest("id_s", "id_t").alias("id_b")))
+    if cnt.n_tiny:
+        tiny = base.filter(F.col("len") <= d)
+        probe = tiny.select(
+            F.col("id").alias("id_s"),
+            F.explode(F.sequence(F.col("len"), F.col("len") + d))
+            .alias("len"))
+        tgt = base.select(F.col("id").alias("id_t"), "len")
+        tiers.append(probe.join(tgt, "len")
+                     .filter(F.col("id_s") != F.col("id_t"))
+                     .select(F.least("id_s", "id_t").alias("id_a"),
+                             F.greatest("id_s", "id_t").alias("id_b")))
 
-    # the three tiers partition the pair space by min-length class, so
-    # one distinct dedupes everything in a single exchange
-    return (long_cand.unionByName(mid_cand).unionByName(tiny_cand)
-            .distinct())
+    if not tiers:  # empty input (or all-null strings): no candidates
+        return base.select(F.col("id").alias("id_a"),
+                           F.col("id").alias("id_b")).limit(0)
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    # the tiers partition the pair space by min-length class, so one
+    # distinct dedupes everything in a single exchange
+    return out.distinct()
 
 
 def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
@@ -181,12 +218,23 @@ def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
     against gram selectivity; q=2 suits short names, q>=3 longer
     strings with a larger alphabet.
     """
+    # r13 (optimization): members and reps are materialized once
+    # (localCheckpoint) — the raw table is scanned ONCE instead of in
+    # every one of the five subtrees that referenced it (candidates,
+    # verify a/b sides, expansion a/b sides), and the candidate output
+    # is materialized before the verify/expansion joins. Without the
+    # truncation Catalyst re-optimizes the whole duplicated tree and
+    # AQE re-plans it at every stage boundary — measured ~10 s of
+    # driver rule time per run at sf0.1 (guide §3.3 / §7.3); with it
+    # the verify+expansion plan is three joins over materialized
+    # leaves. Output is bitwise unchanged (symdiff 0 at sf0.1).
     base = _base(df, id_col, str_col)
-    members = base.select("id", "s")
-    reps = members.groupBy("s").agg(F.min("id").alias("id"))
+    members = base.select("id", "s").localCheckpoint()
+    reps = (members.groupBy("s").agg(F.min("id").alias("id"))
+            .localCheckpoint())
 
     cand = edit_distance_candidates(reps, "id", "s",
-                                    max_dist=max_dist, q=q)
+                                    max_dist=max_dist, q=q).localCheckpoint()
 
     # --- verify (representatives only): banded DP, exact distance ------
     sa = reps.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
