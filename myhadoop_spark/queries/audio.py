@@ -100,9 +100,12 @@ def audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.sha2((F.col("id") / 3).cast("long").cast("string"),
                         256), 4).cast("binary").alias("payload"))
     grids = decode_audio_grid(mdf, frames=9, bands=9, fake=True)
+    # r13: checkpoint before the global sort — orderBy's sampling pass
+    # re-executes a narrow child, so the Arrow decode ran twice
     return (grids.select(
         "media_id",
         hk64(F.col("energies"), frames=9, bands=9).alias("afp"))
+        .localCheckpoint()
         .orderBy("media_id"))
 
 
@@ -148,7 +151,9 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-sized bit_count verify, never all-pairs."""
     from myhadoop_spark.operators.simhash_join import hamming_pairs
 
-    fp = _planted_afp(spark).select("media_id", "afp")
+    # checkpoint: hamming_pairs references fp in both join branches (r13)
+    fp = (_planted_afp(spark).select("media_id", "afp")
+          .localCheckpoint())
     return (hamming_pairs(fp, bits=64, max_hamming=4,
                           id_col="media_id", sim_col="afp")
             .orderBy("id_a", "id_b"))

@@ -194,10 +194,16 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.sha2((F.col("id") / 3).cast("long").cast("string"),
                         256), 4).cast("binary").alias("payload"))
     grids = decode_image_grid(mdf, grid_rows=8, grid_cols=9, fake=True)
+    # r13 (optimization): materialize the fingerprints before the
+    # global sort — orderBy's range-partition sampling re-executes a
+    # narrow child, so the whole Arrow decode used to run TWICE per
+    # invocation (sampling pass + sort pass); the checkpoint makes the
+    # sampler read 48 materialized rows instead (guide §1.4/§3.3)
     return (grids.select(
         "media_id",
         ahash64(drop_last_column(F.col("grid"), cols=9)).alias("ahash"),
         dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))
+        .localCheckpoint()
         .orderBy("media_id"))
 
 
@@ -246,7 +252,11 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fingerprints fail loudly via max_bucket upstream."""
     from myhadoop_spark.operators.simhash_join import hamming_pairs
 
-    sh = _planted_hashes(spark).select("media_id", "dhash")
+    # checkpoint: hamming_pairs references sh in both join branches
+    # (left/right blocks), and the pair table feeds a global sort —
+    # one materialization instead of three plan copies (r13)
+    sh = (_planted_hashes(spark).select("media_id", "dhash")
+          .localCheckpoint())
     return (hamming_pairs(sh, bits=64, max_hamming=2,
                           id_col="media_id", sim_col="dhash")
             .orderBy("id_a", "id_b"))

@@ -242,10 +242,20 @@ def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                         fraction_budget)
     from myhadoop_spark.operators.classifier import tokens
 
-    scores = quality_filter_q(spark, sf_dir).select("doc_id", "score")
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
-    ds = scores.join(docs, "doc_id")
+    # r13 (optimization): build the (doc_id, score, n_tokens) frame
+    # from qf_scores directly — quality_filter_q's trailing
+    # orderBy(doc_id) fed a join here, paying a range-partitioned sort
+    # (plus its sampling job) that the join immediately destroyed —
+    # and localCheckpoint it: fraction_budget and budget_select's
+    # stats/selection branches each reference ds, so the whole
+    # classifier train+score subtree used to be planned and
+    # re-optimized three times per run (guide §3.3). ds is one row per
+    # scored document. Output bitwise unchanged (strict harness).
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = (qf_scores(docs)
+              .select("doc_id", F.col("score").cast("long").alias("score")))
+    tk = docs.select("doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
+    ds = scores.join(tk, "doc_id").localCheckpoint()
     budget = fraction_budget(ds, 1, 2)
     return (budget_select(ds, budget, bands=32)
             .orderBy("doc_id"))

@@ -267,8 +267,16 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost note: the in-query exact check adds one narrow broadcast-scored
     corpus pass on top of the IVF probe — the honest price of a
     verifiable bound; ivf_neighbors carries no such pass."""
-    ivf = ivf_neighbors(spark, sf_dir)
-    truth = simsearch_exact(spark, sf_dir).select("q_id", "neighbor_id")
+    # r13 (optimization): both result lists are referenced twice below
+    # (recall join + size aggregate / hits + total), so without
+    # truncation the whole IVF probe — including the in-query k-means
+    # bucket assignment, the expensive subtree the r8 decomposition
+    # named — and the exact-scoring pass were each planned and executed
+    # TWICE per run (guide §3.3). Both are k-rows-per-query tables;
+    # materialize once.
+    ivf = ivf_neighbors(spark, sf_dir).localCheckpoint()
+    truth = (simsearch_exact(spark, sf_dir).select("q_id", "neighbor_id")
+             .localCheckpoint())
     hits = (ivf.select("q_id", "neighbor_id")
             .join(truth, ["q_id", "neighbor_id"])
             .agg(F.count(F.lit(1)).alias("n_hits")))

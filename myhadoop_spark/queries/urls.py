@@ -51,7 +51,7 @@ _SQL_RANK = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
              "AS BIGINT) % 1000000")
 
 
-def _with_urls(docs: DataFrame) -> DataFrame:
+def _url_expr() -> F.Column:
     b = F.concat(F.col("source"), F.lit(".com"))
     pid = F.expr("doc_id div 2").cast("string")
     qid = (F.col("doc_id") % 7).cast("string")
@@ -66,7 +66,11 @@ def _with_urls(docs: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("https://"), b, F.lit("/a/"), pid,
                             F.lit("?id="), qid,
                             F.lit("&utm_campaign=x"))))
-    return docs.select("doc_id", url.alias("url"))
+    return url
+
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _url_expr().alias("url"))
 
 
 @register(
@@ -246,7 +250,14 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_wide(spark, sf_dir, "documents")
-    with_url = docs.join(_with_urls(docs), "doc_id")
+    # r13 (optimization): the URL is a deterministic expression of
+    # (doc_id, source), so attach it as a column instead of the former
+    # docs.join(_with_urls(docs), "doc_id") key self-join — that join
+    # scanned documents twice and shuffled the text payload once for a
+    # column derivable in place (guide §2.4: remove shuffles outright;
+    # doc_id is the table key, so the inner self-join on it is a row-
+    # preserving identity). Output bitwise unchanged.
+    with_url = docs.withColumn("url", _url_expr())
     bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
     filtered = url_filter(
         with_url.withColumn("domain",
@@ -314,7 +325,9 @@ def domain_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myhadoop_spark.queries.quality_checks import qf_scores
 
     docs = load_wide(spark, sf_dir, "documents")
-    dom = (docs.join(_with_urls(docs), "doc_id")
+    # attach the deterministic URL in place (see curate_mix_q) — no
+    # key self-join, one scan
+    dom = (docs.withColumn("url", _url_expr())
            .withColumn("domain",
                        registrable_domain(host_of(F.col("url"))))
            .select("doc_id", "domain"))

@@ -91,9 +91,12 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         256), 4).cast("binary").alias("payload"))
     grids = decode_video_grids(mdf, grid_rows=8, grid_cols=9,
                                max_frames=8, fake=True)
+    # r13: checkpoint before the global sort — orderBy's sampling pass
+    # re-executes a narrow child, so the Arrow decode ran twice
     return (grids.select(
         "media_id", "frame_idx", "n_frames",
         dhash64(F.col("grid"), rows=8, cols=9).alias("fhash"))
+        .localCheckpoint()
         .orderBy("media_id", "frame_idx"))
 
 
@@ -149,8 +152,11 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-position count; never all-pairs."""
     from myhadoop_spark.operators.video_fp import frame_match_pairs
 
-    fh = _planted_frame_hashes(spark).select(
+    # checkpoint: frame_match_pairs references fh in both join
+    # branches (r13)
+    fh = (_planted_frame_hashes(spark).select(
         "media_id", "frame_idx", "fhash")
+          .localCheckpoint())
     return (frame_match_pairs(fh, bits=64, max_hamming=2,
                               min_shared=_VND_FRAMES - 1)
             .orderBy("id_a", "id_b"))
