@@ -434,6 +434,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     g1 = grams.select(F.col("doc_id").alias("doc1"), F.col("grams").alias("g1"))
     g2 = grams.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))
+    # size-guarded broadcast of the per-document gram table into the
+    # verify joins (see ppjoin_pairs — same r13 optimization): under
+    # the budget the candidate pairs never carry arrays through an
+    # exchange; past it the hash-partitioned shape stands
+    sz = grams.agg(F.count(F.lit(1)).alias("n"),
+                   F.coalesce(F.sum(F.size("grams")),
+                              F.lit(0)).alias("tot")).head()
+    if 4 * sz.tot + 32 * sz.n < (48 << 20):
+        g1, g2 = F.broadcast(g1), F.broadcast(g2)
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     tot = (F.size("g1") + F.size("g2")).cast("double")
     # explicit wide partitioning before the verify join: the candidate
@@ -506,6 +515,23 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("grams").alias("g1"))
     g2 = grams.select(F.col("doc_id").alias("doc2"),
                       F.col("grams").alias("g2"))
+    # r13 (optimization): the verify used to attach both gram arrays
+    # via two shuffled joins keyed by doc1 then doc2 — every candidate
+    # pair's array payload crossed an exchange twice (~500k pairs ×
+    # two ~140-int arrays at sf0.1; guide §8: shuffle proxies, not
+    # payloads). The gram table itself is one array per DOCUMENT, so
+    # when it fits the broadcast budget the verify joins broadcast it
+    # and the candidate pairs never carry arrays through a shuffle.
+    # Size-guarded on the MATERIALIZED table (grams is checkpointed, so
+    # the stats job is a cheap scan): past the budget — the 100 TB
+    # corpus case — the plan keeps the hash-partitioned shape.
+    # Candidate generation and results are unchanged either way
+    # (broadcast vs shuffle is pure join strategy, guide §3.1).
+    sz = grams.agg(F.count(F.lit(1)).alias("n"),
+                   F.coalesce(F.sum(F.size("grams")),
+                              F.lit(0)).alias("tot")).head()
+    if 4 * sz.tot + 32 * sz.n < (48 << 20):
+        g1, g2 = F.broadcast(g1), F.broadcast(g2)
     inter = F.size(F.array_intersect("g1", "g2")).cast("long")
     tot = (F.size("g1") + F.size("g2")).cast("long")
     return (cand.repartition(par, "doc1")
