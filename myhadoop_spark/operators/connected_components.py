@@ -45,10 +45,19 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct()
     )
     sym = sym.localCheckpoint()
+    # r13 (optimization): initialize label(v) = min(v, min neighbor)
+    # instead of the identity — the same single aggregation the former
+    # select(a).distinct() paid, but it folds the first neighbor-min
+    # propagation round into initialization (one fewer full round of
+    # join+groupBy+join+count on typical graphs). Correctness is
+    # unchanged: the loop's fixpoint argument only needs every label to
+    # be a reachable id ≤ its node (holds here), and a stable labeling
+    # under min-propagation is constant per component, so the converged
+    # labels are identical (pinned in tests/test_connected_components).
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("id"), "component")
     )
     n_changed = 0
     rounds = 0

@@ -152,7 +152,11 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-shard posture at 10^10-document seen-sets."""
     docs = load(spark, sf_dir, "documents")
     seen = docs.filter(F.expr(_SEEN_PRED)).select("text")
-    bloom = bloom_build(seen, "text")
+    # r13: materialize the built filter once — it is referenced by the
+    # checksum aggregate AND the probe broadcast, so the whole build
+    # (k-position explode over the seen set + 32k-key OR-aggregation)
+    # used to execute twice per run. The filter is m/32 rows.
+    bloom = bloom_build(seen, "text").localCheckpoint()
     summary = bloom.agg(
         F.bit_xor(F.col("word").bitwiseXOR(F.col("word_idx")))
         .alias("filter_xor"),
