@@ -267,7 +267,12 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_KW_THRESHOLD, keep_score=False).drop("canon_url")
     deduped = url_dedup(filtered, url_col="url", id_col="doc_id")
     capped = domain_cap(deduped, domain_col="domain", cap=_CAP)
-    dt = doc_token_counts(capped)
+    # r13: dt is referenced by the allocation aggregate AND the banded
+    # selection (offsets + within-band window + join), so the whole
+    # URL-filter → dedup → cap chain above used to be planned and
+    # executed once per reference; materialize the small per-doc token
+    # table instead (the quality_budget/curate_lines discipline)
+    dt = doc_token_counts(capped).localCheckpoint()
     alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
     return (unimax_select(dt, alloc)
             .orderBy("lang", "doc_id"))
