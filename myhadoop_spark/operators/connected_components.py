@@ -39,49 +39,42 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     they want them represented). Pass a dict as `stats` to receive
     {"iterations": n} — the convergence datapoint the scaling study
     (scripts/cc_scaling.py) records."""
+    # r13 (optimization): self-loops are folded into the symmetrized
+    # edge set, so (a) the initialization aggregate directly yields
+    # label(v) = min(v, min neighbor) — the first propagation round for
+    # free — and (b) each round's neighbor-min over sym ALREADY
+    # includes the node's own previous label, removing the per-round
+    # labels-join-neighbor_min rejoin the old loop paid. Convergence is
+    # detected by the exact label SUM (decimal — no overflow) instead
+    # of a changed-row count: labels are monotonically non-increasing
+    # (every update is a least() over values that include the old
+    # label), so the sum is unchanged iff no label moved. One action
+    # per round, one fewer join per round; the fixpoint is identical —
+    # a stable min-propagation labeling is constant per component
+    # (pinned in tests/test_connected_components.py and the gated CC
+    # consumers' differentials).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(edges.select(F.col(src).alias("a"), F.col(src).alias("b")))
+        .union(edges.select(F.col(dst).alias("a"), F.col(dst).alias("b")))
         .distinct()
     )
     sym = sym.localCheckpoint()
-    # r13 (optimization): initialize label(v) = min(v, min neighbor)
-    # instead of the identity — the same single aggregation the former
-    # select(a).distinct() paid, but it folds the first neighbor-min
-    # propagation round into initialization (one fewer full round of
-    # join+groupBy+join+count on typical graphs). Correctness is
-    # unchanged: the loop's fixpoint argument only needs every label to
-    # be a reachable id ≤ its node (holds here), and a stable labeling
-    # under min-propagation is constant per component, so the converged
-    # labels are identical (pinned in tests/test_connected_components).
     labels = (
         sym.groupBy("a")
-        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .agg(F.min("b").alias("component"))
         .select(F.col("a").alias("id"), "component")
     )
-    n_changed = 0
     rounds = 0
+    prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # carry the pre-round label through the pipeline so convergence
-        # detection needs no extra join-with-old (and no second action):
-        # each round is exactly ONE Spark action — the count() below
-        # both materializes the lazy checkpoint and measures progress.
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("prev"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+            .agg(F.min("component").alias("component"))
         )
         # pointer jumping (shortcutting): also adopt the label of the
         # current label-node. Each round then roughly squares the
@@ -89,31 +82,38 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         # similarity chains (which near-dup graphs DO produce; observed
         # diameter > 20 on the sf0.1 embedding graph) converge in a few
         # rounds instead of diameter rounds.
-        lbl2 = updated.select(F.col("id").alias("cid"),
-                              F.col("component").alias("ccomp"))
+        lbl2 = neighbor_min.select(F.col("id").alias("cid"),
+                                   F.col("component").alias("ccomp"))
         shortcut = (
-            updated.join(lbl2, updated.component == lbl2.cid, "left")
+            neighbor_min.join(lbl2, neighbor_min.component == lbl2.cid,
+                              "left")
             .select(
                 "id",
-                "prev",
                 F.least(F.col("component"),
                         F.coalesce(F.col("ccomp"), F.col("component")))
                 .alias("component"),
             )
         )
         shortcut = shortcut.localCheckpoint(eager=False)
-        n_changed = shortcut.filter(F.col("component") < F.col("prev")).count()
-        labels = shortcut.select("id", "component")
-        if n_changed == 0:
+        cur_sum = shortcut.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))).head()[0]
+        labels = shortcut
+        # cur_sum is None iff the graph is empty (sum over zero rows) —
+        # trivially converged; otherwise compare against the previous
+        # round's exact sum
+        if cur_sum is None or (prev_sum is not None
+                               and cur_sum == prev_sum):
+            converged = True
             break
+        prev_sum = cur_sum
     if stats is not None:
         stats["iterations"] = rounds
-    if n_changed != 0:
+    if not converged:
         # silent wrong labels would under-merge clusters downstream
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
-            f"iterations ({n_changed} labels still changing) — graph "
-            "diameter exceeds the budget; raise max_iterations")
+            "iterations — graph diameter exceeds the budget; raise "
+            "max_iterations")
     return labels
 
 
