@@ -53,11 +53,18 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # a stable min-propagation labeling is constant per component
     # (pinned in tests/test_connected_components.py and the gated CC
     # consumers' differentials).
+    # materialize the caller's edge frontier ONCE before the 4-way
+    # union below references it: callers hand in expensive candidate
+    # subtrees (LSH bucket self-joins, Hamming-ball joins, Ed-Join
+    # verifies) and without this the whole subtree would be planned and
+    # executed four times inside the sym materialization (guide §3.3 —
+    # the same lineage-truncation discipline as the rest of r13).
+    e = edges.select(F.col(src).alias("a"),
+                     F.col(dst).alias("b")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .union(edges.select(F.col(src).alias("a"), F.col(src).alias("b")))
-        .union(edges.select(F.col(dst).alias("a"), F.col(dst).alias("b")))
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(e.select("a", F.col("a").alias("b")))
+        .union(e.select(F.col("b").alias("a"), "b"))
         .distinct()
     )
     sym = sym.localCheckpoint()
@@ -163,11 +170,14 @@ def connected_components_contraction(edges: DataFrame, src: str = "src",
     per node, no target is itself a source) — a false stop fails
     loudly instead of mislabeling. Pass ``stats`` to receive
     {"iterations": n, "edge_curve": [|E| per round]}."""
-    nodes = (edges.select(F.col(src).alias("id"))
-             .union(edges.select(F.col(dst).alias("id")))
+    # one materialization of the caller's edge subtree; nodes/e below
+    # reference it three times (guide §3.3 — see connected_components)
+    raw = edges.select(F.col(src).alias("a"),
+                       F.col(dst).alias("b")).localCheckpoint()
+    nodes = (raw.select(F.col("a").alias("id"))
+             .union(raw.select(F.col("b").alias("id")))
              .distinct().localCheckpoint(eager=False))
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .filter(F.col("a") != F.col("b"))
+    e = (raw.filter(F.col("a") != F.col("b"))
          .distinct().localCheckpoint())
 
     def _sig(df: DataFrame):

@@ -39,11 +39,13 @@ from pyspark.sql import functions as F
 
 
 def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    return (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .union(edges.select(F.col(dst).alias("a"),
-                                F.col(src).alias("b"))
-                   .filter(F.col("a") != F.col("b")))
+    # materialize the caller's edge subtree once before the two-way
+    # union references it (callers hand in candidate-generation joins;
+    # guide §3.3 lineage truncation — same as connected_components)
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).localCheckpoint())
+    return (e.union(e.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")))
             .distinct())
 
 

@@ -43,7 +43,12 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def oriented_edges(edges: DataFrame, *, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """(a, b): each canonical edge oriented low→high (degree, id)."""
-    e = _canonical_edges(edges, src, dst)
+    # materialize the canonical edge set once: it is referenced three
+    # times below (the degree union reads it twice, the orientation
+    # join once), and callers hand in expensive candidate subtrees
+    # (the embed_neardup LSH self-join) that would otherwise execute
+    # three times (guide §3.3 lineage truncation).
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
     deg = (e.select(F.col("u").alias("id"))
            .union(e.select("v"))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))

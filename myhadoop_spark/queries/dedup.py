@@ -534,9 +534,15 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         g1, g2 = F.broadcast(g1), F.broadcast(g2)
     inter = F.size(F.array_intersect("g1", "g2")).cast("long")
     tot = (F.size("g1") + F.size("g2")).cast("long")
-    return (cand.repartition(par, "doc1")
-            .join(g1, "doc1").join(g2, "doc2")
-            .select("doc1", "doc2", inter.alias("inter"),
-                    (tot - inter).alias("un"))
-            .filter(F.col("inter") * 2 >= F.col("un"))
-            .orderBy("doc1", "doc2"))
+    verified = (cand.repartition(par, "doc1")
+                .join(g1, "doc1").join(g2, "doc2")
+                .select("doc1", "doc2", inter.alias("inter"),
+                        (tot - inter).alias("un"))
+                .filter(F.col("inter") * 2 >= F.col("un")))
+    # r13 (optimization): materialize the ~2k verified pairs before the
+    # global sort — orderBy's range-partition sampling job re-executes
+    # its child, and here the child after the last exchange is the
+    # broadcast verify join, so the full ~500k-pair array-intersect
+    # verify ran TWICE per invocation (guide §1.4/§3.3 — the same
+    # sampling-reruns-the-child class as the media fingerprint sorts)
+    return verified.localCheckpoint().orderBy("doc1", "doc2")

@@ -317,7 +317,11 @@ def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.size(tokens()).cast("long").alias("n_tokens"))
     ds = scores.join(toks, "doc_id").localCheckpoint()
     budget = fraction_budget(ds, 1, 2)
-    return budget_select(ds, budget, bands=32).orderBy("doc_id")
+    # r13: materialize the kept rows before the global sort — the
+    # sort's sampling job re-executed the banded selection from ds a
+    # second time per invocation (guide §1.4/§3.3)
+    return (budget_select(ds, budget, bands=32).localCheckpoint()
+            .orderBy("doc_id"))
 
 
 @register(
@@ -350,7 +354,12 @@ def within_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myhadoop_spark.operators.line_filter import word_lines
 
     docs = load_wide(spark, sf_dir, "documents")
+    # r13: the dedup is one NARROW zero-shuffle pass, so the trailing
+    # sort's range-partition sampling job re-executed the whole
+    # indexed-HOF compute a second time per invocation; materialize
+    # the result once instead (guide §1.4/§3.3)
     return (within_doc_dedup(docs.withColumn("_l", word_lines("text", 2)),
                              lines_col="_l", min_kept_lines=1)
             .select("doc_id", "n_lines", "n_kept", "clean_text")
+            .localCheckpoint()
             .orderBy("doc_id"))

@@ -257,7 +257,10 @@ def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select("doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
     ds = scores.join(tk, "doc_id").localCheckpoint()
     budget = fraction_budget(ds, 1, 2)
-    return (budget_select(ds, budget, bands=32)
+    # r13: materialize the kept rows before the global sort — the
+    # sort's sampling job re-executed the whole banded selection from
+    # ds a second time per invocation (guide §1.4/§3.3)
+    return (budget_select(ds, budget, bands=32).localCheckpoint()
             .orderBy("doc_id"))
 
 

@@ -158,7 +158,13 @@ def url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
     out = url_filter(enriched, blocked_domains=bl, keywords=_KEYWORDS,
                      threshold=_KW_THRESHOLD)
+    # r13: the pipeline above is one NARROW pass (scan → URL parse →
+    # blocklist anti-join → keyword score → filter), so the trailing
+    # sort's range-partition sampling job re-executed ALL of it a
+    # second time per invocation; materialize the narrow survivor
+    # table once instead (guide §1.4/§3.3)
     return (out.select("doc_id", "domain", "canon_url", "url_score")
+            .localCheckpoint()
             .orderBy("doc_id"))
 
 
@@ -274,7 +280,12 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table instead (the quality_budget/curate_lines discipline)
     dt = doc_token_counts(capped).localCheckpoint()
     alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
-    return (unimax_select(dt, alloc)
+    # r13: materialize the kept rows before the global sort — orderBy's
+    # range-partition sampling job re-executes its child, which here is
+    # the whole banded selection (band offsets window + broadcast join
+    # + within-band window) from dt (guide §1.4/§3.3 — the
+    # sampling-reruns-the-child class, see ppjoin_pairs)
+    return (unimax_select(dt, alloc).localCheckpoint()
             .orderBy("lang", "doc_id"))
 
 
