@@ -12,15 +12,45 @@ from myhadoop_spark import registry
 from tests.conftest import SF_SMOKE
 
 
-def plan_of(spark, name: str) -> str:
+def _explain(df) -> str:
     import contextlib
     import io
 
-    df = registry.get(name).fn(spark, SF_SMOKE)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    """The query's physical plan TEXT — including the plan of every
+    frame the query materializes via localCheckpoint along the way.
+
+    r13: several queries materialize intermediates (lineage
+    truncation / sampling-rerun fixes), which truncates the final
+    frame's explain() to `Sort <- Exchange <- Scan ExistingRDD`; the
+    computation the plan tests pin (join strategies, no cartesian, no
+    Python) lives in the checkpointed subplans, so capture each one as
+    it is built. Assertions therefore cover the WHOLE composition."""
+    try:  # Spark 4: concrete instances are the classic subclass
+        import pyspark.sql.classic.dataframe as _dfmod
+    except ImportError:  # pragma: no cover — Spark 3 layout
+        import pyspark.sql.dataframe as _dfmod
+
+    plans: list[str] = []
+    orig = _dfmod.DataFrame.localCheckpoint
+
+    def capture(self, *a, **k):
+        plans.append(_explain(self))
+        return orig(self, *a, **k)
+
+    _dfmod.DataFrame.localCheckpoint = capture
+    try:
+        df = registry.get(name).fn(spark, SF_SMOKE)
+    finally:
+        _dfmod.DataFrame.localCheckpoint = orig
+    plans.append(_explain(df))
+    return "\n".join(plans)
 
 
 def test_filter_proj_pushdown_and_pruning(spark):
@@ -110,10 +140,15 @@ def test_doc_metrics_is_narrow(spark):
     single-split fixture doc_metrics reads the load_wide checkpoint
     barrier (Scan ExistingRDD — the materialized round-robin widening;
     absent on multi-split data); none of them may hash-shuffle or
-    drop into Python."""
+    drop into Python. r13: plan_of now surfaces the widening
+    checkpoint's own subplan, whose single round-robin repartition IS
+    the sanctioned barrier — only keyed (hash/range) exchanges count
+    as shuffles here."""
     for name in ("doc_metrics", "array_fns", "map_struct_fns"):
         plan = plan_of(spark, name)
-        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        n_exchange = (len(re.findall(r"\(\d+\) Exchange", plan))
+                      - len(re.findall(r"Arguments: roundrobinpartitioning",
+                                       plan, re.IGNORECASE)))
         if name == "doc_metrics":
             assert n_exchange == 0, f"{name}:\n{plan}"
             assert "ExistingRDD" in plan, plan
