@@ -48,8 +48,13 @@ Reference analog: none — SURVEY.md §2.3 extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# broadcast budget for the prefix-table self-join (the ppjoin verify
+# precedent): under it the build side broadcasts and the pair dedup
+# runs exchange-free; past it the hash-partitioned shape stands
+_PREF_BCAST_BUDGET = 48 << 20
 
 
 def _base(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
@@ -57,6 +62,44 @@ def _base(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
                       F.col(str_col).alias("s"))
             .filter(F.col("s").isNotNull())
             .withColumn("len", F.length("s")))
+
+
+def _pair_self_join(pref: DataFrame, d: int, *, est_bytes: int,
+                    extra_filter: Column | None = None) -> DataFrame:
+    """Deduplicated (id_a, id_b) candidate pairs from a prefix-table
+    self-join on gram (+ the length filter, + ``extra_filter``).
+
+    r13 (optimization, guide §2.4/§3.1): a pair is emitted once per
+    shared prefix gram (measured ~1.9× duplication at sf0.1), so the
+    old global ``distinct`` shuffled the whole candidate MULTISET
+    (10.5M rows at sf0.1 for 5.4M distinct pairs). Under the broadcast
+    budget the build side broadcasts and the stream side is
+    hash-partitioned by id first (≤ q·d+1 rows per string — a tiny
+    exchange): every duplicate of a pair is born from the stream
+    string's own prefix rows, which now share a partition, so
+    ``HashPartitioning(id_a)`` satisfies the dedup aggregate's
+    ``ClusteredDistribution(id_a, id_b)`` and the distinct plans with
+    NO exchange above the join — the candidate multiset never crosses
+    the network (plan pinned in tests/test_edjoin.py). Past the budget
+    — the 100 TB catalog — the audited shuffled join + distinct shape
+    stands unchanged. Both paths return the same deduplicated set."""
+    a = pref
+    if est_bytes < _PREF_BCAST_BUDGET:
+        par = pref.sparkSession.sparkContext.defaultParallelism
+        a = pref.repartition(par, "id")
+        b = F.broadcast(pref.select(F.col("id").alias("id_b"),
+                                    F.col("len").alias("len_b"), "gram"))
+    else:
+        b = pref.select(F.col("id").alias("id_b"),
+                        F.col("len").alias("len_b"), "gram")
+    a = a.select(F.col("id").alias("id_a"),
+                 F.col("len").alias("len_a"), "gram")
+    out = (a.join(b, "gram")
+           .filter((F.col("id_a") < F.col("id_b"))
+                   & (F.abs(F.col("len_a") - F.col("len_b")) <= d)))
+    if extra_filter is not None:
+        out = out.filter(extra_filter)
+    return out.select("id_a", "id_b").distinct()
 
 
 def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
@@ -116,14 +159,11 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
                 .filter(F.col("rn") <= pref_len)
                 .select("id", "len", "gram")
                 .localCheckpoint())
-        a = pref.select(F.col("id").alias("id_a"),
-                        F.col("len").alias("len_a"), "gram")
-        b = pref.select(F.col("id").alias("id_b"),
-                        F.col("len").alias("len_b"), "gram")
-        tiers.append(a.join(b, "gram")
-                     .filter((F.col("id_a") < F.col("id_b"))
-                             & (F.abs(F.col("len_a") - F.col("len_b")) <= d))
-                     .select("id_a", "id_b"))
+        # broadcast-budget estimate from the already-collected tier
+        # count (no extra job): ≤ pref_len rows per string, ~44 bytes
+        # of fixed row payload + the q-char gram
+        tiers.append(_pair_self_join(
+            pref, d, est_bytes=cnt.n_long * pref_len * (44 + 2 * q)))
 
     # --- short strings: tiered exact-recall refinement (r8) -----------
     # The pre-r8 block joined every short string to every string within
@@ -162,18 +202,12 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
                  .filter(F.col("rn") <= d + 1)
                  .select("id", "len", "gram")
                  .localCheckpoint())
-        a1 = pref1.select(F.col("id").alias("id_a"),
-                          F.col("len").alias("len_a"), "gram")
-        b1 = pref1.select(F.col("id").alias("id_b"),
-                          F.col("len").alias("len_b"), "gram")
         # min-length < q*(d+1) keeps this tier disjoint from the long
         # tier (pairs of two longs are its job); the length filter
         # composes as in the long tier
-        tiers.append(a1.join(b1, "gram")
-                     .filter((F.col("id_a") < F.col("id_b"))
-                             & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
-                             & (F.least("len_a", "len_b") < q * (d + 1)))
-                     .select("id_a", "id_b"))
+        tiers.append(_pair_self_join(
+            pref1, d, est_bytes=cnt.n_mid * (d + 1) * 46,
+            extra_filter=F.least("len_a", "len_b") < q * (d + 1)))
 
     if cnt.n_tiny:
         tiny = base.filter(F.col("len") <= d)
@@ -182,10 +216,15 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
             F.explode(F.sequence(F.col("len"), F.col("len") + d))
             .alias("len"))
         tgt = base.select(F.col("id").alias("id_t"), "len")
+        # tiny-tiny pairs are produced once from each side's length
+        # probe, so this tier needs its own dedup; it is bounded
+        # (≤ sum_{l<=d} |alphabet|^l distinct tiny values), so the
+        # exchange is trivial
         tiers.append(probe.join(tgt, "len")
                      .filter(F.col("id_s") != F.col("id_t"))
                      .select(F.least("id_s", "id_t").alias("id_a"),
-                             F.greatest("id_s", "id_t").alias("id_b")))
+                             F.greatest("id_s", "id_t").alias("id_b"))
+                     .distinct())
 
     if not tiers:  # empty input (or all-null strings): no candidates
         return base.select(F.col("id").alias("id_a"),
@@ -193,9 +232,17 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
     out = tiers[0]
     for t in tiers[1:]:
         out = out.unionByName(t)
-    # the tiers partition the pair space by min-length class, so one
-    # distinct dedupes everything in a single exchange
-    return out.distinct()
+    # r13 (optimization): each tier is deduplicated on its own (the
+    # long/mid tiers exchange-free under the broadcast budget, see
+    # _pair_self_join), and the tiers are pairwise DISJOINT by
+    # min-length class — long: both len >= q(d+1); mid: min len in
+    # [d+1, q(d+1)) (the explicit least() filter); tiny: min len <= d
+    # (a tiny probe's partner is at most 2d < q(d+1) long, so no
+    # long-tier pair recurs, and mid requires both >= d+1, so no tiny
+    # pair does) — so their union is globally duplicate-free and the
+    # old trailing global distinct (one full exchange of ALL tiers'
+    # pairs) is gone
+    return out
 
 
 def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,

@@ -97,6 +97,29 @@ def test_matches_python_model(spark, strings):
     assert got == want
 
 
+def test_candidate_dedup_plans_without_pair_exchange(spark):
+    """r13 (optimization): under the broadcast budget the long tier's
+    pair dedup runs IN-STAGE — the stream side is hash-partitioned by
+    id, the build side broadcasts, and HashPartitioning(id_a)
+    satisfies the dedup aggregate's clustering, so no exchange keyed
+    on the candidate pair may appear (the candidate multiset never
+    crosses the network)."""
+    import re
+
+    from myhadoop_spark.operators.edjoin import edit_distance_candidates
+
+    df = spark.createDataFrame(
+        [(i, f"part name number {i:04d}") for i in range(200)],
+        "id long, s string")
+    out = edit_distance_candidates(df, "id", "s", max_dist=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"hashpartitioning\(id_a", plan), plan
+
+
 def test_no_cartesian_in_plan(spark):
     df = spark.createDataFrame(FIXTURE, "id long, s string")
     out = edit_distance_pairs(df, "id", "s", max_dist=2)
