@@ -51,15 +51,41 @@ from pyspark.sql import functions as F
 # for the measured calibration points)
 PREFIX_RARITY_THRESHOLD = 0.025
 
+# broadcast budget for the prefix-row self-join (the edjoin / verify
+# precedent): under it the pair dedup runs exchange-free; past it the
+# hash-partitioned join + distinct shape stands
+_PREF_BCAST_BUDGET = 48 << 20
+
 
 def prefix_candidates(grams: DataFrame, tau: float, *,
                       apply_size_filter: bool = True,
-                      block_col: str | None = None) -> DataFrame:
+                      block_col: str | None = None,
+                      size_stats: tuple[int, int] | None = None
+                      ) -> DataFrame:
     """(doc1, doc2) candidate pairs from the PPJoin prefix join.
     ``grams`` needs (doc_id, grams: array) with DISTINCT grams per doc
     (the Jaccard-set convention). Exact recall for Jaccard ≥ tau.
     ``block_col`` restricts pairs to the same block (the ngram_jaccard
-    source-blocking convention) by joining on (gram, block)."""
+    source-blocking convention) by joining on (gram, block).
+
+    r13 (optimization, guide §2.4/§3.1): a candidate pair is emitted
+    once per shared prefix gram — measured 33× duplication at sf0.1
+    (17.0M multiset rows for 511k distinct pairs), so the old trailing
+    global ``distinct`` shuffled a multiset ~33× the candidate set.
+    Under the broadcast budget the prefix table is materialized once,
+    its build side broadcast, and the stream side hash-partitioned by
+    doc_id (a prefix-rows-sized exchange, ≤ (1−τ)·Σ|grams| rows):
+    every duplicate of a pair is then co-located on the stream doc's
+    partition, ``HashPartitioning(doc1)`` satisfies the dedup
+    aggregate's ``ClusteredDistribution(doc1, doc2)``, and the
+    distinct plans with NO exchange above the join — the multiset
+    never crosses the network. The budget is estimated from
+    ``size_stats`` (n_docs, total grams) when the caller already has
+    them, else from one cheap aggregate over ``grams`` (the gated
+    callers pass a checkpointed table, so that scan is materialized
+    rows). Past the budget — the 100 TB corpus — the audited
+    hash-partitioned join + global distinct stands unchanged. Both
+    paths return the same deduplicated set."""
     extra = [block_col] if block_col else []
     ex = grams.select("doc_id", *extra, F.size("grams").alias("n"),
                       F.explode("grams").alias("gram"))
@@ -71,10 +97,29 @@ def prefix_candidates(grams: DataFrame, tau: float, *,
             .filter(F.col("rn") <= F.col("n")
                     - F.ceil(F.lit(tau) * F.col("n")) + 1)
             .select("doc_id", *extra, "n", "gram"))
-    a = pref.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"),
-                    *extra, "gram")
-    b = pref.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"),
-                    *extra, "gram")
+    if size_stats is None:
+        s = grams.agg(F.count(F.lit(1)).alias("n"),
+                      F.coalesce(F.sum(F.size("grams")),
+                                 F.lit(0)).alias("tot")).head()
+        size_stats = (s.n, s.tot)
+    n_docs, tot_grams = size_stats
+    # prefix rows ≤ (1−τ)·total + n_docs; ~64 B/row covers the ids,
+    # sizes, a packed int gram and the hashed-relation overhead
+    est_bytes = (tot_grams - int(tau * tot_grams) + n_docs) * 64
+    if est_bytes < _PREF_BCAST_BUDGET:
+        pref = pref.localCheckpoint()
+        par = grams.sparkSession.sparkContext.defaultParallelism
+        a = (pref.repartition(par, "doc_id")
+             .select(F.col("doc_id").alias("doc1"),
+                     F.col("n").alias("n1"), *extra, "gram"))
+        b = F.broadcast(pref.select(F.col("doc_id").alias("doc2"),
+                                    F.col("n").alias("n2"),
+                                    *extra, "gram"))
+    else:
+        a = pref.select(F.col("doc_id").alias("doc1"),
+                        F.col("n").alias("n1"), *extra, "gram")
+        b = pref.select(F.col("doc_id").alias("doc2"),
+                        F.col("n").alias("n2"), *extra, "gram")
     cond = F.col("doc1") < F.col("doc2")
     if apply_size_filter:
         cond = cond & ((F.least("n1", "n2").cast("double")
