@@ -250,7 +250,6 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains the same five stages in ANSI SQL. Returns (lang, doc_id,
     n_tokens, lang_budget)."""
     from myhadoop_spark.operators.unimax import (
-        doc_token_counts,
         unimax_allocate,
         unimax_select,
     )
@@ -271,14 +270,28 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("canon_url", canonical_url(F.col("url"))),
         blocked_domains=bl, keywords=_KEYWORDS,
         threshold=_KW_THRESHOLD, keep_score=False).drop("canon_url")
-    deduped = url_dedup(filtered, url_col="url", id_col="doc_id")
+    # r13 second pass (guide §8: shuffle metadata, not payloads): the
+    # token count is a pure function of text, so compute it in the
+    # same narrow post-filter pass and DROP the text column before the
+    # URL-dedup / domain-cap stages — their survivor semi-join and
+    # count-join back then move ~16 bytes of metadata per doc instead
+    # of the document payload (locally those joins broadcast, so this
+    # measured a modest ~10%; at scale they shuffle, and this is the
+    # §8 discipline). Same tokenizer expression, same rows → dt is
+    # bitwise unchanged (symdiff 0 at sf0.1).
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    narrow = (filtered.withColumn("n_tokens", F.size(toks).cast("long"))
+              .drop("text"))
+    deduped = url_dedup(narrow, url_col="url", id_col="doc_id")
     capped = domain_cap(deduped, domain_col="domain", cap=_CAP)
     # r13: dt is referenced by the allocation aggregate AND the banded
     # selection (offsets + within-band window + join), so the whole
     # URL-filter → dedup → cap chain above used to be planned and
     # executed once per reference; materialize the small per-doc token
     # table instead (the quality_budget/curate_lines discipline)
-    dt = doc_token_counts(capped).localCheckpoint()
+    dt = (capped.select(F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                        "doc_id", "n_tokens")
+          .localCheckpoint())
     alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
     # r13: materialize the kept rows before the global sort — orderBy's
     # range-partition sampling job re-executes its child, which here is
