@@ -107,11 +107,16 @@ def hamming_pairs(sh: DataFrame, *, bits: int = 32,
                     F.col(sim_col).alias("_sa"), "bi", "bv")
     right = b.select(F.col("_id").alias("id_b"),
                      F.col(sim_col).alias("_sb"), "bi", "bv")
-    cand = (left.join(right, ["bi", "bv"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "_sa", "_sb")
-            .distinct())
+    # r13 (optimization): verify BEFORE dedup — bit_count(xor) is
+    # cheaper than the dedup's hash-exchange of the candidate multiset
+    # (pairs recur once per agreeing block, ≤ max_hamming+1 copies,
+    # each carrying both fingerprints), and a deterministic filter on
+    # retained columns commutes with distinct, so only the qualifying
+    # pairs reach the exchange. Output bitwise unchanged.
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (cand.withColumn("hamming", ham.cast("long"))
+    return (left.join(right, ["bi", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= F.lit(int(max_hamming)))
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming")
+            .distinct())
