@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize_lazy
+
 TABLES = (
     "region",
     "nation",
@@ -130,5 +132,5 @@ def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par).localCheckpoint(eager=False)
+        df = df.repartition(par).transform(materialize_lazy)
     return df

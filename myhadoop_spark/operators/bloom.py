@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
+
 M_BITS = 1 << 20  # filter size in bits (power of two keeps mod cheap)
 K_HASHES = 5
 
@@ -134,7 +136,7 @@ def bloom_probe_sharded(df: DataFrame, col: str, bloom: DataFrame, *,
                         F.explode(bloom_positions(F.col(col), m_bits, k))
                         .alias("pos"))
               .select(*ids, *_word_layout("pos"))
-              .localCheckpoint())
+              .transform(materialize))
     parts = []
     for s in range(n_shards):
         lo, hi = s * per_shard, (s + 1) * per_shard
@@ -150,7 +152,7 @@ def bloom_probe_sharded(df: DataFrame, col: str, bloom: DataFrame, *,
                 # eager: run this shard's pass NOW so its broadcast is
                 # droppable before the next shard's starts — the whole
                 # point of sharding
-                .localCheckpoint())
+                .transform(materialize))
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from myhadoop_spark.operators.bm25 import _tokens
+from myhadoop_spark.materialize import materialize
 
 END = "</w>"   # end-of-word marker: lets merges capture word endings
 
@@ -89,7 +90,7 @@ def train_bpe(docs: DataFrame, *, n_merges: int = 64,
     """The ordered merge list learned from the corpus. Stops early
     when no adjacent pair occurs twice (nothing left worth merging —
     mirroring the reference implementation)."""
-    vocab = _word_vocab(docs, text_col).localCheckpoint()
+    vocab = _word_vocab(docs, text_col).transform(materialize)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         pairs = (vocab
@@ -114,7 +115,7 @@ def train_bpe(docs: DataFrame, *, n_merges: int = 64,
         merges.append((a, b))
         vocab = vocab.withColumn("syms", _merge_fold(a, b)(F.col("syms")))
         if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.transform(materialize)
     return merges
 
 

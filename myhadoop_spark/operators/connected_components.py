@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize, materialize_lazy
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 20,
@@ -60,14 +62,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # executed four times inside the sym materialization (guide §3.3 —
     # the same lineage-truncation discipline as the rest of r13).
     e = edges.select(F.col(src).alias("a"),
-                     F.col(dst).alias("b")).localCheckpoint()
+                     F.col(dst).alias("b")).transform(materialize)
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(e.select("a", F.col("a").alias("b")))
         .union(e.select(F.col("b").alias("a"), "b"))
         .distinct()
     )
-    sym = sym.localCheckpoint()
+    sym = sym.transform(materialize)
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("component"))
@@ -101,7 +103,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .alias("component"),
             )
         )
-        shortcut = shortcut.localCheckpoint(eager=False)
+        shortcut = shortcut.transform(materialize_lazy)
         cur_sum = shortcut.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))).head()[0]
         labels = shortcut
@@ -173,12 +175,12 @@ def connected_components_contraction(edges: DataFrame, src: str = "src",
     # one materialization of the caller's edge subtree; nodes/e below
     # reference it three times (guide §3.3 — see connected_components)
     raw = edges.select(F.col(src).alias("a"),
-                       F.col(dst).alias("b")).localCheckpoint()
+                       F.col(dst).alias("b")).transform(materialize)
     nodes = (raw.select(F.col("a").alias("id"))
              .union(raw.select(F.col("b").alias("id")))
-             .distinct().localCheckpoint(eager=False))
+             .distinct().transform(materialize_lazy))
     e = (raw.filter(F.col("a") != F.col("b"))
-         .distinct().localCheckpoint())
+         .distinct().transform(materialize))
 
     def _sig(df: DataFrame):
         # XOR, not SUM: order-independent like sum, but no ANSI long
@@ -194,7 +196,7 @@ def connected_components_contraction(edges: DataFrame, src: str = "src",
     converged = False
     for _ in range(max_iterations):
         rounds += 1
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = _small_star(_large_star(e)).transform(materialize_lazy)
         cur = _sig(e)
         curve.append(cur[0])
         if cur == prev:

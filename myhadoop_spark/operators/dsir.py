@@ -58,6 +58,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from myhadoop_spark.operators.bm25 import _tokens
+from myhadoop_spark.materialize import materialize
 
 BUCKETS = 4096
 
@@ -196,7 +197,7 @@ def dsir_select(target_docs: DataFrame, pool_docs: DataFrame, k: int,
                               text_col=text_col, buckets=buckets)
     p_cnt = doc_bucket_counts(pool_docs, id_col=id_col,
                               text_col=text_col,
-                              buckets=buckets).localCheckpoint()
+                              buckets=buckets).transform(materialize)
     model = bucket_log_ratios(t_cnt, p_cnt, buckets=buckets)
     scored = dsir_weights(p_cnt, model, id_col=id_col)
     return scored.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)

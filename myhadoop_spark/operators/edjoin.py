@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
+
 # broadcast budget for the prefix-table self-join (the ppjoin verify
 # precedent): under it the build side broadcasts and the pair dedup
 # runs exchange-free; past it the hash-partitioned shape stands
@@ -109,6 +111,16 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
     short-string block (module docstring). Deduplicated; every true
     pair is present (pinned in tests/test_edjoin.py).
 
+    PRECONDITION (r14, ADVICE r13): ids must be UNIQUE — one string
+    per id. The union below is duplicate-free because the tiers are
+    pairwise disjoint by min-LENGTH class, which is a property of the
+    ids' strings; an id carrying two strings in different length
+    classes could re-emit the same (id_a, id_b) pair from two tiers
+    (the pre-r13 trailing global distinct absorbed that case). Both
+    in-repo callers satisfy it structurally: edit_distance_pairs
+    passes reps (one min-id row per DISTINCT string value) and the
+    entity paths join on unique catalog keys.
+
     r13 (optimization): tier construction is ADAPTIVE — one narrow
     (len-only) aggregate counts each length class up front and only
     the non-empty tiers are planned and executed. On real catalogs
@@ -158,7 +170,13 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= pref_len)
                 .select("id", "len", "gram")
-                .localCheckpoint())
+                .transform(materialize))
+        # heuristic byte constants (r14, ADVICE r13): 44 ≈ fixed row
+        # payload + hashed-relation overhead, 2·q assumes ~1 byte/char
+        # grams — single-byte alphabets (the part-catalog corpus).
+        # Multi-byte corpora underestimate by ≤4× against a 48 MB
+        # budget with ~10× headroom at this SF; derive gram bytes from
+        # an octet_length stats pass if non-ASCII catalogs enter scope
         # broadcast-budget estimate from the already-collected tier
         # count (no extra job): ≤ pref_len rows per string, ~44 bytes
         # of fixed row payload + the q-char gram
@@ -201,7 +219,7 @@ def edit_distance_candidates(df: DataFrame, id_col: str, str_col: str, *,
                  .withColumn("rn", F.row_number().over(w1))
                  .filter(F.col("rn") <= d + 1)
                  .select("id", "len", "gram")
-                 .localCheckpoint())
+                 .transform(materialize))
         # min-length < q*(d+1) keeps this tier disjoint from the long
         # tier (pairs of two longs are its job); the length filter
         # composes as in the long tier
@@ -276,12 +294,12 @@ def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
     # the verify+expansion plan is three joins over materialized
     # leaves. Output is bitwise unchanged (symdiff 0 at sf0.1).
     base = _base(df, id_col, str_col)
-    members = base.select("id", "s").localCheckpoint()
+    members = base.select("id", "s").transform(materialize)
     reps = (members.groupBy("s").agg(F.min("id").alias("id"))
-            .localCheckpoint())
+            .transform(materialize))
 
     cand = edit_distance_candidates(reps, "id", "s",
-                                    max_dist=max_dist, q=q).localCheckpoint()
+                                    max_dist=max_dist, q=q).transform(materialize)
 
     # --- verify (representatives only): banded DP, exact distance ------
     sa = reps.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))

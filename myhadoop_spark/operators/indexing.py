@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
+
 
 def assign_global_index(df: DataFrame, order_cols: list[str],
                         *, idx_col: str = "idx",
@@ -59,7 +61,7 @@ def assign_global_index(df: DataFrame, order_cols: list[str],
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
               .sortWithinPartitions(*order_cols)
-              .localCheckpoint())
+              .transform(materialize))
 
     # one bounded aggregate: per-partition row count AND the duplicate
     # check (any partition with distinct(keys) < rows has a dup; range

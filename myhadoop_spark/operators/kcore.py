@@ -37,13 +37,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize, materialize_lazy
+
 
 def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # materialize the caller's edge subtree once before the two-way
     # union references it (callers hand in candidate-generation joins;
     # guide §3.3 lineage truncation — same as connected_components)
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .filter(F.col("a") != F.col("b")).localCheckpoint())
+         .filter(F.col("a") != F.col("b")).transform(materialize))
     return (e.union(e.select(F.col("b").alias("a"),
                              F.col("a").alias("b")))
             .distinct())
@@ -63,7 +65,7 @@ def _peel(sym: DataFrame, n_edges: int, k: int,
                .join(keep.select(F.col("a").alias("b")), "b",
                      "left_semi")
                .select("a", "b")
-               .localCheckpoint(eager=False))
+               .transform(materialize_lazy))
         # one action per round: the count both materializes the
         # checkpoint and detects the fixpoint (edge count is monotone
         # decreasing, so equality IS convergence)
@@ -88,7 +90,7 @@ def kcore(edges: DataFrame, k: int, *, src: str = "src",
     {"iterations": n}."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    sym = _sym(edges, src, dst).localCheckpoint()
+    sym = _sym(edges, src, dst).transform(materialize)
     sym, _, rounds = _peel(sym, sym.count(), k, max_iterations)
     if stats is not None:
         stats["iterations"] = rounds
@@ -111,7 +113,7 @@ def core_numbers(edges: DataFrame, *, src: str = "src",
     family bounds it). Pass ``stats`` to receive
     {"edges_per_k": [(k, surviving_edge_count), ...],
     "iterations_per_k": [(k, peel_rounds), ...]}."""
-    sym = _sym(edges, src, dst).localCheckpoint()
+    sym = _sym(edges, src, dst).transform(materialize)
     n_edges = sym.count()
     labels = None
     for k in range(1, k_max + 1):
@@ -130,7 +132,7 @@ def core_numbers(edges: DataFrame, *, src: str = "src",
                   labels.join(lab.withColumnRenamed("core", "_k"),
                               "id", "left")
                   .select("id", F.coalesce("_k", "core").alias("core"))
-                  .localCheckpoint())
+                  .transform(materialize))
     raise RuntimeError(f"graph still has a non-empty {k_max}-core — "
                        "raise k_max")
 
@@ -160,10 +162,10 @@ def core_numbers_hindex(edges: DataFrame, *, src: str = "src",
 
     Reference analog: none — §2.3 extension surface (graph family).
     """
-    sym = _sym(edges, src, dst).localCheckpoint()
+    sym = _sym(edges, src, dst).transform(materialize)
     est = (sym.groupBy(F.col("a").alias("id"))
            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-           .localCheckpoint())
+           .transform(materialize))
     total = est.agg(F.sum("c")).head()[0]
     if total is None:
         return est.select("id", F.col("c").alias("core")).limit(0)
@@ -186,7 +188,7 @@ def core_numbers_hindex(edges: DataFrame, *, src: str = "src",
                        F.least(F.col("c"),
                                F.coalesce("h", F.lit(0).cast("long")))
                        .alias("c"))
-               .localCheckpoint(eager=False))
+               .transform(materialize_lazy))
         new_total = nxt.agg(F.sum("c")).head()[0]
         est = nxt
         if new_total == total:

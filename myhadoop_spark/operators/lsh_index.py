@@ -96,6 +96,7 @@ from myhadoop_spark.queries.dedup import (
     _hashed_token_sets,
 )
 from myhadoop_spark.queries.sampling import hash_bucket
+from myhadoop_spark.materialize import materialize
 
 N_BUCKETS = 32
 THRESHOLD = 0.5
@@ -332,7 +333,7 @@ def probe_lsh_index(new_docs: DataFrame, path: str, *,
     if rows is None:
         rows = signature_rows(new_docs, id_col=meta["id_col"],
                               text_col=text_col,
-                              n_buckets=meta["n_buckets"]).localCheckpoint()
+                              n_buckets=meta["n_buckets"]).transform(materialize)
     else:
         # caller-supplied rows may have been built with a different
         # n_buckets than THIS index — recompute the shard from the
@@ -388,7 +389,7 @@ def signature_pairs(docs: DataFrame, *, threshold: float = THRESHOLD,
     (operators/substring.py) and PPJoin's frequency ordering."""
     if rows is None:
         rows = signature_rows(docs, id_col=id_col,
-                              text_col=text_col).localCheckpoint()
+                              text_col=text_col).transform(materialize)
     if max_bucket is not None:
         rows = _drop_hot(rows, _hot_buckets(rows, max_bucket))
     left = rows.select(F.col("doc_id").alias("doc1"), "band", "band_sig",
@@ -415,7 +416,7 @@ def _dedup_core(new_docs: DataFrame, path: str, *, append_id: str,
     meta = read_meta(spark, path)
     rows = signature_rows(new_docs, id_col=meta["id_col"],
                           text_col=text_col,
-                          n_buckets=meta["n_buckets"]).localCheckpoint()
+                          n_buckets=meta["n_buckets"]).transform(materialize)
     hist_hits = (probe_lsh_index(new_docs, path, threshold=threshold,
                                  exclude_append_id=append_id, rows=rows)
                  .select("doc_id").distinct())

@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize, materialize_lazy
+
 _SCALAR_BUCKETS = 4096
 
 
@@ -79,10 +81,10 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ``stats`` to receive {"iterations": n, "l1_curve": [...]}."""
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
-    e = e.localCheckpoint()
+    e = e.transform(materialize)
     nodes = (e.select(F.col("src").alias("id"))
              .union(e.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint())
+             .distinct().transform(materialize))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -92,7 +94,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ranks = (nodes.join(deg, nodes.id == deg.src, "left")
              .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
              .withColumn("rank", F.lit(1.0 / n))
-             .localCheckpoint())
+             .transform(materialize))
 
     base = (1.0 - damping) / n
     curve: list[float] = []
@@ -128,7 +130,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                     + F.lit(damping)
                     * (F.coalesce("s", F.lit(0.0))
                        + F.lit(dangling / n))).alias("rank")))
-        new = new.localCheckpoint(eager=False)
+        new = new.transform(materialize_lazy)
         if deterministic:
             # the stop decision (l1 < tol) must not flip with
             # partitioning when l1 sits within an ulp of tol

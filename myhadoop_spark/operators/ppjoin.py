@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
+
 # choose the prefix generator when the average rarest-gram document
 # frequency is below this fraction of the corpus (see module docstring
 # for the measured calibration points)
@@ -107,7 +109,7 @@ def prefix_candidates(grams: DataFrame, tau: float, *,
     # sizes, a packed int gram and the hashed-relation overhead
     est_bytes = (tot_grams - int(tau * tot_grams) + n_docs) * 64
     if est_bytes < _PREF_BCAST_BUDGET:
-        pref = pref.localCheckpoint()
+        pref = pref.transform(materialize)
         par = grams.sparkSession.sparkContext.defaultParallelism
         a = (pref.repartition(par, "doc_id")
              .select(F.col("doc_id").alias("doc1"),
@@ -222,8 +224,18 @@ def choose_generator(grams: DataFrame, *,
 
 def jaccard_pairs(grams: DataFrame, tau: float) -> DataFrame:
     """(doc1, doc2, jaccard) for all pairs with set-Jaccard ≥ tau,
-    prefix-filtered candidates + exact verify (|A∪B| from sizes)."""
-    cand = prefix_candidates(grams, tau)
+    prefix-filtered candidates + exact verify (|A∪B| from sizes).
+
+    r14 (ADVICE r13): grams is materialized once and its stats are
+    threaded into prefix_candidates — it is referenced by the
+    candidate subtree AND both verify sides, and without stats the
+    budget aggregate inside prefix_candidates re-ran the caller's full
+    gram lineage per call."""
+    grams = grams.transform(materialize)
+    s = grams.agg(F.count(F.lit(1)).alias("n"),
+                  F.coalesce(F.sum(F.size("grams")),
+                             F.lit(0)).alias("tot")).head()
+    cand = prefix_candidates(grams, tau, size_stats=(s.n, s.tot))
     g1 = grams.select(F.col("doc_id").alias("doc1"),
                       F.col("grams").alias("g1"))
     g2 = grams.select(F.col("doc_id").alias("doc2"),

@@ -65,6 +65,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
 from myhadoop_spark.operators.ivf import (
     _centroid_matrix,
     _dot,
@@ -137,7 +138,7 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
         # and Catalyst has no cross-join subtree sharing — without the
         # checkpoint it evaluates 3x (the dedup_minhash precedent,
         # queries/dedup.py; at k=64 assignment dominates the rehearsal)
-        .localCheckpoint())
+        .transform(materialize))
 
     # exact-duplicate collapse: min-id representative per identical
     # vector group (identical vectors always share a cluster — same
@@ -193,7 +194,7 @@ def semantic_dedup(emb: DataFrame, *, k_clusters: int = K_CLUSTERS,
                                        F.col("bucket"))
                                 .otherwise(F.lit(0)))
                     .drop("bucket")
-                    .localCheckpoint())  # k_sub folds feed both join sides
+                    .transform(materialize))  # k_sub folds feed both join sides
             scope = ["cluster", "sub"]
 
     x = reps.select(F.col(id_col).alias("x_id"), *scope,

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
+
 # Horner rolling-hash constants. Token hashes are first reduced mod M
 # (31-bit) so the accumulator stays < M and acc*B + t < 2^31 * 1e6 + 2^31
 # ~ 2.1e15 << 2^63: no interim overflow, and list_reduce/F.aggregate
@@ -353,7 +355,7 @@ def remove_overlap_spans(corpus: DataFrame, bench: DataFrame, *,
     for _ in range(1, passes):
         # materialize between passes: pass N's detect would otherwise
         # re-execute every prior pass's join tree
-        prev = out.localCheckpoint()
+        prev = out.transform(materialize)
         # only documents a prior pass CUT can have grown a new seam —
         # untouched text was already fully processed against this very
         # benchmark, so later passes re-detect on the (tiny)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
+
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Distinct undirected edges as (u, v) with u < v; self-loops
@@ -48,7 +50,7 @@ def oriented_edges(edges: DataFrame, *, src: str = "src",
     # join once), and callers hand in expensive candidate subtrees
     # (the embed_neardup LSH self-join) that would otherwise execute
     # three times (guide §3.3 lineage truncation).
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    e = _canonical_edges(edges, src, dst).transform(materialize)
     deg = (e.select(F.col("u").alias("id"))
            .union(e.select("v"))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
@@ -66,7 +68,7 @@ def triangles(edges: DataFrame, *, src: str = "src",
               dst: str = "dst") -> DataFrame:
     """Every triangle exactly once as (a, b, c) — the orientation's
     DAG order, NOT sorted by id (canonicalize downstream if needed)."""
-    o = oriented_edges(edges, src=src, dst=dst).localCheckpoint()
+    o = oriented_edges(edges, src=src, dst=dst).transform(materialize)
     wedge = (o.alias("x")
              .join(o.alias("y"), F.col("x.b") == F.col("y.a"))
              .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),

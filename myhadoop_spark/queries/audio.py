@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 N_AFP = 48            # audio_fp: 16 payload groups x 3 exact copies
 N_AND_GROUPS = 16     # audio_neardup: 16 grids x 4 variants
@@ -105,7 +106,7 @@ def audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grids.select(
         "media_id",
         hk64(F.col("energies"), frames=9, bands=9).alias("afp"))
-        .localCheckpoint()
+        .transform(materialize)
         .orderBy("media_id"))
 
 
@@ -153,7 +154,7 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # checkpoint: hamming_pairs references fp in both join branches (r13)
     fp = (_planted_afp(spark).select("media_id", "afp")
-          .localCheckpoint())
+          .transform(materialize))
     return (hamming_pairs(fp, bits=64, max_hamming=4,
                           id_col="media_id", sim_col="afp")
             .orderBy("id_a", "id_b"))

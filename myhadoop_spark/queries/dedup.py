@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 # fixed affine hash family h_i(x) = (a_i * x + b_i) mod P over md5-derived
 # 32-bit token hashes; 16 functions = 4 bands × 4 rows
@@ -220,7 +221,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree sharing across joins, so without the checkpoint the
     tokenize+md5 work runs twice — and on ONE core (single-split
     fixture file). Measured r2 at sf0.1: 12.5 s → 3.8 s warm."""
-    sets = _hashed_token_sets(spark, sf_dir, wide=True).localCheckpoint()
+    sets = _hashed_token_sets(spark, sf_dir, wide=True).transform(materialize)
     return minhash_pairs(spark, sets)
 
 
@@ -228,10 +229,40 @@ def minhash_pairs(spark: SparkSession, sets: DataFrame) -> DataFrame:
     """The band-join + Jaccard-verify core over prepared hashed token
     sets — shared by the fixture gate query above and the synthetic
     scale rehearsal (scripts/dedup_scaling.py). `sets` should already be
-    wide and materialized (both branches consume it)."""
+    wide and materialized (both branches consume it).
+
+    r14 (optimization, guide §2.4/§3.1 — the r13 edjoin/ppjoin shape
+    applied to the band self-join, VERDICT r13 #4): a candidate pair is
+    emitted once per agreeing band (≤ n_bands× duplication), so the
+    trailing global ``distinct`` shuffled the candidate MULTISET. Under
+    a 48 MB budget (estimated from one cheap count over the
+    materialized ``sets``) the band table is materialized once, its
+    build side broadcast, and the stream side hash-partitioned by doc1:
+    every duplicate of a pair originates from the stream doc's own band
+    rows, so ``HashPartitioning(doc1)`` satisfies the dedup aggregate's
+    ``ClusteredDistribution(doc1, doc2)`` and the distinct plans with
+    NO exchange above the join (pinned in
+    tests/test_dedup_invariants.py). Past
+    the budget — the 100 TB corpus — the audited hash-partitioned join
+    + global distinct stands unchanged; both paths dedup identically."""
     bands = minhash_signatures(spark, "", sets=sets)
-    left = bands.select(F.col("doc_id").alias("doc1"), "band", "band_sig")
-    right = bands.select(F.col("doc_id").alias("doc2"), "band", "band_sig")
+    n_bands = len(MINHASH_FAM) // MINHASH_BAND_ROWS
+    # ≤ 11 chars per minhash (int32-ish decimal) + commas, 8-byte id,
+    # ~46 bytes hashed-relation overhead per row (the edjoin estimate)
+    est_bytes = (sets.count() * n_bands
+                 * (8 + 12 * MINHASH_BAND_ROWS + 46))
+    if est_bytes < (48 << 20):
+        bands = bands.transform(materialize)
+        par = spark.sparkContext.defaultParallelism
+        left = (bands.repartition(par, "doc_id")
+                .select(F.col("doc_id").alias("doc1"), "band", "band_sig"))
+        right = F.broadcast(bands.select(F.col("doc_id").alias("doc2"),
+                                         "band", "band_sig"))
+    else:
+        left = bands.select(F.col("doc_id").alias("doc1"), "band",
+                            "band_sig")
+        right = bands.select(F.col("doc_id").alias("doc2"), "band",
+                             "band_sig")
     cand = (
         left.join(right, ["band", "band_sig"])
         .filter(F.col("doc1") < F.col("doc2"))
@@ -398,7 +429,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + ascii(substring(text, i + 1, 1)) * 256"
             "    + ascii(substring(text, i + 2, 1)))"
         ))).alias("grams"),
-    ).localCheckpoint()
+    ).transform(materialize)
     from myhadoop_spark.operators.ppjoin import (
         choose_generator,
         prefix_candidates,
@@ -514,7 +545,7 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + ascii(substring(text, i + 1, 1)) * 256"
             "    + ascii(substring(text, i + 2, 1)))"
         ))).alias("grams"),
-    ).localCheckpoint()
+    ).transform(materialize)
     # one stats job on the checkpointed gram table serves both the
     # prefix-join broadcast budget (r13, see prefix_candidates) and
     # the verify-join broadcast guard below
@@ -555,4 +586,4 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast verify join, so the full ~500k-pair array-intersect
     # verify ran TWICE per invocation (guide §1.4/§3.3 — the same
     # sampling-reruns-the-child class as the media fingerprint sorts)
-    return verified.localCheckpoint().orderBy("doc1", "doc2")
+    return verified.transform(materialize).orderBy("doc1", "doc2")

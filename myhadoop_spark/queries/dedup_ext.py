@@ -32,6 +32,7 @@ from myhadoop_spark.operators.substring import (
     substring_pairs,
 )
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
@@ -156,7 +157,7 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checksum aggregate AND the probe broadcast, so the whole build
     # (k-position explode over the seen set + 32k-key OR-aggregation)
     # used to execute twice per run. The filter is m/32 rows.
-    bloom = bloom_build(seen, "text").localCheckpoint()
+    bloom = bloom_build(seen, "text").transform(materialize)
     summary = bloom.agg(
         F.bit_xor(F.col("word").bitwiseXOR(F.col("word_idx")))
         .alias("filter_xor"),
@@ -383,7 +384,7 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_pairs,
     )
 
-    sets = _hashed_token_sets(spark, sf_dir, wide=True).localCheckpoint()
+    sets = _hashed_token_sets(spark, sf_dir, wide=True).transform(materialize)
     pairs = minhash_pairs(spark, sets).select("doc1", "doc2")
     edges = (pairs.select(F.col("doc1").alias("src"),
                           F.col("doc2").alias("dst"))
@@ -435,6 +436,6 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myhadoop_spark.operators.simhash_join import hamming_pairs
     from myhadoop_spark.queries.dedup import simhash as simhash_q
 
-    sh = simhash_q(spark, sf_dir).localCheckpoint()
+    sh = simhash_q(spark, sf_dir).transform(materialize)
     return (hamming_pairs(sh, bits=32, max_hamming=_SH_K)
             .orderBy("id_a", "id_b"))

@@ -21,6 +21,7 @@ from myhadoop_spark.operators.dsir import (
     dsir_weights,
 )
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 _B = 4096
 _K = 100
@@ -96,7 +97,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pool text pass: the count table is materialized and read by
     # the fit's bounded collect and then the scoring join
     p_cnt = doc_bucket_counts(docs.filter(~is_t),
-                              buckets=_B).localCheckpoint()
+                              buckets=_B).transform(materialize)
     model = bucket_log_ratios(t_cnt, p_cnt, buckets=_B)
     scored = dsir_weights(p_cnt, model)
     return (scored

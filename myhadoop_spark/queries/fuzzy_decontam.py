@@ -45,6 +45,7 @@ from myhadoop_spark.queries.dedup import (
     minhash_signatures,
 )
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 
 def fuzzy_contaminated(spark: SparkSession, corpus_sets: DataFrame,
@@ -145,7 +146,7 @@ def fuzzy_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(~(F.col("doc_id") % 17 == 3))
     bench = docs.filter(F.col("doc_id") % 17 == 3)
     cs = _hashed_token_sets(spark, "", docs=corpus,
-                            wide=True).localCheckpoint()
+                            wide=True).transform(materialize)
     bs = _hashed_token_sets(spark, "", docs=bench)
     hits = fuzzy_contaminated(spark, cs, bs)
     return (hits.groupBy("doc_id")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 # 5x the lgK=12 nominal rsd (1.04/sqrt(4096) ~ 1.6%), the
 # approx-family margin convention; the +3 floor covers the tiny-count
@@ -56,7 +57,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     group_sketches)
 
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = group_sketches(ev, ["event_type"], "user_id").localCheckpoint()
+    sk = group_sketches(ev, ["event_type"], "user_id").transform(materialize)
     per = estimate(sk, ["event_type"]).select("event_type", "estimate")
     exact = (ev.groupBy("event_type")
              .agg(F.count_distinct("user_id").cast("long")

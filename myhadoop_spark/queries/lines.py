@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load_wide
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 _SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
@@ -310,17 +311,17 @@ def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          min_kept_lines=2, carry_base=False)
     corpus = (deduped.select("doc_id",
                              F.col("clean_text").alias("text"))
-              .localCheckpoint())
+              .transform(materialize))
     scores = qf_scores(corpus).select(
         "doc_id", F.col("score").cast("long").alias("score"))
     toks = corpus.select("doc_id",
                          F.size(tokens()).cast("long").alias("n_tokens"))
-    ds = scores.join(toks, "doc_id").localCheckpoint()
+    ds = scores.join(toks, "doc_id").transform(materialize)
     budget = fraction_budget(ds, 1, 2)
     # r13: materialize the kept rows before the global sort — the
     # sort's sampling job re-executed the banded selection from ds a
     # second time per invocation (guide §1.4/§3.3)
-    return (budget_select(ds, budget, bands=32).localCheckpoint()
+    return (budget_select(ds, budget, bands=32).transform(materialize)
             .orderBy("doc_id"))
 
 
@@ -361,5 +362,5 @@ def within_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (within_doc_dedup(docs.withColumn("_l", word_lines("text", 2)),
                              lines_col="_l", min_kept_lines=1)
             .select("doc_id", "n_lines", "n_kept", "clean_text")
-            .localCheckpoint()
+            .transform(materialize)
             .orderBy("doc_id"))

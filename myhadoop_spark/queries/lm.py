@@ -35,6 +35,7 @@ from myhadoop_spark.operators.lm_filter import (
     train_bigram_lm,
 )
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
@@ -135,7 +136,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read `s` — without this the whole LM train+score pipeline (the
     # expensive part) executes twice in one action
     s = (_floored_ppl(spark, sf_dir).join(langs, "doc_id")
-         .localCheckpoint())
+         .transform(materialize))
     th = s.groupBy("lang").agg(
         F.percentile("ppl", F.lit(_P1)).alias("t1"),
         F.percentile("ppl", F.lit(_P2)).alias("t2"))

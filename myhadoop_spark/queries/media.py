@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.registry import register
 from myhadoop_spark.sources.multimodal import decode_media, fake_media_df
+from myhadoop_spark.materialize import materialize
 
 N_MEDIA = 64
 
@@ -203,7 +204,7 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         ahash64(drop_last_column(F.col("grid"), cols=9)).alias("ahash"),
         dhash64(F.col("grid"), rows=8, cols=9).alias("dhash"))
-        .localCheckpoint()
+        .transform(materialize)
         .orderBy("media_id"))
 
 
@@ -256,7 +257,7 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (left/right blocks), and the pair table feeds a global sort —
     # one materialization instead of three plan copies (r13)
     sh = (_planted_hashes(spark).select("media_id", "dhash")
-          .localCheckpoint())
+          .transform(materialize))
     return (hamming_pairs(sh, bits=64, max_hamming=2,
                           id_col="media_id", sim_col="dhash")
             .orderBy("id_a", "id_b"))
@@ -379,7 +380,7 @@ def media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. sf_dir unused — planted grids (see media_neardup)."""
     from myhadoop_spark.operators.simhash_join import hamming_probe
 
-    hashes = _planted_hashes(spark).localCheckpoint()
+    hashes = _planted_hashes(spark).transform(materialize)
     seen = hashes.filter(F.col("v") == 0).select("media_id", "dhash")
     probe = hashes.filter(F.col("v") != 0).select("media_id", "dhash")
     return (hamming_probe(probe, seen, bits=64, max_hamming=2,

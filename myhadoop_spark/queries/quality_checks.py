@@ -9,6 +9,7 @@ from pyspark.sql import functions as F  # noqa: F401 (parity with peers)
 
 from myhadoop_spark.catalog import load
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 
 @register(
@@ -255,12 +256,12 @@ def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (qf_scores(docs)
               .select("doc_id", F.col("score").cast("long").alias("score")))
     tk = docs.select("doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
-    ds = scores.join(tk, "doc_id").localCheckpoint()
+    ds = scores.join(tk, "doc_id").transform(materialize)
     budget = fraction_budget(ds, 1, 2)
     # r13: materialize the kept rows before the global sort — the
     # sort's sampling job re-executed the whole banded selection from
     # ds a second time per invocation (guide §1.4/§3.3)
-    return (budget_select(ds, budget, bands=32).localCheckpoint()
+    return (budget_select(ds, budget, bands=32).transform(materialize)
             .orderBy("doc_id"))
 
 

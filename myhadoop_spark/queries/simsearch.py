@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.catalog import load
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -178,7 +179,19 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus is exploded to 8 (table, bucket) rows per vector —
     a constant blow-up shuffled on (table, bucket); per-bucket candidate
-    lists stay ∝ corpus/2^planes per table. No cross join at any size."""
+    lists stay ∝ corpus/2^planes per table. No cross join at any size.
+
+    r14 (optimization, guide §2.4/§3.1 — the r13 edjoin/ppjoin shape,
+    VERDICT r13 #4): a (q_id, vec_id) candidate is emitted once per
+    shared table (≤ N_TABLES× duplication), and the old ``distinct``
+    shuffled that multiset. The query side is already broadcast, so the
+    only change needed is hash-partitioning the stream side by vec_id
+    BEFORE the bucket join: every duplicate of a pair then lives on the
+    stream vector's partition, ``HashPartitioning(vec_id)`` satisfies
+    the dedup aggregate's ``ClusteredDistribution(q_id, vec_id)``, and
+    the distinct plans with no exchange above the join (pinned in
+    tests/test_approx.py). The repartition exchange carries only
+    (vec_id, t, bucket) int rows — never the vectors."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v"))
     emb = emb.withColumn("nrm", F.sqrt(_dot("v", "v")))
@@ -189,8 +202,10 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("t").alias("qt"),
         F.col("bucket").alias("qbucket"))
+    par = spark.sparkContext.defaultParallelism
     cand_ids = (
         tagged.select("vec_id", "t", "bucket")
+        .repartition(par, "vec_id")
         .join(F.broadcast(q),
               (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -274,9 +289,9 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # named — and the exact-scoring pass were each planned and executed
     # TWICE per run (guide §3.3). Both are k-rows-per-query tables;
     # materialize once.
-    ivf = ivf_neighbors(spark, sf_dir).localCheckpoint()
+    ivf = ivf_neighbors(spark, sf_dir).transform(materialize)
     truth = (simsearch_exact(spark, sf_dir).select("q_id", "neighbor_id")
-             .localCheckpoint())
+             .transform(materialize))
     hits = (ivf.select("q_id", "neighbor_id")
             .join(truth, ["q_id", "neighbor_id"])
             .agg(F.count(F.lit(1)).alias("n_hits")))

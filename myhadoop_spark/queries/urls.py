@@ -30,6 +30,7 @@ from myhadoop_spark.operators.url_dedup import (
 )
 from myhadoop_spark.operators.url_filter import url_filter
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 _CAP = 15
 # RefinedWeb §3.1 URL-filter fixture knobs (shared by url_filter_q and
@@ -164,7 +165,7 @@ def url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second time per invocation; materialize the narrow survivor
     # table once instead (guide §1.4/§3.3)
     return (out.select("doc_id", "domain", "canon_url", "url_score")
-            .localCheckpoint()
+            .transform(materialize)
             .orderBy("doc_id"))
 
 
@@ -291,14 +292,14 @@ def curate_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table instead (the quality_budget/curate_lines discipline)
     dt = (capped.select(F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
                         "doc_id", "n_tokens")
-          .localCheckpoint())
+          .transform(materialize))
     alloc = unimax_allocate(dt, budget_ratio=(1, 2), epoch_cap=1)
     # r13: materialize the kept rows before the global sort — orderBy's
     # range-partition sampling job re-executes its child, which here is
     # the whole banded selection (band offsets window + broadcast join
     # + within-band window) from dt (guide §1.4/§3.3 — the
     # sampling-reruns-the-child class, see ppjoin_pairs)
-    return (unimax_select(dt, alloc).localCheckpoint()
+    return (unimax_select(dt, alloc).transform(materialize)
             .orderBy("lang", "doc_id"))
 
 

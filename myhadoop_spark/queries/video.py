@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from myhadoop_spark.queries.media import _DHASH_SQL
 from myhadoop_spark.registry import register
+from myhadoop_spark.materialize import materialize
 
 N_VF = 48             # video_frames: 16 payload groups x 3 exact copies
 N_VND_GROUPS = 16     # video_neardup: 16 videos x 4 variants
@@ -96,7 +97,7 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grids.select(
         "media_id", "frame_idx", "n_frames",
         dhash64(F.col("grid"), rows=8, cols=9).alias("fhash"))
-        .localCheckpoint()
+        .transform(materialize)
         .orderBy("media_id", "frame_idx"))
 
 
@@ -156,7 +157,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches (r13)
     fh = (_planted_frame_hashes(spark).select(
         "media_id", "frame_idx", "fhash")
-          .localCheckpoint())
+          .transform(materialize))
     return (frame_match_pairs(fh, bits=64, max_hamming=2,
                               min_shared=_VND_FRAMES - 1)
             .orderBy("id_a", "id_b"))
@@ -206,7 +207,7 @@ def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir unused — planted grids (see video_neardup)."""
     from myhadoop_spark.operators.video_fp import frame_match_probe
 
-    fh = _planted_frame_hashes(spark).localCheckpoint()
+    fh = _planted_frame_hashes(spark).transform(materialize)
     seen = fh.filter(F.col("v") == 0).select(
         "media_id", "frame_idx", "fhash")
     probe = fh.filter(F.col("v") != 0).select(

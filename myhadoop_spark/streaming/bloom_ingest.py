@@ -40,6 +40,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myhadoop_spark.materialize import materialize
 from myhadoop_spark.operators.bloom import (
     K_HASHES,
     M_BITS,
@@ -137,7 +138,7 @@ def start_bloom_dedup_stream(stream_df: DataFrame, *, filter_path: str,
                             n_filter_shards=n_filter_shards)
         # materialize novel rows BEFORE touching the filter table: both
         # writes below must see the same snapshot
-        novel = novel.localCheckpoint()
+        novel = novel.transform(materialize)
         # per-batch OVERWRITTEN directory, not a bare append: foreachBatch
         # replays a batch after a crash, and replaying an append would
         # double-emit. Overwriting batch_id=<id> makes the emit
@@ -146,7 +147,7 @@ def start_bloom_dedup_stream(stream_df: DataFrame, *, filter_path: str,
         # classify the batch's novel rows as seen and LOSE them.
         novel.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         updated = merge_filter(bloom, novel.select(text_col), text_col,
-                               m_bits, k).localCheckpoint()
+                               m_bits, k).transform(materialize)
         updated.write.mode("overwrite").parquet(filter_path)
 
     return (stream_df.writeStream

@@ -58,6 +58,7 @@ from myhadoop_spark.operators.connected_components import (
     connected_components,
 )
 from myhadoop_spark.operators.edjoin import edit_distance_pairs
+from myhadoop_spark.materialize import materialize
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict | None:
@@ -134,7 +135,7 @@ def start_entity_stream(rec_stream: DataFrame, *, path: str,
         if meta is not None and batch.isEmpty():
             return
         lab = _cluster_canonicals(batch, max_dist=max_dist,
-                                  q=q).localCheckpoint()
+                                  q=q).transform(materialize)
         # the tag-union probe NEGATES catalog ids; record ids must be
         # non-negative (and globally unique — the ingest contract)
         mn = lab.agg(F.min("id")).head()[0]

@@ -22,11 +22,11 @@ only. No state store, no watermark, nothing on the driver.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-
 from pyspark.sql import functions as F
 
 from myhadoop_spark.queries.dedup import JACCARD_THRESHOLD, _hashed_token_sets
 from myhadoop_spark.queries.fuzzy_decontam import fuzzy_contaminated
+from myhadoop_spark.materialize import materialize
 
 
 def start_fuzzy_decontam_stream(doc_stream: DataFrame,
@@ -47,7 +47,7 @@ def start_fuzzy_decontam_stream(doc_stream: DataFrame,
             return
         if "bs" not in cache:
             cache["bs"] = _hashed_token_sets(
-                spark, "", docs=bench_docs).localCheckpoint()
+                spark, "", docs=bench_docs).transform(materialize)
         cs = _hashed_token_sets(spark, "", docs=batch)
         hits = (fuzzy_contaminated(spark, cs, cache["bs"],
                                    threshold=threshold)

@@ -51,6 +51,7 @@ from myhadoop_spark.operators.bm25_index import (
 )
 from myhadoop_spark.operators.chunking import chunk_documents
 from myhadoop_spark.operators.ivf_index import append_to_index, build_index
+from myhadoop_spark.materialize import materialize
 from myhadoop_spark.operators.lsh_index import (
     _dedup_core,
     _write_sigs,
@@ -167,9 +168,9 @@ def start_hybrid_ingest_stream(stream_docs: DataFrame, *, lsh_path: str,
         # counts it — without this, counting survivors re-runs the
         # dedup probe, and counting chunks instead undercounts
         # zero-chunk survivors (empty/whitespace-only docs)
-        survivors = survivors.localCheckpoint()
+        survivors = survivors.transform(materialize)
         chunks = _chunk_with_ids(survivors, chunk_tokens=chunk_tokens,
-                                 overlap=overlap).localCheckpoint()
+                                 overlap=overlap).transform(materialize)
         # 1. emit FIRST (overwritten per-batch dir: replay rewrites)
         (chunks.write.mode("overwrite")
          .parquet(f"{chunks_path}/batch_id={batch_id}"))

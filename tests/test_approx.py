@@ -120,3 +120,26 @@ def test_length_band_approx_within_rank_error(spark):
     outer_ids = {r["doc_id"] for r in outer.collect()}
     approx_ids = {r["doc_id"] for r in approx.collect()}
     assert inner_ids <= approx_ids <= outer_ids
+
+
+def test_lsh_candidate_dedup_plans_without_pair_exchange(spark):
+    """r14 (optimization): the (q_id, vec_id) candidate dedup runs
+    in-stage — the stream side is hash-partitioned by vec_id before
+    the broadcast bucket join, so HashPartitioning(vec_id) satisfies
+    the distinct's clustering and no exchange keyed on the candidate
+    pair may appear."""
+    import contextlib
+    import io
+    import re
+
+    from myhadoop_spark.queries.simsearch import simsearch_lsh
+
+    out = simsearch_lsh(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the final top-k window legitimately exchanges on q_id alone; the
+    # banned shape is the dedup exchange keyed on the PAIR
+    assert not re.search(r"hashpartitioning\(q_id#\d+L?, vec_id",
+                         plan), plan

@@ -77,3 +77,27 @@ def test_ngram_salted_candidates_equal_direct_join(spark):
                          & (F.col("doc1") < F.col("doc2")))
               .filter(ratio >= 0.75).select("doc1", "doc2").collect()}
     assert direct == salted and len(direct) > 0
+
+
+def test_minhash_candidate_dedup_plans_without_pair_exchange(spark):
+    """r14 (optimization): under the broadcast budget the band
+    self-join's pair dedup runs IN-STAGE — the stream side is
+    hash-partitioned by doc1, the band table broadcasts as the build
+    side, and HashPartitioning(doc1) satisfies the distinct's
+    clustering, so no exchange keyed on the candidate pair may appear
+    (the candidate multiset never crosses the network)."""
+    import contextlib
+    import io
+    import re
+
+    from myhadoop_spark.queries.dedup import (_hashed_token_sets,
+                                              minhash_pairs)
+
+    sets = _hashed_token_sets(spark, SF_SMOKE).localCheckpoint()
+    out = minhash_pairs(spark, sets)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"hashpartitioning\(doc1", plan), plan

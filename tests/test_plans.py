@@ -146,9 +146,14 @@ def test_doc_metrics_is_narrow(spark):
     as shuffles here."""
     for name in ("doc_metrics", "array_fns", "map_struct_fns"):
         plan = plan_of(spark, name)
-        n_exchange = (len(re.findall(r"\(\d+\) Exchange", plan))
-                      - len(re.findall(r"Arguments: roundrobinpartitioning",
-                                       plan, re.IGNORECASE)))
+        # r14 (ADVICE r13): discount EXACTLY the one sanctioned
+        # round-robin barrier (the load_wide widening checkpoint) —
+        # a blanket subtraction would also forgive an unintended
+        # round-robin repartition introduced inside the query itself
+        n_rr = len(re.findall(r"Arguments: roundrobinpartitioning",
+                              plan, re.IGNORECASE))
+        assert n_rr <= 1, f"{name}: {n_rr} round-robin exchanges\n{plan}"
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan)) - n_rr
         if name == "doc_metrics":
             assert n_exchange == 0, f"{name}:\n{plan}"
             assert "ExistingRDD" in plan, plan
