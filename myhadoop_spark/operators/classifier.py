@@ -146,7 +146,9 @@ def weight_expr() -> Column:
 def score_documents(docs: DataFrame, weights: DataFrame, *,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    broadcast: bool = True) -> DataFrame:
+                    broadcast: bool = True,
+                    with_n_tokens: bool = False,
+                    join_back: bool = True) -> DataFrame:
     """(id, score, pred): fixed-point linear score per document.
     Out-of-vocabulary tokens score 0 (left join); empty docs score 0.
 
@@ -162,16 +164,41 @@ def score_documents(docs: DataFrame, weights: DataFrame, *,
         memory). Costs one extra shuffle of the exploded corpus; the
         per-doc sum is the same second shuffle either way.
 
+    ``with_n_tokens=True`` (r14, guide §2.4/§3.3) additionally emits
+    the document's TOKEN count as ``n_tokens`` — for free inside the
+    scoring aggregate: the feature bag is exactly the tokens plus
+    3·MARKER_BOOST marker features per document, so
+    n_tokens = count(*) − 3·MARKER_BOOST in the same partial agg.
+    Callers that need (score, n_tokens) per doc (the budget-selection
+    compositions) previously re-tokenized the corpus in a second
+    branch and paid a shuffle join to attach the counts.
+
+    ``join_back=False`` (r14) skips the trailing
+    ``docs.select(id).join(scored, left)`` re-attachment join: the
+    scored aggregate already contains EVERY doc whose feature bag is
+    non-empty, and the marker features make the bag non-empty for any
+    non-NULL text, so callers that pre-filter NULL/empty docs (the
+    qf_scores labeled frame) get identical rows one join cheaper.
+    Keep the default for frames that may carry NULL-text docs — those
+    score 0 via the left join.
+
     Scores are integer sums — order- and partitioning-independent —
     so the two paths are BIT-IDENTICAL (pinned in
     tests/test_classifier.py with auto-broadcast disabled)."""
     tok_rows = docs.select(id_col,
                            F.explode(feature_tokens(text_col)).alias("tok"))
     w = F.broadcast(weights) if broadcast else weights
-    scored = (tok_rows.join(w, "tok", "left")
-              .groupBy(id_col)
-              .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score")))
+    aggs = [F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score")]
+    if with_n_tokens:
+        aggs.append((F.count(F.lit(1)) - F.lit(3 * MARKER_BOOST))
+                    .cast("long").alias("n_tokens"))
+    scored = tok_rows.join(w, "tok", "left").groupBy(id_col).agg(*aggs)
+    if not join_back:
+        return scored.withColumn("pred", F.col("score") > 0)
+    carry = ["n_tokens"] if with_n_tokens else []
     return (docs.select(id_col).join(scored, id_col, "left")
             .select(id_col,
-                    F.coalesce(F.col("score"), F.lit(0)).alias("score"))
+                    F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+                    *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                      for c in carry])
             .withColumn("pred", F.col("score") > 0))

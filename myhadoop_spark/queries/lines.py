@@ -290,7 +290,6 @@ def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gated; CORRECTNESS_r13)."""
     from myhadoop_spark.operators.budget_select import (budget_select,
                                                         fraction_budget)
-    from myhadoop_spark.operators.classifier import tokens
     from myhadoop_spark.operators.line_dedup import line_dedup
     from myhadoop_spark.operators.line_filter import (clean_lines,
                                                       word_lines)
@@ -312,11 +311,14 @@ def curate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (deduped.select("doc_id",
                              F.col("clean_text").alias("text"))
               .transform(materialize))
-    scores = qf_scores(corpus).select(
-        "doc_id", F.col("score").cast("long").alias("score"))
-    toks = corpus.select("doc_id",
-                         F.size(tokens()).cast("long").alias("n_tokens"))
-    ds = scores.join(toks, "doc_id").transform(materialize)
+    # r14: n_tokens rides out of the scoring aggregate
+    # (count(*) − 3·MARKER_BOOST == size(tokens), see score_documents)
+    # — the third tokenize pass over the cleaned corpus and the
+    # scores⋈toks shuffle join are gone (guide §2.4/§3.3)
+    ds = (qf_scores(corpus, with_n_tokens=True)
+          .select("doc_id", F.col("score").cast("long").alias("score"),
+                  "n_tokens")
+          .transform(materialize))
     budget = fraction_budget(ds, 1, 2)
     # r13: materialize the kept rows before the global sort — the
     # sort's sampling job re-executed the banded selection from ds a

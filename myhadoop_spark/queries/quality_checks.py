@@ -151,11 +151,19 @@ def _qf_oracle(source: str = "documents") -> str:
     """
 
 
-def qf_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, score, pred) over ANY (doc_id, text) frame: heuristic
-    teacher labels → even-id training split → integer weights →
-    broadcast scoring, all in one plan — the composable core shared
-    by the gated differential and the curate_lines composition."""
+def qf_scores(docs: DataFrame, *, with_n_tokens: bool = False) -> DataFrame:
+    """(doc_id, score[, n_tokens], pred) over ANY (doc_id, text)
+    frame: heuristic teacher labels → even-id training split →
+    integer weights → broadcast scoring, all in one plan — the
+    composable core shared by the gated differential and the
+    curate_lines composition.
+
+    The labeled frame keeps only docs with ≥ 1 token, so every row's
+    feature bag is non-empty and the scoring aggregate itself covers
+    every labeled doc — ``join_back=False`` drops score_documents'
+    re-attachment join (r14, guide §2.4). ``with_n_tokens=True``
+    rides the token count out of the same aggregate for the budget
+    compositions (see score_documents)."""
     from myhadoop_spark.operators.classifier import (
         score_documents,
         tokens,
@@ -172,7 +180,8 @@ def qf_scores(docs: DataFrame) -> DataFrame:
     labeled = docs.filter(F.size(toks) > 0).withColumn(
         "label", q >= F.lit(_QF_THRESHOLD))
     weights = train_token_weights(labeled.filter("doc_id % 2 = 0"))
-    return score_documents(labeled, weights)
+    return score_documents(labeled, weights,
+                           with_n_tokens=with_n_tokens, join_back=False)
 
 
 @register(
@@ -241,7 +250,6 @@ def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end to end, so the kept set compares bitwise."""
     from myhadoop_spark.operators.budget_select import (budget_select,
                                                         fraction_budget)
-    from myhadoop_spark.operators.classifier import tokens
 
     # r13 (optimization): build the (doc_id, score, n_tokens) frame
     # from qf_scores directly — quality_filter_q's trailing
@@ -252,11 +260,16 @@ def quality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classifier train+score subtree used to be planned and
     # re-optimized three times per run (guide §3.3). ds is one row per
     # scored document. Output bitwise unchanged (strict harness).
+    # r14: n_tokens now rides OUT of the scoring aggregate
+    # (count(*) − 3·MARKER_BOOST == size(tokens), see score_documents)
+    # instead of a second tokenize pass over the parquet text joined
+    # back on doc_id — one scan and one shuffle join fewer
+    # (guide §2.4/§3.3); rows bitwise unchanged (strict harness).
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    scores = (qf_scores(docs)
-              .select("doc_id", F.col("score").cast("long").alias("score")))
-    tk = docs.select("doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
-    ds = scores.join(tk, "doc_id").transform(materialize)
+    ds = (qf_scores(docs, with_n_tokens=True)
+          .select("doc_id", F.col("score").cast("long").alias("score"),
+                  "n_tokens")
+          .transform(materialize))
     budget = fraction_budget(ds, 1, 2)
     # r13: materialize the kept rows before the global sort — the
     # sort's sampling job re-executed the whole banded selection from
