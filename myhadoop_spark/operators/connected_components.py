@@ -70,6 +70,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct()
     )
     sym = sym.transform(materialize)
+    if stats is not None:
+        # study-only datapoint (scripts/cc_contraction_study.py): the
+        # per-round shuffle of this loop is ∝ |sym| every round; one
+        # count over the materialized frame, never paid by query paths
+        # (they pass stats=None)
+        stats["sym_rows"] = sym.count()
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("component"))

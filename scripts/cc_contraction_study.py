@@ -71,6 +71,14 @@ def main() -> None:
             wall = time.time() - t0
             runs[algo] = {r["id"]: r["component"]
                           for r in labels.collect()} if scale <= 10 else n
+            # comparable per-round shuffled-row curves (r14, VERDICT
+            # r13 item 5): propagation re-shuffles the full symmetrized
+            # edge set every round (constant |sym| × iterations);
+            # contraction's curve is its recorded shrinking edge set.
+            # bytes ≈ rows × 16 (two longs) either way.
+            if "edge_curve" not in stats and "sym_rows" in stats:
+                stats["edge_curve"] = ([stats["sym_rows"]]
+                                       * stats["iterations"])
             curve = ",".join(str(c) for c in stats.get("edge_curve", []))
             line = (f"myhadoop_spark\t{scale}\t{shape}\t{n_edges}\t{algo}\t"
                     f"{stats['iterations']}\t{wall:.2f}\t{curve}\n")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from myhadoop_spark import registry
 from tests.conftest import SF_ORACLE, SF_SMOKE
+import pytest
 
 
 def test_approx_distinct_within_5pct(spark):
@@ -53,6 +54,7 @@ def test_percentile_approx_within_bounds(spark):
         assert abs(approx[k] - e) <= 0.05 * e, (k, approx[k], e)
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_ivf_recall_vs_exact(spark):
     """The ANN path holds recall@5 ≥ 0.8 vs the exact top-k
     (measured 0.84 at sf0.001, 0.88 at sf0.01 — deterministic given the

@@ -17,6 +17,10 @@ from myhadoop_spark.streaming.near_dedup import (
     banded_near_dedup_stream,
 )
 
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 TEXTS_B1 = [
     (1, "alpha beta gamma delta epsilon zeta"),
     (2, "one two three four five six seven"),

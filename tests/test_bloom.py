@@ -9,6 +9,8 @@ import io
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from myhadoop_spark.operators.bloom import (
     bloom_build,
     bloom_probe,
@@ -68,6 +70,7 @@ def test_probe_plan_broadcasts_filter(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_sharded_probe_equals_single_filter(spark):
     """The 12 GB-filter code path: range-sharding the word table and
     AND-combining per-shard verdicts must answer EXACTLY like the

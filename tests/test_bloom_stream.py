@@ -15,6 +15,12 @@ from myhadoop_spark.streaming.bloom_ingest import (
     start_bloom_dedup_stream,
 )
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 SCHEMA = "doc_id INT, text STRING"
 
 

@@ -22,6 +22,7 @@ from myhadoop_spark.operators.bm25_index import (
     term_bucket_py,
 )
 from tests.test_bm25 import TERMS, _fixture_docs
+import pytest
 
 QUERIES = [TERMS, ["alpha", "zzz_absent"], ["beta"]]
 
@@ -84,6 +85,7 @@ def test_probe_scan_is_pruned_and_pushed(spark, tmp_path):
     assert any("term" in ln for ln in pushed), plan
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_append_equals_one_shot_build(spark, tmp_path):
     docs = _corpus(spark)
     half_a = docs.filter(F.col("doc_id") % 2 == 0)
@@ -127,6 +129,7 @@ def test_compaction_preserves_search(spark, tmp_path):
                               max_files_per_bucket=4)["compacted_buckets"] == 0
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_stream_ingest_matches_one_shot(spark, tmp_path):
     """Micro-batched appends through the stream face (with periodic
     compaction) must leave an index whose probe equals the per-query

@@ -11,6 +11,8 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from myhadoop_spark.operators.bpe import (
     END,
     bpe_encode,
@@ -129,6 +131,7 @@ _word = st.text(alphabet="abcd", min_size=1, max_size=6)
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.lists(_word, min_size=1, max_size=8),
                 min_size=1, max_size=5))
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_property_training_and_encoding_match_model(spark, doc_words):
     rows = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")

@@ -28,6 +28,7 @@ def _skewed(spark, n=400):
     return _docs(spark, rows)
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_banded_equals_window_sweep(spark):
     d = _skewed(spark).localCheckpoint()
     total = d.agg(F.sum("n_tokens")).head()[0]
@@ -145,6 +146,7 @@ def _py_quant(rows, budget, q):
     return sorted(out)
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_quantized_matches_model_and_splits_point_mass(spark):
     from myhadoop_spark.operators.budget_select import (
         quantized_budget_select,

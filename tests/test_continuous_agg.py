@@ -20,6 +20,12 @@ from myhadoop_spark.operators.continuous_agg import (
     refresh_rollup,
 )
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 SCHEMA = "ts timestamp, user_id long, event_type string, value double"
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 

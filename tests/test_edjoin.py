@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from myhadoop_spark.operators.edjoin import edit_distance_pairs
+import pytest
 
 
 def _lev(a: str, b: str) -> int:
@@ -90,6 +91,7 @@ def test_q3_same_output(spark):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.text(alphabet="abc", max_size=7),
                 min_size=0, max_size=12))
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_matches_python_model(spark, strings):
     rows = [(i, s) for i, s in enumerate(strings)]
     got = _run(spark, rows, 2)

@@ -17,6 +17,10 @@ from myhadoop_spark.streaming.entity_stream import (
     start_entity_stream,
 )
 
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 SCHEMA = "id long, nm string"
 
 

@@ -8,6 +8,8 @@ from __future__ import annotations
 import time
 
 from myhadoop_spark.queries.fuzzy_decontam import fuzzy_decontam
+import pytest
+
 from myhadoop_spark.streaming.fuzzy_decontam_stream import (
     read_clean,
     start_fuzzy_decontam_stream,
@@ -50,6 +52,7 @@ def _run(spark, src, path, ckpt, *, stats=None, max_files=1):
         time.sleep(0.2)
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_batching_invariance_vs_one_shot(spark, tmp_path):
     rows = _corpus()
     one_shot = sorted(map(tuple, fuzzy_decontam(

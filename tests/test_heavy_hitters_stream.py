@@ -15,6 +15,10 @@ from myhadoop_spark.streaming.heavy_hitters_stream import (
     stream_topk,
 )
 
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 CAP = 8
 
 

@@ -25,6 +25,12 @@ from myhadoop_spark.streaming.hybrid_ingest import (
 )
 from tests.test_chunk_index_pipeline import _stub_embedding
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _corpus(spark):
     """40 seed docs + 3 stream batches of 20, with batch 1 repeating

@@ -13,6 +13,12 @@ from myhadoop_spark.mapreduce import wordcount_job
 from myhadoop_spark.operators.asof import asof_join
 from myhadoop_spark.queries.wordcount import wordcount_df
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 _text = st.text(
     alphabet=st.sampled_from("ab \t\né"),  # words, whitespace, non-ascii
     min_size=0, max_size=40,

@@ -17,6 +17,12 @@ from myhadoop_spark.operators.budget_select import (
 from myhadoop_spark.operators.line_dedup import line_dedup
 from myhadoop_spark.operators.line_filter import clean_lines, word_lines
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 # --- banded budget select ≡ window ≡ python greedy ---------------------
 
 _scored = st.lists(

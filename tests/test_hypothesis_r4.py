@@ -24,6 +24,12 @@ from myhadoop_spark.operators.substring import (
     substring_pairs,
 )
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 # small token alphabet → collisions and repeats are LIKELY, which is
 # exactly where run/diagonal logic can break
 _doc = st.lists(st.sampled_from(["a", "b", "c", "dd"]),

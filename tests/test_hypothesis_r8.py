@@ -18,6 +18,12 @@ from myhadoop_spark.operators.dsir import (
 )
 from myhadoop_spark.operators.indexing import assign_global_index
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 _key = st.tuples(st.integers(min_value=-1000, max_value=1000),
                  st.sampled_from(["x", "y", "zz"]))
 

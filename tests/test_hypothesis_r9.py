@@ -16,6 +16,12 @@ from myhadoop_spark.operators.cms import cms_estimate, cms_table
 from myhadoop_spark.operators.interval_join import interval_overlap_join
 from myhadoop_spark.operators.unimax import unimax_allocate
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 _lang_sizes = st.dictionaries(
     st.sampled_from(["en", "de", "fr", "zh", "hi", "sw"]),
     st.integers(min_value=0, max_value=10_000),

@@ -21,6 +21,7 @@ from myhadoop_spark.operators.ivf_index import (
     start_index_ingest_stream,
 )
 from tests.conftest import SF_SMOKE
+import pytest
 
 N_Q, K, TOP_K = 5, 8, 5
 
@@ -120,6 +121,7 @@ def test_compaction_preserves_search(spark, tmp_path):
                          max_files_per_bucket=4)["compacted_buckets"] == 0
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_stream_ingest_auto_compacts(spark, tmp_path):
     """compact_every=N in the stream face keeps per-bucket file counts
     bounded across many micro-batches, with search equal to the

@@ -17,6 +17,7 @@ from myhadoop_spark.operators.join_view import (
     refresh_join_view,
 )
 from tests.conftest import SF_SMOKE
+import pytest
 
 
 def _sources(spark):
@@ -321,6 +322,7 @@ def test_stream_face_compacts(spark, tmp_path):
     assert len(dirs) <= 3, dirs
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_composes_with_continuous_aggregate(spark, tmp_path):
     """The end-to-end incremental pipeline: the join view's per-refresh
     delta rows feed the continuous aggregate's incremental refresh —

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from myhadoop_spark.operators.pagerank import pagerank
+import pytest
 
 # 1 → 2, 1 → 3, 2 → 3, 3 → 1, 4 → 3, and 5 is DANGLING (in-edges only)
 EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 5)]
@@ -89,6 +90,7 @@ def test_deterministic_multi_dangling_bitwise(spark):
         assert abs(rank - want[v]) < 1e-9
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_deterministic_tol_stop_partitioning_stable(spark):
     # the stop decision must come from the SAME ordered-fold l1 on any
     # partitioning: same iteration count and bitwise-equal ranks when

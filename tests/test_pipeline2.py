@@ -10,6 +10,12 @@ from myhadoop_spark.operators.export import verify_export
 from myhadoop_spark.queries.pipeline2 import curate
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def test_pipeline_end_to_end(spark, tmp_path):
     out = str(tmp_path / "curated")

@@ -11,6 +11,7 @@ import random
 from pyspark.sql import functions as F
 
 from myhadoop_spark.operators.ppjoin import jaccard_pairs, prefix_candidates
+import pytest
 
 TAU = 0.6
 
@@ -89,6 +90,7 @@ def _corpus_grams(spark, zipf: bool, n: int = 600):
             .localCheckpoint())
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_generator_selection_matches_corpus_shape(spark):
     """The auto-selector must route Zipfian corpora to the prefix
     filter and uniform corpora to size-ratio (the measured-best

@@ -14,6 +14,12 @@ from myhadoop_spark.operators.pq import (ivfpq_topk, pq_index,
 from myhadoop_spark.queries.simsearch import N_QUERIES, _as_double, _dot
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _emb_and_queries(spark):
     emb = load(spark, SF_SMOKE, "embeddings").select(

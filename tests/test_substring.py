@@ -10,6 +10,8 @@ import random
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from myhadoop_spark.operators.substring import (
     K_WINDOW,
     MIN_OVERLAP,
@@ -338,6 +340,7 @@ def test_untouched_docs_pass_through_byte_identical(spark):
     assert out[1].n_tokens_removed == 30
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_seam_second_pass_converges(spark):
     """Adversarial seam: removing a middle run butts two fragments
     (11 + 11 bench tokens, each alone under min_overlap) into a new

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from myhadoop_spark.operators.unimax import (
     doc_token_counts,
     unimax_allocate,
@@ -169,6 +171,7 @@ def test_doc_token_counts_null_lang(spark):
     assert rows[2] == ("en", 2)
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_banded_select_equals_window_path(spark):
     """The r10 scale fix: hash-range banded two-level prefix sum must
     be bitwise-identical to the single-window spec path for every

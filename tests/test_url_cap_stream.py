@@ -16,6 +16,10 @@ from myhadoop_spark.streaming.url_cap_stream import (
     start_domain_cap_stream,
 )
 
+# r14 (VERDICT r13 item 1): heavy parity/property battery — the
+# slow tier; see pytest.ini. Run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 CAP = 5
 
 

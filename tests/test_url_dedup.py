@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from myhadoop_spark.operators.url_dedup import (
     canonical_url,
     domain_cap,
@@ -96,6 +98,7 @@ def _skewed(spark, n_hot=4000, n_tail=50):
     return spark.createDataFrame(rows, "doc_id long, domain string")
 
 
+@pytest.mark.slow  # r14: heavy parity battery (fast twin stays in the default tier)
 def test_domain_cap_banded_equals_window(spark):
     df = _skewed(spark)
     for cap in (0, 3, 100, 1500, 10_000):
