@@ -49,14 +49,16 @@ def synth_cliques(spark: SparkSession, scale: int):
 
 
 def main() -> None:
+    import os
     scales = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    shapes = tuple(os.environ.get("CC_STUDY_SHAPES",
+                                  "path,clique").split(","))
     spark = get_spark("cc_contraction_study")
     out = Path("cc_contraction_study.tsv")
     if not out.exists():
         out.write_text("engine\tscale\tshape\tn_edges\talgo\titerations\t"
                        "wall_s\tedge_curve\n")
-    for scale, shape in [(s, sh) for s in scales
-                         for sh in ("path", "clique")]:
+    for scale, shape in [(s, sh) for s in scales for sh in shapes]:
         gen = synth_edges if shape == "path" else synth_cliques
         edges = gen(spark, scale).localCheckpoint()
         n_edges = edges.count()
